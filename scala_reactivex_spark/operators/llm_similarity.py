@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+- ``llm_similarity_topk``: brute-force cosine top-k — the correctness
+  baseline.  O(probes × corpus); probes broadcast, corpus streamed, so the
+  scan parallelizes over corpus partitions with no shuffle of the big side.
+- ``llm_ann_ivf``: IVF-style approximate search — corpus is bucketed by
+  nearest centroid once, probes search only their own bucket.  At 100 TB the
+  centroid assignment is the only full pass; queries touch 1/K of the data.
+
+Precision contract: all cosine math in float64 with a left-to-right fold
+(Spark ``aggregate`` HOF ≡ DuckDB SUM over ``unnest`` in list order) and the
+result rounded to 4 dp before any ranking — DuckDB's native
+``list_cosine_similarity`` computes in float32 and does NOT hash-match, so
+oracles use the explicit unnest-zip double formulation (verified this
+session).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import table
+
+TOPK = 10
+N_PROBES = 5  # probe set = vec_id < 5 (FIXTURES.md)
+N_CENTROIDS = 8
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Σ a_i·b_i in float64, strict left-to-right fold (deterministic)."""
+    prod = F.zip_with(
+        a if isinstance(a, Column) else F.col(a),
+        b if isinstance(b, Column) else F.col(b),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_cols(a: str | Column, b: str | Column) -> Column:
+    """cos(a, b) in float64; callers round to 4 dp before ranking."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "llm_similarity_topk",
+    tier="T3",
+    doc="Brute-force cosine top-10 per probe (probe set vec_id < 5): "
+    "broadcast probes × streamed corpus, rank on the ROUNDED score with "
+    "neighbor_id tie-break so ranking is engine-independent.",
+    oracle="""
+WITH p AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5
+), pairs AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id, p.pe, e.embedding AS ce
+  FROM p, embeddings e WHERE e.vec_id <> p.probe_id
+), expl AS (
+  SELECT probe_id, neighbor_id, unnest(pe) AS x, unnest(ce) AS y FROM pairs
+), dots AS (
+  SELECT probe_id, neighbor_id,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na2,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb2
+  FROM expl GROUP BY probe_id, neighbor_id
+), scored AS (
+  SELECT probe_id, neighbor_id,
+         ROUND(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos_sim
+  FROM dots
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
+""",
+)
+def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_cols("pe", "ce"), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPK)
+        .select("probe_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "llm_ann_ivf",
+    tier="T3",
+    doc="IVF-bucketed approximate NN: corpus assigned once to the nearest "
+    "of 8 deterministic centroids (vec_id < 8); each probe searches only "
+    "its centroid's bucket → 1/K of the corpus per query at scale.",
+    oracle="""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+), asg_pairs AS (
+  SELECT e.vec_id, c.cid, e.embedding AS ve, c.cemb
+  FROM embeddings e, cent c
+), asg_expl AS (
+  SELECT vec_id, cid, unnest(ve) AS x, unnest(cemb) AS y FROM asg_pairs
+), asg_dots AS (
+  SELECT vec_id, cid,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na2,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb2
+  FROM asg_expl GROUP BY vec_id, cid
+), asg_scored AS (
+  SELECT vec_id, cid,
+         ROUND(dot / (sqrt(na2) * sqrt(nb2)), 4) AS c_sim,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY ROUND(dot / (sqrt(na2) * sqrt(nb2)), 4) DESC, cid)
+             AS crn
+  FROM asg_dots
+), assignment AS (
+  SELECT vec_id, cid AS bucket FROM asg_scored WHERE crn = 1
+), probes AS (
+  SELECT a.vec_id AS probe_id, a.bucket, e.embedding AS pe
+  FROM assignment a JOIN embeddings e ON a.vec_id = e.vec_id
+  WHERE a.vec_id < 5
+), cands AS (
+  SELECT p.probe_id, a.vec_id AS neighbor_id, p.pe, e.embedding AS ce
+  FROM probes p
+  JOIN assignment a ON a.bucket = p.bucket AND a.vec_id <> p.probe_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+), expl AS (
+  SELECT probe_id, neighbor_id, unnest(pe) AS x, unnest(ce) AS y FROM cands
+), dots AS (
+  SELECT probe_id, neighbor_id,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na2,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb2
+  FROM expl GROUP BY probe_id, neighbor_id
+), scored AS (
+  SELECT probe_id, neighbor_id,
+         ROUND(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos_sim
+  FROM dots
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
+""",
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    # Bucket assignment: one broadcast pass over the corpus; rank on the
+    # ROUNDED similarity (cid tie-break) so the argmax is engine-stable.
+    c_sim = F.round(cosine_cols("embedding", "cemb"), 4)
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid")
+    )
+    assignment = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "cid", c_sim.alias("c_sim"))
+        .withColumn("crn", F.row_number().over(w_asg))
+        .where(F.col("crn") == 1)
+        .select("vec_id", F.col("cid").alias("bucket"))
+    )
+    emb = e.select("vec_id", "embedding")
+    probes = (
+        assignment.where(F.col("vec_id") < N_PROBES)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("bucket").alias("pbucket"),
+            F.col("embedding").alias("pe"),
+        )
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(
+            assignment.alias("a"),
+            (F.col("a.bucket") == F.col("pbucket"))
+            & (F.col("a.vec_id") != F.col("probe_id")),
+        )
+        .join(emb.alias("em"), F.col("a.vec_id") == F.col("em.vec_id"))
+        .select(
+            "probe_id",
+            F.col("a.vec_id").alias("neighbor_id"),
+            "pe",
+            F.col("em.embedding").alias("ce"),
+        )
+    )
+    scored = cands.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(cosine_cols("pe", "ce"), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPK)
+        .select("probe_id", "neighbor_id", "cos_sim", "rnk")
+    )

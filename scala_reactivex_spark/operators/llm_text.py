@@ -1,0 +1,217 @@
+"""Text analysis operators for LLM training-data pipelines (SURVEY.md §2.10).
+
+- ``llm_text_tokens``: term frequency with deterministic top-k per language.
+- ``llm_text_stats``: token counting (whitespace + regex word tokenizer).
+- ``llm_quality_score``: document quality heuristics (length, stopword
+  ratio, lexical diversity) → one composite score.
+- ``llm_lang_id``: n-gram-profile language ID — profiles learned from the
+  labeled corpus in one aggregate pass, then scored per document.
+  Rows-only: the scoring involves log-probability sums whose argmax has no
+  cross-engine determinism guarantee at ties (the fixture vocabulary is
+  shared across languages by construction, so ties are common).
+- ``llm_doc_fingerprint``: 64-bit Karp-Rabin rolling fingerprint over UTF-8
+  bytes via an Arrow-batched pandas UDF. Rows-only (engine-specific hash).
+
+All token work happens post-explode with hash aggregates — no driver
+collection, linear in corpus size.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import table
+
+STOPWORDS = ("the", "a")  # ∩ fixture vocabulary
+TOPK_TERMS = 10
+
+
+@register(
+    "llm_text_tokens",
+    tier="T3",
+    doc="Term frequency: top-10 tokens per language with the deterministic "
+    "(count DESC, token ASC) tie-break.",
+    oracle="""
+WITH tf AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), counts AS (
+  SELECT lang, token, count(*) AS n FROM tf GROUP BY lang, token
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY n DESC, token) AS rnk
+  FROM counts
+)
+SELECT lang, token, n, rnk FROM ranked WHERE rnk <= 10
+""",
+)
+def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPK_TERMS)
+        .select("lang", "token", "n", "rnk")
+    )
+
+
+@register(
+    "llm_text_stats",
+    tier="T3",
+    doc="Token counting: whitespace tokenizer vs regex word tokenizer "
+    "([a-z0-9]+), plus distinct-token count — the unit economics of a "
+    "training corpus.",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens_re,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       n_chars
+FROM documents
+""",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens_ws"),
+        F.regexp_count("text", F.lit("[a-z0-9]+"))
+        .cast("bigint")
+        .alias("n_tokens_re"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_uniq"),
+        "n_chars",
+    )
+
+
+@register(
+    "llm_quality_score",
+    tier="T3",
+    doc="Quality scoring: stopword ratio, lexical diversity and length "
+    "band → composite score in [0, 1], rounded. All ratios are small-int "
+    "divisions in double (deterministic cross-engine).",
+    oracle="""
+WITH x AS (
+  SELECT doc_id, n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the', 'a'))) AS DOUBLE) AS n_stop,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(n_stop / n_tok, 4) AS stopword_ratio,
+       ROUND(n_uniq / n_tok, 4) AS diversity,
+       ROUND((CASE WHEN n_tok >= 20 AND n_tok <= 80 THEN 1.0 ELSE 0.5 END)
+             * (1.0 - n_stop / n_tok) * (n_uniq / n_tok), 4) AS quality
+FROM x
+""",
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")
+    ).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    length_band = F.when(
+        (n_tok >= 20) & (n_tok <= 80), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
+        F.round(n_uniq / n_tok, 4).alias("diversity"),
+        F.round(
+            length_band * (F.lit(1.0) - n_stop / n_tok) * (n_uniq / n_tok), 4
+        ).alias("quality"),
+    )
+
+
+@register(
+    "llm_lang_id",
+    tier="T3",
+    doc="Language ID via learned token profiles: per-lang add-one-smoothed "
+    "log-probabilities aggregated in one pass, scored per doc, argmax. "
+    "Rows-only — the fixture corpus shares one vocabulary across languages "
+    "by construction, so log-likelihood ties make cross-engine argmax "
+    "comparison meaningless; accuracy itself is property-tested in pytest.",
+    oracle=None,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    # Profile: P(token | lang) with add-one smoothing, one aggregate pass.
+    lang_tok = tf.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    lang_tot = tf.groupBy("lang").agg(F.count("*").alias("tot"))
+    vocab_n = tf.select("token").distinct().agg(
+        F.count("*").alias("v")
+    )
+    profile = (
+        lang_tok.join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            F.col("lang").alias("model_lang"),
+            "token",
+            F.log((F.col("n") + 1) / (F.col("tot") + F.col("v"))).alias("logp"),
+        )
+    )
+    # Score: per (doc, candidate lang) sum of logp; argmax with lang
+    # tie-break for determinism within this engine.
+    scored = (
+        tf.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "model_lang")
+        .agg(F.round(F.sum("logp"), 4).alias("loglik"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("loglik").desc(), F.col("model_lang")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("lang_true"),
+            F.col("model_lang").alias("lang_pred"),
+            (F.col("lang") == F.col("model_lang")).alias("correct"),
+        )
+    )
+
+
+@register(
+    "llm_doc_fingerprint",
+    tier="T3",
+    doc="64-bit Karp-Rabin rolling fingerprint over UTF-8 bytes "
+    "(base 257 mod 2^61-1) — Arrow-batched pandas UDF, the sanctioned "
+    "Python path for byte-level work. Rows-only (engine-specific hash); "
+    "determinism and collision behavior are pytest-verified.",
+    oracle=None,
+)
+def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    @F.pandas_udf("long")
+    def fingerprint(texts: pd.Series) -> pd.Series:
+        def fp(t: str) -> int:
+            h = 0
+            for byte in t.encode("utf-8"):
+                h = (h * BASE + byte) % MOD
+            return h
+
+        return texts.map(fp).astype("int64")
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fingerprint")
+    )

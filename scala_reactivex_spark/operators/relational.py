@@ -1,0 +1,433 @@
+"""Relational substrate battery (SURVEY.md §2.9) — engine-native, T0/T2.
+
+The reference is an operator library with no relational layer; these are the
+idiomatic-Spark operators the engine is BUILT FROM, demonstrated on the
+TPC-H-ish star schema (FIXTURES.md).  Every query is declarative DataFrame
+API so Catalyst gets predicate pushdown, column pruning, join selection and
+AQE for free (SURVEY.md §4); dimension joins carry explicit broadcast hints
+where the small side is bounded by construction (region/nation/per-key
+aggregates), and fact-fact joins stay shuffle hash/sort-merge on their keys.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.functions.determinism import DEC, davg, dsum
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import table
+
+Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "rel_q1_pricing",
+    tier="T0",
+    doc="FLAGSHIP (entry()): TPC-H Q1-shaped pricing summary — scan + "
+    "pushed filter + hash aggregate with map-side partials; decimal sums "
+    "for cross-engine exactness.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4)
+           AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+           AS sum_base_price,
+       ROUND(CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+           AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(((l_extendedprice * (1 - l_discount))
+           * (1 + l_tax)) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(l_quantity), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(l_extendedprice), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def rel_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp")
+    )
+    disc_price = F.expr("l_extendedprice * (1 - l_discount)")
+    charge = F.expr("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "rel_join_inner",
+    tier="T0",
+    doc="Multi-way equi join up the star: orders⋈customer⋈nation⋈region with "
+    "broadcast hints on the bounded dims; revenue per region.",
+    oracle="""
+SELECT r.r_name, count(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+           AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def rel_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+
+
+@register(
+    "rel_join_semi_anti",
+    tier="T2",
+    doc="Left semi / left anti joins: customers with vs without orders, as "
+    "true LeftSemi/LeftAnti plan nodes (no row duplication, early-out probe).",
+    oracle="""
+SELECT 'with_orders' AS kind, count(*) AS n
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS kind, count(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def rel_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("with_orders").alias("kind"), "n")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("without_orders").alias("kind"), "n")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "rel_join_range",
+    tier="T2",
+    doc="Equi + range (theta) join: lineitems shipped within 90 days of "
+    "their order date — hash join on the equi key with a residual range "
+    "predicate (never a cartesian).",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+           AS total_price
+FROM orders o
+JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderpriority
+""",
+)
+def rel_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "rel_window_rank",
+    tier="T2",
+    doc="Ranking + frame-based analytic windows: top-3 orders per customer "
+    "by price, with a 3-row moving average over order date.",
+    oracle="""
+WITH x AS (
+  SELECT o_custkey, o_orderkey,
+         ROUND(o_totalprice, 4) AS totalprice,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         dense_rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, totalprice, rnk, drnk, moving_avg
+FROM x WHERE rnk <= 3
+""",
+)
+def rel_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_mov = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.rank().over(w_rank).alias("rnk"),
+            F.dense_rank().over(w_rank).alias("drnk"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).over(w_mov).cast("double")
+                / F.count("*").over(w_mov),
+                4,
+            ).alias("moving_avg"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "rel_rollup",
+    tier="T2",
+    doc="Hierarchical grouping sets: ROLLUP(mktsegment, orderstatus) with an "
+    "explicit grouping-bit id so both engines label subtotal rows identically.",
+    oracle="""
+SELECT COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+       COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       GROUPING(c_mktsegment) * 2 + GROUPING(o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+           AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+""",
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            (F.grouping("c_mktsegment") * 2 + F.grouping("o_orderstatus")).alias(
+                "gid"
+            ),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "rel_topk",
+    tier="T2",
+    doc="Global top-k with deterministic tie-break — Catalyst turns "
+    "ORDER BY + LIMIT into TakeOrderedAndProject (per-partition top-k, no "
+    "global sort).",
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def rel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "rel_setops",
+    tier="T2",
+    doc="UNION / INTERSECT / EXCEPT over customer key sets (open-order vs "
+    "finished-order customers).",
+    oracle="""
+WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT 'union' AS op, count(*) AS n FROM (
+    SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'intersect' AS op, count(*) AS n FROM (
+    SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (
+    SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+""",
+)
+def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    mk = lambda df, name: df.agg(F.count("*").alias("n")).select(  # noqa: E731
+        F.lit(name).alias("op"), "n"
+    )
+    return (
+        mk(a.union(b).distinct(), "union")
+        .unionByName(mk(a.intersect(b), "intersect"))
+        .unionByName(mk(a.exceptAll(b).distinct(), "except"))
+    )
+
+
+@register(
+    "rel_agg_distinct",
+    tier="T2",
+    doc="Distinct aggregation: exact distinct customers per order status "
+    "(two-phase distinct aggregate under the hood).",
+    oracle="""
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rel_agg_approx",
+    tier="T2",
+    doc="Sketch aggregate: approx_count_distinct (HLL) per order status — "
+    "rows-only check (sketch estimates are engine-specific by design); the "
+    "100 TB path where exact distinct is too expensive.",
+    oracle=None,
+)
+def rel_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_cust"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rel_scalar_battery",
+    tier="T2",
+    doc="Scalar function battery in one projection: string (upper/substr/"
+    "concat/like/regexp), date (year/month/day/datediff), math (abs/mod/"
+    "product), JSON extraction — all JVM builtins inside codegen.",
+    oracle="""
+SELECT event_id,
+       upper(event_type) AS etype_u,
+       substr(event_type, 1, 3) AS etype_3,
+       event_type || '_' || CAST(user_id AS VARCHAR) AS label,
+       event_type LIKE 'p%' AS is_p,
+       regexp_extract(props, '([0-9]+)', 1) AS k_str,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       year(ts) AS yr, month(ts) AS mo, day(ts) AS dom,
+       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+       ROUND(abs(value - 100), 4) AS v_abs,
+       ROUND(value * value, 4) AS v_sq,
+       event_id % 7 AS id_mod
+FROM events
+""",
+)
+def rel_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.upper("event_type").alias("etype_u"),
+        F.substring("event_type", 1, 3).alias("etype_3"),
+        F.concat_ws("_", "event_type", F.col("user_id").cast("string")).alias(
+            "label"
+        ),
+        F.col("event_type").like("p%").alias("is_p"),
+        F.regexp_extract("props", r"([0-9]+)", 1).alias("k_str"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)").alias("k_int"),
+        F.year("tsm").alias("yr"),
+        F.month("tsm").alias("mo"),
+        F.dayofmonth("tsm").alias("dom"),
+        F.datediff(F.to_date("tsm"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.round(F.abs(F.col("value") - 100), 4).alias("v_abs"),
+        F.round(F.col("value") * F.col("value"), 4).alias("v_sq"),
+        (F.col("event_id") % 7).alias("id_mod"),
+    )
+
+
+@register(
+    "op_udf_textlen",
+    tier="T2",
+    doc="Pandas-UDF surface (Arrow-batched, the ONLY sanctioned Python "
+    "path): char length + whitespace token count per document, verified "
+    "against the fixture's stored n_chars ground truth.",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_udf,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) = n_chars AS matches_meta
+FROM documents
+""",
+)
+def op_udf_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("long")
+    def char_len(s: pd.Series) -> pd.Series:
+        return s.str.len().astype("int64")
+
+    @F.pandas_udf("long")
+    def tok_count(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").str.len().astype("int64")
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        char_len("text").alias("n_chars_udf"),
+        tok_count("text").alias("n_tokens"),
+        (char_len("text") == F.col("n_chars")).alias("matches_meta"),
+    )

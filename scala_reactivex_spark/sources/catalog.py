@@ -1,0 +1,71 @@
+"""Catalog layer: parquet table access with canonical derived columns.
+
+The fixture schemas are documented in FIXTURES.md; the engine never infers
+beyond the parquet footer and normalizes time once, here, so every operator
+downstream sees the same deterministic columns:
+
+``events`` (the Observable[T] stand-in, SURVEY.md §1.2):
+- ``ts``   bigint — raw nanosecond epoch (parquet TIMESTAMP(NANOS) read under
+  ``spark.sql.legacy.parquet.nanosAsLong=true``). Used as the primary sort
+  key together with ``event_id`` (total order — SURVEY.md §2.11.4).
+- ``tsm``  timestamp — microsecond truncation (``ts div 1000``), for Spark's
+  native time windowing (window / session_window / watermarks).
+- ``ms``   bigint — millisecond truncation (``ts div 1_000_000``), the ONLY
+  time representation ever emitted in query output (≡ DuckDB ``epoch_ms``).
+
+Scale note: at 100 TB the same loader works over partitioned datasets —
+reads are plain ``spark.read.parquet`` so partition pruning / predicate
+pushdown apply; no collect, no schema inference pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.session import configure_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: The five observed event_type values (FIXTURES.md) — derived streams.
+EVENT_TYPES = ("click", "purchase", "error", "signup", "view")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with canonical derived columns."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    configure_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # Integer division keeps the full int64 — ns values (~1.7e18) exceed
+        # double's 53-bit mantissa, so a float path would corrupt timestamps.
+        df = df.withColumn(
+            "tsm", F.timestamp_micros(F.expr("ts div 1000"))
+        ).withColumn("ms", F.expr("ts div 1000000"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table (used by bench / exploratory sessions)."""
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def events_stream(spark: SparkSession, sf_dir: str, event_type: str) -> DataFrame:
+    """A derived stream: ``events`` filtered to one event_type.
+
+    These model the reference's independently subscribable Observables
+    (purchases/clicks/signups/errors/views) used by combinator operators.
+    """
+    return table(spark, sf_dir, "events").where(F.col("event_type") == event_type)

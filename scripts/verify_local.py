@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query through Spark AND its DuckDB oracle at the given
+scale factor, compares row count, column names and an order-insensitive
+value hash, and prints a per-query verdict.  Use while iterating:
+
+    python scripts/verify_local.py [--sf /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # Canonical text form: repr of the double (both engines hand back
+        # Python floats; bit-identical doubles → identical repr).
+        return repr(v)
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    import hashlib
+
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from scala_reactivex_spark.plans.registry import registry
+    from scala_reactivex_spark.session import get_spark
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    specs = registry()
+    names = args.queries or list(specs)
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if not spec.oracle:
+            print(
+                f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)"
+                " [rows-only]"
+            )
+            n_rows_only += 1
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns {sorted(scols)} vs {sorted(ocols)}")
+        if not problems and table_hash(scols, srows) != table_hash(
+            ocols, orows
+        ):
+            problems.append("value hash mismatch")
+            srt = sorted(srows)
+            ort = sorted(orows)
+            diffs = [
+                (a, b) for a, b in zip(srt, ort) if a != b
+            ][:3]
+            for a, b in diffs:
+                problems.append(f"  spark={a}")
+                problems.append(f"  duck ={b}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print("      " + p)
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+        f"of {len(names)}"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,31 @@
+"""Driver-contract smoke: entry() works, every registered query runs."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as contract
+from scala_reactivex_spark.plans.registry import registry
+
+
+def test_entry_returns_rows(spark):
+    df = contract.entry(spark)
+    rows = df.collect()
+    assert len(df.columns) >= 3
+    assert len(rows) > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    q = contract.queries()
+    o = contract.oracle_sql()
+    assert set(o) <= set(q)
+    # the vast majority of the surface must be oracle-checked
+    assert len(o) >= 0.85 * len(q)
+
+
+@pytest.mark.parametrize("name", sorted(registry()))
+def test_query_runs(spark, sf_dir, name):
+    spec = registry()[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0

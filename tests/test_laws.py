@@ -1,0 +1,140 @@
+"""Property/law tests re-encoding the reference's ScalaCheck-style laws
+(SURVEY.md §5.3): algebraic relations between operators that must hold on
+any input, checked on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.operators import (  # noqa: F401 - registry load
+    aggregates,
+    combinators,
+    llm_dedup,
+    stateful,
+    windows,
+)
+from scala_reactivex_spark.sources.catalog import events_stream, table
+
+
+def test_scan_last_equals_reduce(spark, sf_dir):
+    """scan's final intermediate == reduce's total, per user."""
+    from pyspark.sql import Window
+
+    scan = stateful.op_scan_running_sum(spark, sf_dir)
+    red = stateful.op_reduce(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ms").desc(), F.col("event_id").desc()
+    )
+    last_scan = (
+        scan.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", F.col("running_sum").alias("total_value"))
+    )
+    joined = last_scan.join(red.select("user_id", "total_value"), "user_id")
+    assert joined.count() == red.count()
+    mismatch = last_scan.join(
+        red.select("user_id", "total_value"), ["user_id", "total_value"]
+    )
+    assert mismatch.count() == red.count()
+
+
+def test_merge_count_is_sum_of_parts(spark, sf_dir):
+    merged = combinators.op_merge(spark, sf_dir).count()
+    p = events_stream(spark, sf_dir, "purchase").count()
+    c = events_stream(spark, sf_dir, "click").count()
+    assert merged == p + c
+
+
+def test_debounce_is_subset(spark, sf_dir):
+    deb = windows.op_debounce(spark, sf_dir).select("event_id")
+    evs = table(spark, sf_dir, "events").select("event_id")
+    assert deb.exceptAll(evs).count() == 0
+    assert deb.count() <= evs.count()
+
+
+def test_distinct_until_changed_no_consecutive_dupes(spark, sf_dir):
+    from pyspark.sql import Window
+
+    out = stateful.op_distinct_until_changed(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    again = out.withColumn("prev", F.lag("event_type").over(w)).where(
+        F.col("prev").isNotNull() & (F.col("prev") == F.col("event_type"))
+    )
+    assert again.count() == 0
+
+
+def test_zip_count_is_min_of_counts(spark, sf_dir):
+    z = combinators.op_zip(spark, sf_dir)
+    p = (
+        events_stream(spark, sf_dir, "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("np"))
+    )
+    c = (
+        events_stream(spark, sf_dir, "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("nc"))
+    )
+    expected = (
+        p.join(c, "user_id")
+        .select(F.least("np", "nc").alias("m"))
+        .agg(F.sum("m"))
+        .collect()[0][0]
+    )
+    assert z.count() == expected
+
+
+def test_tumbling_window_sums_to_global(spark, sf_dir):
+    win = windows.op_window_tumbling(spark, sf_dir)
+    total_n = win.agg(F.sum("n")).collect()[0][0]
+    assert total_n == table(spark, sf_dir, "events").count()
+
+
+def test_take_bounded(spark, sf_dir):
+    out = stateful.op_take(spark, sf_dir)
+    over = (
+        out.groupBy("user_id").agg(F.count("*").alias("n")).where("n > 5")
+    )
+    assert over.count() == 0
+
+
+def test_throttle_emits_at_most_one_per_bucket(spark, sf_dir):
+    out = windows.op_throttle_first(spark, sf_dir)
+    dup = (
+        out.groupBy("user_id", "bucket")
+        .agg(F.count("*").alias("n"))
+        .where("n > 1")
+    )
+    assert dup.count() == 0
+
+
+def test_minhash_lsh_agrees_with_exact_near_dedup(spark, sf_dir):
+    """LSH candidates that pass verification must equal the exact-Jaccard
+    pair set at the same threshold (LSH only prunes candidates; on this
+    corpus the band collision probability at j>=0.95 is ~1)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup.llm_dedup_near(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup.llm_dedup_minhash(spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    # recall sanity: at j≈1 candidates are near-certain
+    ones = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup.llm_dedup_near(spark, sf_dir)
+        .where("jaccard >= 0.999")
+        .collect()
+    }
+    assert ones <= lsh
+
+
+def test_combine_latest_pairs_nondecreasing(spark, sf_dir):
+    """combineLatest emits one row per trigger event once both sides have
+    been seen — count equals merged events minus the leading one-sided
+    prefix, so it is bounded by the merge count."""
+    cl = combinators.op_combine_latest(spark, sf_dir).count()
+    merged = combinators.op_merge(spark, sf_dir).count()
+    assert 0 < cl <= merged

@@ -1,0 +1,61 @@
+"""Multimodal plumbing tests: the stubbed codec path and the real
+Arrow-batch feature extraction (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from scala_reactivex_spark.operators import llm_multimodal as mm
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n")
+
+
+def test_fake_features_deterministic():
+    n, cp = mm.fake_features("hello world".encode())
+    assert n == 11
+    assert cp == ord("h")
+    assert mm.fake_features("héllo".encode()) == (6, ord("h"))
+
+
+def test_extract_features_batch_shape():
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2], "payload": [b"abc", "zebra".encode()]}
+    )
+    out = list(mm.extract_features(iter([batch])))
+    assert len(out) == 1
+    df = out[0]
+    assert list(df.columns) == [
+        "doc_id",
+        "n_bytes",
+        "first_cp",
+        "decode_status",
+    ]
+    assert df.n_bytes.tolist() == [3, 5]
+    assert df.first_cp.tolist() == [ord("a"), ord("z")]
+    assert (df.decode_status == "stub").all()
+
+
+def test_features_query_matches_metadata(spark, sf_dir):
+    out = mm.llm_multimodal_features(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # ascii-only corpus → n_bytes == n_chars
+    joined = out.join(docs, "doc_id").where("n_bytes <> n_chars")
+    assert joined.count() == 0
+
+
+def test_fingerprint_deterministic(spark, sf_dir):
+    from scala_reactivex_spark.operators.llm_text import llm_doc_fingerprint
+
+    a = {
+        (r.doc_id, r.fingerprint)
+        for r in llm_doc_fingerprint(spark, sf_dir).collect()
+    }
+    b = {
+        (r.doc_id, r.fingerprint)
+        for r in llm_doc_fingerprint(spark, sf_dir).collect()
+    }
+    assert a == b and len(a) > 0
