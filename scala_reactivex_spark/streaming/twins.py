@@ -1,0 +1,286 @@
+"""Structured Streaming twins of the batch operator surface (SURVEY.md §2.8).
+
+The reference is a push-based reactive-streams library; its LIVE semantics
+map onto Spark micro-batch streaming:
+
+| Reference                          | Twin here                           |
+|------------------------------------|-------------------------------------|
+| arrival-order assumption [RS:1.x]  | watermark on event time             |
+| window(time[, slide]) [RX:window]  | windowed streaming aggregate        |
+| debounce-grouping [RX:debounce]    | session_window                      |
+| scan / distinctUntilChanged /      | applyInPandasWithState (per-key     |
+| debounce state [RX:scan]           | arbitrary state, Arrow-batched)     |
+| combineLatest-family [RX:combinelatest] | stream-stream interval join    |
+| subscribe / onNext [RS:2.x]        | writeStream sink (memory/foreachBatch) |
+| backpressure request(n) [RS:3.x]   | maxFilesPerTrigger / trigger pacing |
+
+Every twin takes the STREAMING events frame (from :func:`events_stream`)
+and returns a streaming DataFrame, so the same expressions run against any
+replayable source (files here; Kafka/rate in production).  State lives in
+the per-executor state store — nothing on the driver — so the twins scale
+with key cardinality exactly like the batch shuffles do.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from scala_reactivex_spark.functions.determinism import DEC
+from scala_reactivex_spark.session import configure_session
+
+#: events schema under spark.sql.legacy.parquet.nanosAsLong=true
+EVENTS_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+DEBOUNCE_NS = 2 * 3_600 * 1_000_000_000
+
+
+def events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source streaming read of events parquet with derived time cols.
+
+    ``source_dir`` must contain only events parquet part files (the file
+    source streams a directory).  ``maxFilesPerTrigger`` is the
+    backpressure knob — the micro-batch analogue of ``request(n)``.
+    """
+    configure_session(spark)
+    sdf = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return sdf.withColumn(
+        "tsm", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withColumn("ms", F.expr("ts div 1000000"))
+
+
+# --- windowed twins (watermark + native window expressions) ---
+
+
+def twin_tumbling(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of op_window_tumbling [RX:window]."""
+    return (
+        sdf.withWatermark("tsm", "1 hour")
+        .groupBy(F.window("tsm", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_millis("w.start").alias("bucket_ms"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def twin_sliding(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of op_window_sliding [RX:window width/slide]."""
+    return (
+        sdf.withWatermark("tsm", "1 hour")
+        .groupBy(F.window("tsm", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis("w.start").alias("ws_ms"), "event_type", "n")
+    )
+
+
+def twin_session(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of op_window_session [RX:debounce grouping]."""
+    return (
+        sdf.withWatermark("tsm", "1 hour")
+        .groupBy(F.session_window("tsm", "2 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            "n_events",
+        )
+    )
+
+
+# --- arbitrary-state twins (applyInPandasWithState) ---
+
+
+def _scan_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running sum [RX:scan]: state = (last_sum,), emit every
+    intermediate. Micro-batch rows are sorted by the (ts, event_id) total
+    order before folding, so replays are deterministic."""
+    (running,) = state.get if state.exists else (0.0,)
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        sums = pdf["value"].cumsum() + running
+        running = float(sums.iloc[-1]) if len(sums) else running
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "ms": pdf["ms"],
+                "running_sum": sums.round(4),
+            }
+        )
+    state.update((running,))
+
+
+def twin_running_scan(sdf: DataFrame) -> DataFrame:
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _scan_fn,
+        outputStructType="user_id BIGINT, event_id BIGINT, ms BIGINT, "
+        "running_sum DOUBLE",
+        stateStructType="running DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _duc_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """distinctUntilChanged [RX:distinct]: state = last event_type."""
+    (last,) = state.get if state.exists else (None,)
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        keep_rows = []
+        for _, row in pdf.iterrows():
+            if row["event_type"] != last:
+                keep_rows.append(row)
+                last = row["event_type"]
+        if keep_rows:
+            out = pd.DataFrame(keep_rows)
+            yield out[["user_id", "event_id", "ms", "event_type"]]
+    state.update((last,))
+
+
+def twin_distinct_until_changed(sdf: DataFrame) -> DataFrame:
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _duc_fn,
+        outputStructType="user_id BIGINT, event_id BIGINT, ms BIGINT, "
+        "event_type STRING",
+        stateStructType="last_type STRING",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _debounce_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """debounce [RX:debounce]: state = the pending (held-back) event; a new
+    arrival flushes the pending one iff the quiet gap was >= 2h.  (The final
+    pending event per key flushes on stream end via timeout in a production
+    setup; this twin keeps NoTimeout for replay determinism.)"""
+    pending = state.get if state.exists else None
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        for _, row in pdf.iterrows():
+            cur = (
+                int(row["user_id"]),
+                int(row["event_id"]),
+                int(row["ts"]),
+                int(row["ms"]),
+            )
+            if pending is not None and cur[2] - pending[2] >= DEBOUNCE_NS:
+                out.append(pending)
+            pending = cur
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts", "ms"]
+            )[["user_id", "event_id", "ms"]]
+    if pending is not None:
+        state.update(pending)
+
+
+def twin_debounce(sdf: DataFrame) -> DataFrame:
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _debounce_fn,
+        outputStructType="user_id BIGINT, event_id BIGINT, ms BIGINT",
+        stateStructType="user_id BIGINT, event_id BIGINT, ts BIGINT, "
+        "ms BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- multi-stream twin (stream-stream join with watermarks) ---
+
+
+def twin_interval_join(sdf: DataFrame) -> DataFrame:
+    """Stream-stream twin of the combineLatest family: each purchase joined
+    to clicks of the same user within the preceding day — watermarked on
+    both sides so join state is bounded [RX:combinelatest]."""
+    purchases = (
+        sdf.where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("tsm").alias("p_tsm"),
+        )
+        .withWatermark("p_tsm", "1 hour")
+    )
+    clicks = (
+        sdf.where("event_type = 'click'")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("tsm").alias("c_tsm"),
+        )
+        .withWatermark("c_tsm", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_tsm BETWEEN p_tsm - INTERVAL 1 DAY AND p_tsm
+            """
+        ),
+    ).select("p_user", "p_event_id", "c_event_id")
+
+
+# --- runner (the 'subscribe' terminal) ---
+
+
+def run_stream_to_table(
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """subscribe [RS:2.x]: drain the stream into an in-memory table with an
+    availableNow trigger (process everything, then stop) and return the
+    result as a batch DataFrame.
+
+    Note the memory sink does not support recovery: re-running with the same
+    checkpoint re-processes from scratch (cold-observable resubscription).
+    Durable sinks (parquet/foreachBatch with idempotent writes) get
+    exactly-once resume from the same checkpoint — that's the production
+    path; this runner is the test/debug terminal."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,115 @@
+"""Streaming-twin smoke + equivalence laws (SURVEY.md §2.8, §5.4).
+
+Each twin runs over the sf0.001 events parquet as a file-source stream
+(availableNow trigger → drains fully, then stops) and, where the batch
+operator has identical semantics, the streaming result must EQUAL the batch
+result — the strongest form of the reference's hot/cold equivalence.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.operators import stateful, windows
+from scala_reactivex_spark.streaming import twins
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, sf_dir, tmp_path_factory):
+    src = tmp_path_factory.mktemp("events_src")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    return str(src)
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ckpt"))
+
+
+def test_twin_tumbling_equals_batch(spark, sf_dir, stream_src, ckpt):
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_tumbling(sdf), "t_tumbling", ckpt, output_mode="complete"
+    )
+    batch = windows.op_window_tumbling(spark, sf_dir).select(
+        "bucket_ms", "event_type", "n", "total_value"
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+
+def test_twin_session_equals_batch(spark, sf_dir, stream_src, ckpt):
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_session(sdf), "t_session", ckpt, output_mode="complete"
+    )
+    batch = windows.op_window_session(spark, sf_dir).select(
+        "user_id", "session_start_ms", "n_events"
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+
+def test_twin_sliding_smoke(spark, stream_src, ckpt):
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_sliding(sdf), "t_sliding", ckpt, output_mode="complete"
+    )
+    assert out.count() > 0
+    assert set(out.columns) == {"ws_ms", "event_type", "n"}
+
+
+def test_twin_scan_matches_batch_totals(spark, sf_dir, stream_src, ckpt):
+    """Law: the streaming scan's max running_sum per user == batch reduce."""
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_running_scan(sdf), "t_scan", ckpt
+    )
+    finals = out.groupBy("user_id").agg(
+        F.round(F.max("running_sum"), 3).alias("total")
+    )
+    batch = stateful.op_reduce(spark, sf_dir).select(
+        "user_id", F.round("total_value", 3).alias("total")
+    )
+    assert finals.exceptAll(batch).count() == 0
+    assert finals.count() == batch.count()
+
+
+def test_twin_distinct_until_changed_equals_batch(
+    spark, sf_dir, stream_src, ckpt
+):
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_distinct_until_changed(sdf), "t_duc", ckpt
+    )
+    batch = stateful.op_distinct_until_changed(spark, sf_dir).select(
+        "user_id", "event_id", "ms", "event_type"
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch).count() == 0
+
+
+def test_twin_debounce_subset_of_batch(spark, sf_dir, stream_src, ckpt):
+    """The streaming debounce withholds each key's final pending event
+    (no stream end signal under NoTimeout), so it emits exactly the batch
+    result minus the per-user last element."""
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(twins.twin_debounce(sdf), "t_deb", ckpt)
+    batch = windows.op_debounce(spark, sf_dir).select(
+        "user_id", "event_id", "ms"
+    )
+    assert out.exceptAll(batch).count() == 0
+    n_users = batch.select("user_id").distinct().count()
+    assert out.count() == batch.count() - n_users
+
+
+def test_twin_interval_join_smoke(spark, stream_src, ckpt):
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_interval_join(sdf), "t_join", ckpt
+    )
+    assert out.count() > 0
+    assert set(out.columns) == {"p_user", "p_event_id", "c_event_id"}
