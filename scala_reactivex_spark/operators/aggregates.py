@@ -135,3 +135,39 @@ def op_sequence_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sequences_equal"
         ),
     )
+
+
+@register(
+    "op_default_if_empty",
+    tier="T1",
+    doc="Seed value when a stream is empty [RX:defaultifempty]: per-user "
+    "purchase totals defaulted to 0.0 for users whose purchase stream is "
+    "empty (left join against the user dimension + coalesce).",
+    oracle="""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), p AS (
+  SELECT user_id,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS total
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT u.user_id, COALESCE(p.total, 0.0) AS purchase_total,
+       p.user_id IS NULL AS defaulted
+FROM users u LEFT JOIN p ON u.user_id = p.user_id
+""",
+)
+def op_default_if_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum("value").alias("total"))
+        .withColumnRenamed("user_id", "p_user")
+    )
+    return users.join(p, users.user_id == p.p_user, "left").select(
+        "user_id",
+        F.coalesce("total", F.lit(0.0)).alias("purchase_total"),
+        F.col("p_user").isNull().alias("defaulted"),
+    )

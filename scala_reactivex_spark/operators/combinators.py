@@ -272,3 +272,120 @@ def op_take_until(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", "ms", F.round("value", 4).alias("value_r")
         )
     )
+
+
+@register(
+    "op_amb",
+    tier="T1",
+    doc="Keep only the stream that emits first [RX:amb]: per user, the "
+    "purchase vs click stream with the earlier first emission wins "
+    "(tie → purchase); all events of the winning stream pass through.",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS c_ts
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY user_id
+), winner AS (
+  SELECT user_id,
+         CASE WHEN c_ts IS NULL OR (p_ts IS NOT NULL AND p_ts <= c_ts)
+              THEN 'purchase' ELSE 'click' END AS win
+  FROM firsts
+)
+SELECT e.user_id, e.event_type AS src, e.event_id, epoch_ms(e.ts) AS ms
+FROM events e JOIN winner w
+  ON e.user_id = w.user_id AND e.event_type = w.win
+""",
+)
+def op_amb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.sources.catalog import table
+
+    both = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    firsts = both.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p_ts"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "c_ts"
+        ),
+    )
+    winner = firsts.select(
+        "user_id",
+        F.when(
+            F.col("c_ts").isNull()
+            | (F.col("p_ts").isNotNull() & (F.col("p_ts") <= F.col("c_ts"))),
+            F.lit("purchase"),
+        )
+        .otherwise(F.lit("click"))
+        .alias("win"),
+    )
+    # Per-key winner table is one row per user — broadcast it. Alias both
+    # sides: winner derives from `both`, so this is a self-join.
+    e = both.alias("e")
+    w = winner.withColumnRenamed("user_id", "w_user").alias("w")
+    return e.join(
+        F.broadcast(w),
+        (F.col("e.user_id") == F.col("w.w_user"))
+        & (F.col("e.event_type") == F.col("w.win")),
+    ).select(
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("src"),
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.ms").alias("ms"),
+    )
+
+
+@register(
+    "op_switch",
+    tier="T1",
+    doc="Only the most recent inner stream [RX:switch]: signups are the "
+    "outer triggers, clicks the inner elements — every click is owned by "
+    "the LATEST signup at or before it (as-of assignment via the union + "
+    "last IGNORE NULLS trick); clicks before any signup are dropped "
+    "(no inner stream subscribed yet).",
+    oracle="""
+WITH u AS (
+  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+         event_id AS sig_id, NULL::BIGINT AS clk_id
+  FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+         NULL::BIGINT AS sig_id, event_id AS clk_id
+  FROM events WHERE event_type = 'click'
+), x AS (
+  SELECT user_id, event_id, ms, clk_id,
+         last_value(sig_id IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS owner_sig
+  FROM u
+)
+SELECT user_id, event_id, ms, owner_sig
+FROM x WHERE clk_id IS NOT NULL AND owner_sig IS NOT NULL
+""",
+)
+def op_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = events_stream(spark, sf_dir, "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "ms",
+        F.col("event_id").alias("sig_id"),
+        F.lit(None).cast("bigint").alias("clk_id"),
+    )
+    clk = events_stream(spark, sf_dir, "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "ms",
+        F.lit(None).cast("bigint").alias("sig_id"),
+        F.col("event_id").alias("clk_id"),
+    )
+    u = sig.unionByName(clk).withColumn(
+        "owner_sig", F.last("sig_id", ignorenulls=True).over(w_running())
+    )
+    return u.where(
+        F.col("clk_id").isNotNull() & F.col("owner_sig").isNotNull()
+    ).select("user_id", "event_id", "ms", "owner_sig")
