@@ -24,7 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Quadratic-by-design correctness baselines — excluded from the timed set
 # (their scale-path twins llm_dedup_minhash / llm_ann_ivf are included).
-EXCLUDE = {"llm_dedup_near", "llm_dedup_embed", "llm_dedup_minhash"}
+EXCLUDE = {
+    "llm_dedup_near",
+    "llm_dedup_embed",
+    "llm_dedup_minhash",
+    "llm_dedup_shingle",
+}
 
 
 def main() -> None:
