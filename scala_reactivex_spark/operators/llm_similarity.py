@@ -43,6 +43,22 @@ def cosine_cols(a: str | Column, b: str | Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def norm_col(a: str | Column) -> Column:
+    """‖a‖ in float64 — same fold as cosine_cols' denominator, so
+    precomputing it once per vector (instead of once per PAIR) changes
+    nothing numerically while cutting 2/3 of the per-pair fold work."""
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_with_norms(
+    a: str | Column, b: str | Column, na: str | Column, nb: str | Column
+) -> Column:
+    """cos(a,b) given precomputed norms — the pair hot path."""
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
+    return _dot(a, b) / (na * nb)
+
+
 @register(
     "llm_similarity_topk",
     tier="T3",
@@ -78,10 +94,14 @@ SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
 def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     probes = e.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        norm_col("embedding").alias("pn"),
     )
     corpus = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        norm_col("embedding").alias("cn"),
     )
     scored = (
         F.broadcast(probes)
@@ -89,7 +109,9 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(cosine_cols("pe", "ce"), 4).alias("cos_sim"),
+            F.round(cosine_with_norms("pe", "ce", "pn", "cn"), 4).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -163,29 +185,35 @@ SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     cent = e.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        norm_col("embedding").alias("cemb_n"),
     )
+    # Corpus norms computed ONCE (not per centroid pair / per candidate).
+    ev = e.select("vec_id", "embedding", norm_col("embedding").alias("vn"))
     # Bucket assignment: one broadcast pass over the corpus; rank on the
     # ROUNDED similarity (cid tie-break) so the argmax is engine-stable.
-    c_sim = F.round(cosine_cols("embedding", "cemb"), 4)
+    c_sim = F.round(
+        cosine_with_norms("embedding", "cemb", "vn", "cemb_n"), 4
+    )
     w_asg = Window.partitionBy("vec_id").orderBy(
         F.col("c_sim").desc(), F.col("cid")
     )
     assignment = (
-        e.join(F.broadcast(cent))
+        ev.join(F.broadcast(cent))
         .select("vec_id", "cid", c_sim.alias("c_sim"))
         .withColumn("crn", F.row_number().over(w_asg))
         .where(F.col("crn") == 1)
         .select("vec_id", F.col("cid").alias("bucket"))
     )
-    emb = e.select("vec_id", "embedding")
     probes = (
         assignment.where(F.col("vec_id") < N_PROBES)
-        .join(emb, "vec_id")
+        .join(ev, "vec_id")
         .select(
             F.col("vec_id").alias("probe_id"),
             F.col("bucket").alias("pbucket"),
             F.col("embedding").alias("pe"),
+            F.col("vn").alias("pn"),
         )
     )
     cands = (
@@ -195,18 +223,22 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.bucket") == F.col("pbucket"))
             & (F.col("a.vec_id") != F.col("probe_id")),
         )
-        .join(emb.alias("em"), F.col("a.vec_id") == F.col("em.vec_id"))
+        .join(ev.alias("em"), F.col("a.vec_id") == F.col("em.vec_id"))
         .select(
             "probe_id",
             F.col("a.vec_id").alias("neighbor_id"),
             "pe",
+            "pn",
             F.col("em.embedding").alias("ce"),
+            F.col("em.vn").alias("cn"),
         )
     )
     scored = cands.select(
         "probe_id",
         "neighbor_id",
-        F.round(cosine_cols("pe", "ce"), 4).alias("cos_sim"),
+        F.round(cosine_with_norms("pe", "ce", "pn", "cn"), 4).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
