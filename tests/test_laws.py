@@ -138,3 +138,17 @@ def test_combine_latest_pairs_nondecreasing(spark, sf_dir):
     cl = combinators.op_combine_latest(spark, sf_dir).count()
     merged = combinators.op_merge(spark, sf_dir).count()
     assert 0 < cl <= merged
+
+
+def test_embed_lsh_subset_of_exact(spark, sf_dir):
+    """Sign-LSH embedding dedup only PRUNES candidates: every pair it
+    returns must be in the exact all-pairs result (same threshold)."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in llm_dedup.llm_dedup_embed(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in llm_dedup.llm_dedup_embed_lsh(spark, sf_dir).collect()
+    }
+    assert lsh <= exact

@@ -1,0 +1,110 @@
+"""Durable-sink (retry/exactly-once) and format-surface tests."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.sources import formats
+from scala_reactivex_spark.sources.catalog import table
+from scala_reactivex_spark.streaming import sinks, twins
+
+
+@pytest.fixture(scope="module")
+def stream_src2(spark, sf_dir, tmp_path_factory):
+    src = tmp_path_factory.mktemp("events_sink_src")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    return str(src)
+
+
+def test_idempotent_sink_exactly_once(spark, stream_src2, tmp_path):
+    """Drain → rerun with same checkpoint → byte-identical output, no
+    duplicates: the retry(n)/effectively-once contract (RUNTIME.md)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = twins.events_stream(spark, stream_src2).select(
+        "event_id", "user_id", "ms"
+    )
+    sinks.run_with_idempotent_sink(sdf, out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    files_first = sorted(glob.glob(f"{out}/**/*.parquet", recursive=True))
+
+    # Restart with the SAME checkpoint: no new data → no reprocessing.
+    sdf2 = twins.events_stream(spark, stream_src2).select(
+        "event_id", "user_id", "ms"
+    )
+    sinks.run_with_idempotent_sink(sdf2, out, ckpt)
+    n_second = spark.read.parquet(out).count()
+    files_second = sorted(glob.glob(f"{out}/**/*.parquet", recursive=True))
+
+    assert n_first == n_second > 0
+    assert files_first == files_second
+    # No duplicate events across batch dirs.
+    dupes = (
+        spark.read.parquet(out)
+        .groupBy("event_id")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_replayed_batch_skipped_via_marker(spark, stream_src2, tmp_path):
+    """Simulate a replay: drop the checkpoint but keep the output — the
+    _COMMITTED markers must prevent double-writes."""
+    out = str(tmp_path / "out2")
+    sdf = twins.events_stream(spark, stream_src2).select("event_id")
+    sinks.run_with_idempotent_sink(sdf, out, str(tmp_path / "c1"))
+    n = spark.read.parquet(out).count()
+    # New checkpoint ⇒ Spark replays batch 0; marker must short-circuit.
+    sinks.run_with_idempotent_sink(
+        twins.events_stream(spark, stream_src2).select("event_id"),
+        out,
+        str(tmp_path / "c2"),
+    )
+    assert spark.read.parquet(out).count() == n
+
+
+def test_csv_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """CSV and JSON-lines writers/readers preserve values under explicit
+    schemas (no inference pass)."""
+    src = table(spark, sf_dir, "nation")
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    csv_path = str(tmp_path / "nation_csv")
+    json_path = str(tmp_path / "nation_json")
+    formats.write_csv(src, csv_path)
+    formats.write_jsonl(src, json_path)
+    from_csv = formats.read_csv(spark, csv_path, schema)
+    from_json = formats.read_jsonl(spark, json_path, schema)
+    assert from_csv.exceptAll(src).count() == 0
+    assert src.exceptAll(from_csv).count() == 0
+    assert from_json.exceptAll(src).count() == 0
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    """Partitioned writes produce a layout whose scan prunes partitions
+    (PartitionFilters in the plan — the 100 TB pruning path)."""
+    import contextlib
+    import io
+
+    path = str(tmp_path / "events_by_type")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    formats.write_parquet_partitioned(ev, path, ["event_type"])
+    scan = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    assert scan.count() == ev.where("event_type = 'purchase'").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    n_dirs = len(
+        [d for d in os.listdir(path) if d.startswith("event_type=")]
+    )
+    assert n_dirs == 5
