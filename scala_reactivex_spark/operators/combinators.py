@@ -389,3 +389,46 @@ def op_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.where(
         F.col("clk_id").isNotNull() & F.col("owner_sig").isNotNull()
     ).select("user_id", "event_id", "ms", "owner_sig")
+
+
+@register(
+    "op_interval_join",
+    tier="T1",
+    doc="Window join [RX:join]: pair each purchase with every click of the "
+    "same user in the preceding 6 hours — each element opens a time window "
+    "and joins all elements of the other stream that fall inside it. Equi "
+    "key + range predicate → hash join with residual, never a cartesian; "
+    "the streaming twin is twin_interval_join (watermarked state).",
+    oracle="""
+SELECT p.user_id, p.event_id AS p_event_id, c.event_id AS c_event_id,
+       epoch_ms(p.ts) AS p_ms, epoch_ms(c.ts) AS c_ms
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 6 HOURS
+ AND c.ts <= p.ts
+""",
+)
+def op_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = events_stream(spark, sf_dir, "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("ms").alias("p_ms"),
+    )
+    c = events_stream(spark, sf_dir, "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("ms").alias("c_ms"),
+    )
+    six_hours_ns = 6 * 3_600 * 1_000_000_000
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - six_hours_ns)
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select("user_id", "p_event_id", "c_event_id", "p_ms", "c_ms")
+    )

@@ -333,3 +333,27 @@ def op_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("max_value"),
         )
     )
+
+
+@register(
+    "op_skip",
+    tier="T1",
+    doc="Drop the first n elements per stream [RX:skip], n=5 — the "
+    "complement of op_take (same rank pass, inverted predicate).",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ms, event_type FROM x WHERE rn > 5
+""",
+)
+def op_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w_user()))
+        .where(F.col("rn") > TAKE_N)
+        .select("user_id", "event_id", "ms", "event_type")
+    )
