@@ -431,3 +431,113 @@ def op_udf_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_count("text").alias("n_tokens"),
         (char_len("text") == F.col("n_chars")).alias("matches_meta"),
     )
+
+
+@register(
+    "rel_subquery_corr",
+    tier="T2",
+    doc="Correlated scalar subquery: orders beating 1.5x their customer's "
+    "average — Catalyst decorrelates into an aggregate + join "
+    "(SURVEY.md §4 'subquery decorrelation'), no per-row re-execution.",
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS totalprice
+FROM orders o
+WHERE o_totalprice > (
+    SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey)
+""",
+)
+def rel_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS totalprice
+        FROM _orders_sq o
+        WHERE o_totalprice > (
+            SELECT 1.5 * avg(o2.o_totalprice) FROM _orders_sq o2
+            WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "rel_cube",
+    tier="T2",
+    doc="CUBE grouping sets (completes the rollup/cube/grouping-sets "
+    "family): all 4 aggregation levels over (orderstatus, orderpriority).",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+           AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2
+                + F.grouping("o_orderpriority")
+            ).alias("gid"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "orderpriority"
+            ),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "rel_window_range",
+    tier="T2",
+    doc="RANGE window frame (value-based, vs the ROWS frames elsewhere): "
+    "per customer, rolling 90-day order count and spend ordered by "
+    "order-date epoch days.",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS od_day,
+       count(*) OVER w AS n_90d,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
+           AS DOUBLE), 4) AS spend_90d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+""",
+)
+def rel_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # o_orderdate is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) —
+    # unix_millis refuses it; day numbers via calendar datediff instead.
+    o = table(spark, sf_dir, "orders").withColumn(
+        "od_day",
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_day")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "od_day",
+        F.count("*").over(w).alias("n_90d"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 4
+        ).alias("spend_90d"),
+    )
