@@ -29,6 +29,7 @@ EXCLUDE = {
     "llm_dedup_embed",
     "llm_dedup_minhash",
     "llm_dedup_shingle",
+    "llm_dedup_cluster",  # builds on the all-pairs near-dup baseline
 }
 
 

@@ -215,3 +215,55 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fingerprint")
     )
+
+
+@register(
+    "llm_text_clean",
+    tier="T3",
+    doc="Text normalization stage: lowercase, drop stopwords, re-join — "
+    "the cleaning step ahead of tokenize/dedup in a training pipeline. "
+    "Pure projection (no shuffle), emits the cleaned text + removal count.",
+    oracle="""
+SELECT doc_id,
+       array_to_string(list_filter(string_split(lower(text), ' '),
+           t -> t NOT IN ('the', 'a')), ' ') AS clean_text,
+       len(string_split(text, ' '))
+         - len(list_filter(string_split(lower(text), ' '),
+               t -> t NOT IN ('the', 'a'))) AS n_removed
+FROM documents
+""",
+)
+def llm_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = F.expr(
+        "filter(split(lower(text), ' '), t -> t NOT IN ('the', 'a'))"
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(F.split("text", " ")) - F.size(kept))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
+@register(
+    "llm_doc_sample",
+    tier="T3",
+    doc="Deterministic content-hash sampling: keep docs whose md5 starts "
+    "in [0-3] (expected 25%) — reproducible across engines, runs and "
+    "cluster sizes, unlike rand()-based sampling; the standard way to cut "
+    "stable training subsets.",
+    oracle="""
+SELECT doc_id, lang, substr(md5(text), 1, 1) AS hash1
+FROM documents
+WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+""",
+)
+def llm_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h1 = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    return (
+        table(spark, sf_dir, "documents")
+        .withColumn("hash1", h1)
+        .where(F.col("hash1").isin("0", "1", "2", "3"))
+        .select("doc_id", "lang", "hash1")
+    )
