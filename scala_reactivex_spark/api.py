@@ -181,13 +181,18 @@ class EventStream:
     ) -> "EventStream":
         """As-of join: each element of self paired with other's latest
         value at or before it (union + last IGNORE NULLS — SURVEY §7)."""
-        keep = [self.key, self.ts_col, self.seq_col]
         a = self.df.withColumn("_is_a", F.lit(True)).withColumn(
             "_other_val", F.lit(None).cast("double")
         )
+        # Select the OTHER stream's own key/time/seq columns, aliased into
+        # self's names so the union lines up even when the two streams use
+        # different column naming.
         b = (
             other.df.select(
-                *keep, F.col(value_col).cast("double").alias("_other_val")
+                F.col(other.key).alias(self.key),
+                F.col(other.ts_col).alias(self.ts_col),
+                F.col(other.seq_col).alias(self.seq_col),
+                F.col(value_col).cast("double").alias("_other_val"),
             )
             .withColumn("_is_a", F.lit(False))
         )

@@ -51,8 +51,10 @@ def decode_image(data: bytes) -> object:
 
 def fake_features(data: bytes) -> tuple[int, int]:
     """Deterministic stand-in for decode + feature-extract: byte length and
-    the first Unicode code point of the payload."""
-    return len(data), ord(data.decode("utf-8")[0])
+    the first Unicode code point of the payload (-1 for an empty payload,
+    matching DuckDB's unicode('') so the oracle agrees row-for-row)."""
+    text = data.decode("utf-8")
+    return len(data), (ord(text[0]) if text else -1)
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -448,13 +448,18 @@ WHERE o_totalprice > (
 """,
 )
 def rel_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_sq")
+    import hashlib
+
+    # View name keyed by sf_dir: a fixed global name would silently rebind
+    # under a still-lazy DataFrame from an earlier call with another sf_dir.
+    view = "_orders_sq_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS totalprice
-        FROM _orders_sq o
+        FROM {view} o
         WHERE o_totalprice > (
-            SELECT 1.5 * avg(o2.o_totalprice) FROM _orders_sq o2
+            SELECT 1.5 * avg(o2.o_totalprice) FROM {view} o2
             WHERE o2.o_custkey = o.o_custkey)
         """
     )

@@ -100,7 +100,7 @@ def op_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "§7 hard-parts).",
     oracle="""
 WITH x AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id)
                    >= INTERVAL 2 HOURS
@@ -108,7 +108,7 @@ WITH x AS (
   FROM events
 ), y AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM x
 )

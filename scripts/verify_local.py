@@ -105,8 +105,12 @@ def main() -> int:
             ocols, orows
         ):
             problems.append("value hash mismatch")
-            srt = sorted(srows)
-            ort = sorted(orows)
+            # None-safe sort key: rows may mix None and values in a column.
+            row_key = lambda r: tuple(  # noqa: E731
+                (v is None, norm_cell(v)) for v in r
+            )
+            srt = sorted(srows, key=row_key)
+            ort = sorted(orows, key=row_key)
             diffs = [
                 (a, b) for a, b in zip(srt, ort) if a != b
             ][:3]

@@ -130,3 +130,34 @@ def test_with_latest_from_chain(spark, sf_dir):
 
     want = op_with_latest_from(spark, sf_dir)
     assert _same(got, want)
+
+
+def test_with_latest_from_heterogeneous_column_names(spark, sf_dir):
+    """Regression: the other stream may use different key/time/seq column
+    names — with_latest_from must map through other's own columns."""
+    ev = table(spark, sf_dir, "events")
+    purchases = EventStream(ev.where("event_type = 'purchase'"))
+    clicks_renamed = EventStream(
+        ev.where("event_type = 'click'").selectExpr(
+            "user_id AS uid", "ts AS ts2", "event_id AS seq", "value AS v"
+        ),
+        key="uid",
+        ts_col="ts2",
+        seq_col="seq",
+    )
+    got = (
+        purchases.with_latest_from(clicks_renamed, "v", "latest_click")
+        .to_df()
+        .select(
+            "user_id",
+            "event_id",
+            "ms",
+            F.round("value", 4).alias("purchase_value"),
+            F.round("latest_click", 4).alias("latest_click"),
+        )
+    )
+    from scala_reactivex_spark.operators.combinators import (
+        op_with_latest_from,
+    )
+
+    assert _same(got, op_with_latest_from(spark, sf_dir))

@@ -59,3 +59,9 @@ def test_fingerprint_deterministic(spark, sf_dir):
         for r in llm_doc_fingerprint(spark, sf_dir).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_fake_features_empty_payload():
+    """Empty payload → (0, -1), matching DuckDB's unicode('') = -1 instead
+    of crashing the whole mapInPandas task."""
+    assert mm.fake_features(b"") == (0, -1)
