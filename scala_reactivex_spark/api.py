@@ -162,13 +162,15 @@ class EventStream:
             "_rn", F.row_number().over(s._w())
         )
         a = num(self)
+        # Address the other stream through ITS OWN key column, aliased —
+        # the two streams may use different key/ts/seq names.
         b = num(other).select(
-            F.col(self.key).alias("_k"),
+            F.col(other.key).alias("_k"),
             "_rn",
             *[
                 F.col(c).alias(c + suffix)
                 for c in other.df.columns
-                if c != self.key
+                if c != other.key
             ],
         )
         joined = a.join(
@@ -210,9 +212,9 @@ class EventStream:
         return self._wrap(out)
 
     def take_until(self, other: "EventStream") -> "EventStream":
-        firsts = other.df.groupBy(self.key).agg(
-            F.min(other.ts_col).alias("_first_ts")
-        )
+        firsts = other.df.groupBy(
+            F.col(other.key).alias(self.key)
+        ).agg(F.min(other.ts_col).alias("_first_ts"))
         joined = self.df.join(F.broadcast(firsts), self.key, "left")
         return self._wrap(
             joined.where(

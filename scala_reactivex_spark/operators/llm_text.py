@@ -141,10 +141,13 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_lang_id",
     tier="T3",
     doc="Language ID via learned token profiles: per-lang add-one-smoothed "
-    "log-probabilities aggregated in one pass, scored per doc, argmax. "
-    "Rows-only — the fixture corpus shares one vocabulary across languages "
-    "by construction, so log-likelihood ties make cross-engine argmax "
-    "comparison meaningless; accuracy itself is property-tested in pytest.",
+    "log-probabilities aggregated in one pass, scored per doc over EVERY "
+    "candidate language (unseen (lang, token) pairs get the smoothed floor "
+    "log(1/(tot+V)), not a free pass), argmax. Rows-only — the fixture "
+    "corpus shares one vocabulary across languages by construction, so "
+    "log-likelihood ties make cross-engine argmax comparison meaningless; "
+    "the scoring mechanism (full candidate coverage, smoothing floor, "
+    "deterministic argmax) is pytest-checked.",
     oracle=None,
 )
 def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,12 +170,26 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("n") + 1) / (F.col("tot") + F.col("v"))).alias("logp"),
         )
     )
-    # Score: per (doc, candidate lang) sum of logp; argmax with lang
-    # tie-break for determinism within this engine.
+    # Smoothed floor per candidate language for UNSEEN (lang, token)
+    # pairs: log(1 / (tot + V)). An inner join would silently drop these
+    # terms and reward languages that never saw the doc's tokens.
+    floors = (
+        lang_tot.crossJoin(F.broadcast(vocab_n))
+        .select(
+            F.col("lang").alias("model_lang"),
+            F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))).alias("floor_logp"),
+        )
+    )
+    candidates = tf.crossJoin(
+        F.broadcast(floors.select("model_lang", "floor_logp"))
+    )
     scored = (
-        tf.join(F.broadcast(profile), "token")
+        candidates.join(
+            F.broadcast(profile), ["token", "model_lang"], "left"
+        )
+        .withColumn("logp_eff", F.coalesce("logp", "floor_logp"))
         .groupBy("doc_id", "lang", "model_lang")
-        .agg(F.round(F.sum("logp"), 4).alias("loglik"))
+        .agg(F.round(F.sum("logp_eff"), 4).alias("loglik"))
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("loglik").desc(), F.col("model_lang")

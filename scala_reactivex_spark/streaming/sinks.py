@@ -12,9 +12,17 @@ commits.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
+
+
+def _hadoop_fs(spark, path_str: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme (file/hdfs/s3a) —
+    markers must live on the SINK's filesystem, not the driver's local disk,
+    or the exactly-once contract silently only holds for file:// paths."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
 
 
 def idempotent_parquet_sink(out_dir: str):
@@ -22,14 +30,14 @@ def idempotent_parquet_sink(out_dir: str):
     once under ``out_dir/batch_id=N``."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        target = os.path.join(out_dir, f"batch_id={batch_id}")
-        marker = os.path.join(target, "_COMMITTED")
-        if os.path.exists(marker):
+        spark = batch_df.sparkSession
+        target = f"{out_dir}/batch_id={batch_id}"
+        fs, marker = _hadoop_fs(spark, f"{target}/_COMMITTED")
+        if fs.exists(marker):
             return  # replayed batch — already durably committed
         # mode=overwrite makes a re-run of a HALF-written batch safe too.
         batch_df.write.mode("overwrite").parquet(target)
-        with open(marker, "w") as f:
-            f.write("ok")
+        fs.create(marker, True).close()
 
     return write_batch
 

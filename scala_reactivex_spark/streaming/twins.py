@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from scala_reactivex_spark.functions.determinism import DEC
+from scala_reactivex_spark.functions.determinism import dsum
 from scala_reactivex_spark.session import configure_session
 
 #: events schema under spark.sql.legacy.parquet.nanosAsLong=true
@@ -70,12 +70,7 @@ def twin_tumbling(sdf: DataFrame) -> DataFrame:
     return (
         sdf.withWatermark("tsm", "1 hour")
         .groupBy(F.window("tsm", "1 day").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias(
-                "total_value"
-            ),
-        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
         .select(
             F.unix_millis("w.start").alias("bucket_ms"),
             "event_type",

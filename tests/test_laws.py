@@ -152,3 +152,45 @@ def test_embed_lsh_subset_of_exact(spark, sf_dir):
         for r in llm_dedup.llm_dedup_embed_lsh(spark, sf_dir).collect()
     }
     assert lsh <= exact
+
+
+def test_simhash_locality(spark, sf_dir):
+    """SimHash locality: near-identical docs (token-set Jaccard ~1) must
+    have closer signatures than random pairs, on average — the property
+    that makes signature banding work."""
+    sig = {
+        r.doc_id: r.simhash
+        for r in llm_dedup.llm_dedup_simhash(spark, sf_dir).collect()
+    }
+    near = [
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup.llm_dedup_near(spark, sf_dir)
+        .where("jaccard >= 0.999")
+        .collect()
+    ]
+    assert near, "fixture should contain token-set duplicates"
+    ham = lambda a, b: bin(sig[a] ^ sig[b]).count("1")  # noqa: E731
+    near_avg = sum(ham(a, b) for a, b in near) / len(near)
+    ids = sorted(sig)
+    rand_pairs = [(ids[i], ids[(i * 7 + 13) % len(ids)]) for i in range(100)]
+    rand_pairs = [(a, b) for a, b in rand_pairs if a != b]
+    rand_avg = sum(ham(a, b) for a, b in rand_pairs) / len(rand_pairs)
+    assert near_avg < rand_avg / 2, (near_avg, rand_avg)
+
+
+def test_lang_id_mechanism(spark, sf_dir):
+    """lang-ID scoring mechanism: exactly one prediction per doc, drawn
+    from the candidate language set, deterministic across runs (the
+    smoothed-floor scoring covers every candidate, so no doc is lost to
+    unseen-token joins)."""
+    from scala_reactivex_spark.operators.llm_text import llm_lang_id
+    from scala_reactivex_spark.sources.catalog import table as _table
+
+    out = llm_lang_id(spark, sf_dir)
+    docs = _table(spark, sf_dir, "documents")
+    assert out.count() == docs.count()
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    preds = {r.lang_pred for r in out.select("lang_pred").distinct().collect()}
+    assert preds <= langs
+    again = llm_lang_id(spark, sf_dir)
+    assert out.exceptAll(again).count() == 0
