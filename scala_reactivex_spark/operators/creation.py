@@ -42,7 +42,13 @@ def src_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_range",
     tier="T1",
     doc="Emit a finite integer sequence as a stream [RX:range].",
-    oracle="SELECT count(*) AS n, sum(i) AS total FROM range(1, 101) t(i)",
+    # CAST pins DuckDB's HUGEINT (int128) sum back to BIGINT so the value
+    # representation matches Spark's LongType (determinism convention §2.11:
+    # type-pin every computed column).  Round-1 hash fail was exactly this.
+    oracle=(
+        "SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS total "
+        "FROM range(1, 101) t(i)"
+    ),
 )
 def src_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spark.range is a distributed source (splittable), not a driver loop.

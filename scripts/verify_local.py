@@ -91,12 +91,27 @@ def main() -> int:
         try:
             rel = con.sql(spec.oracle)
             ocols = rel.columns
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
             continue
         problems = []
+        # Type-pin rule (determinism convention §2.11): DuckDB widens integer
+        # aggregates to HUGEINT (int128), which Spark cannot emit — the driver
+        # hashes the typed representation, so an unpinned HUGEINT column is a
+        # latent hash fail even when the values agree.  Force an explicit CAST.
+        wide = [
+            f"{c}:{t}"
+            for c, t in zip(ocols, otypes)
+            if t in ("HUGEINT", "UHUGEINT", "INT128", "UINT128")
+        ]
+        if wide:
+            problems.append(
+                "oracle emits unpinned int128 column(s) "
+                f"{wide} — CAST(... AS BIGINT) in the oracle SQL"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
