@@ -221,13 +221,39 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("long")
     def fingerprint(texts: pd.Series) -> pd.Series:
-        def fp(t: str) -> int:
-            h = 0
-            for byte in t.encode("utf-8"):
-                h = (h * BASE + byte) % MOD
-            return h
+        import numpy as np
 
-        return texts.map(fp).astype("int64")
+        # Horner evaluation vectorized ACROSS the Arrow batch: one numpy
+        # step per byte POSITION (≤ max doc length), not one interpreter
+        # step per byte per doc.  Semantics identical to the scalar
+        # h = (h*BASE + b) mod M loop (M = 2^61-1, Mersenne).
+        enc = [t.encode("utf-8") for t in texts]
+        n = len(enc)
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n)
+        maxlen = int(lens.max()) if n else 0
+        buf = np.zeros((n, maxlen), dtype=np.uint8)
+        for i, e in enumerate(enc):
+            buf[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+
+        M = np.uint64(MOD)
+        MASK32 = np.uint64(0xFFFFFFFF)
+        MASK29 = np.uint64((1 << 29) - 1)
+        h = np.zeros(n, dtype=np.uint64)
+        for pos in range(maxlen):
+            b = buf[:, pos].astype(np.uint64)
+            # h*BASE splits as h_hi*2^32*BASE + h_lo*BASE to stay in u64;
+            # (x * 2^32) mod M for x < 2^38 is ((x & MASK29) << 32) + (x >> 29)
+            # because 2^61 ≡ 1 (mod M).
+            h_lo = h & MASK32
+            h_hi = h >> np.uint64(32)
+            t2 = h_hi * np.uint64(BASE)
+            red = ((t2 & MASK29) << np.uint64(32)) + (t2 >> np.uint64(29))
+            hn = red + h_lo * np.uint64(BASE) + b  # < 2^62, no overflow
+            hn = (hn & M) + (hn >> np.uint64(61))  # Mersenne fold
+            hn = np.where(hn >= M, hn - M, hn)
+            h = np.where(pos < lens, hn, h)
+
+        return pd.Series(h.astype("int64"))
 
     return table(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fingerprint")
