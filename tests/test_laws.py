@@ -154,6 +154,66 @@ def test_embed_lsh_subset_of_exact(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_embed_lsh_candidate_rate_bounded(spark, sf_dir):
+    """The τ-adaptive banding must keep the candidate set a small fraction
+    of all pairs — the property that makes sign-LSH the 100 TB path. The
+    fixture population is mostly near-orthogonal, so the measured rate
+    tracks the config's random-pair bound (≤4% by construction, <5%
+    asserted with headroom)."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        EMBED_T,
+        embed_lsh_candidates,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_pairs = n * (n - 1) // 2
+    n_cand = embed_lsh_candidates(e, EMBED_T).count()
+    assert n_cand < 0.05 * n_pairs, (n_cand, n_pairs)
+
+
+def test_embed_lsh_recall_floor_on_near_dups(spark):
+    """Recall floor on the cos≥0.85 sub-population. The parquet fixture has
+    NO pairs above 0.85, so plant one: base vectors plus noisy copies at
+    cos≈0.9, run the full LSH pipeline at τ=0.4 (the registered query's
+    threshold), and require it to recover ≥80% of the planted near-dup
+    pairs (theory: ≥0.85 at cos=0.85, ≈0.93 at cos=0.9 for the 8×8
+    config). Deterministic: fixed data seed, fixed hyperplane seed."""
+    import numpy as np
+
+    from scala_reactivex_spark.operators.llm_dedup import (
+        EMBED_T,
+        embed_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((200, 64))
+    noisy = base[:50] + 0.32 * rng.standard_normal((50, 64))
+    vecs = np.vstack([base, noisy]).astype(np.float32)
+    rows = [
+        (i, [float(x) for x in vecs[i]]) for i in range(len(vecs))
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    iu = np.triu_indices(len(vecs), k=1)
+    expected = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][cos[iu] >= 0.85], iu[1][cos[iu] >= 0.85])
+    }
+    assert len(expected) >= 30, "fixture should plant enough near-dups"
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embed_lsh_pairs(e, EMBED_T)
+        .where("cos_sim >= 0.85")
+        .collect()
+    }
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.80, (recall, len(expected))
+
+
 def test_simhash_locality(spark, sf_dir):
     """SimHash locality: near-identical docs (token-set Jaccard ~1) must
     have closer signatures than random pairs, on average — the property
