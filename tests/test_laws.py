@@ -238,6 +238,34 @@ def test_simhash_locality(spark, sf_dir):
     assert near_avg < rand_avg / 2, (near_avg, rand_avg)
 
 
+def test_connected_components_long_chain(spark):
+    """Pointer-jumping must resolve a duplicate chain LONGER than the round
+    budget (80 links vs 30 rounds — plain min-label propagation would need
+    80 rounds), plus a disjoint component and an isolated pair, with
+    exactly one canonical per component and cluster_id = min member."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 180)]  # 81 nodes, diameter 80
+    other = [(500, 501), (501, 502), (502, 503)]
+    lone = [(900, 901)]
+    pairs = spark.createDataFrame(
+        chain + other + lone, "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in connected_components(pairs).collect()
+    }
+    assert len(out) == 81 + 4 + 2
+    for n in range(100, 181):
+        assert out[n] == (100, n == 100)
+    for n in range(500, 504):
+        assert out[n] == (500, n == 500)
+    for n in (900, 901):
+        assert out[n] == (900, n == 900)
+
+
 def test_lang_id_mechanism(spark, sf_dir):
     """lang-ID scoring mechanism: exactly one prediction per doc, drawn
     from the candidate language set, deterministic across runs (the
