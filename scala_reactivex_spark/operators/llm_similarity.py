@@ -26,6 +26,7 @@ from scala_reactivex_spark.sources.catalog import table
 TOPK = 10
 N_PROBES = 5  # probe set = vec_id < 5 (FIXTURES.md)
 N_CENTROIDS = 8
+EMBED_DIM = 64  # fixture embedding dimension (FIXTURES.md)
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
@@ -124,15 +125,71 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assign_buckets(ev: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: one broadcast pass over the corpus;
+    rank on the ROUNDED similarity (cid tie-break) so the argmax is
+    engine-stable.  ev = (vec_id, embedding, vn); cent = (cid, cemb,
+    cemb_n) → (vec_id, bucket)."""
+    c_sim = F.round(
+        cosine_with_norms("embedding", "cemb", "vn", "cemb_n"), 4
+    )
+    w_asg = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid")
+    )
+    return (
+        ev.join(F.broadcast(cent))
+        .select("vec_id", "cid", c_sim.alias("c_sim"))
+        .withColumn("crn", F.row_number().over(w_asg))
+        .where(F.col("crn") == 1)
+        .select("vec_id", F.col("cid").alias("bucket"))
+    )
+
+
 @register(
     "llm_ann_ivf",
     tier="T3",
-    doc="IVF-bucketed approximate NN: corpus assigned once to the nearest "
-    "of 8 deterministic centroids (vec_id < 8); each probe searches only "
-    "its centroid's bucket → 1/K of the corpus per query at scale.",
+    doc="IVF-bucketed approximate NN with LEARNED centroids: seeds "
+    "(vec_id < 8) → one distributed Lloyd iteration (assign to nearest "
+    "seed, recompute centroids as bucket means) → final assignment; each "
+    "probe searches only its centroid's bucket → 1/K of the corpus per "
+    "query at scale. No driver collect anywhere: centroid means are a "
+    "grouped aggregate, re-assignment is a broadcast join. Determinism: "
+    "mean components sum as DECIMAL(38,6) (exact, order-independent "
+    "addition) and divide in double, so both engines produce bit-equal "
+    "centroids regardless of aggregation order; assignments rank the "
+    "ROUNDED similarity with cid tie-break.",
     oracle="""
-WITH cent AS (
+WITH seeds AS (
   SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
+), s_pairs AS (
+  SELECT e.vec_id, c.cid, e.embedding AS ve, c.cemb
+  FROM embeddings e, seeds c
+), s_expl AS (
+  SELECT vec_id, cid, unnest(ve) AS x, unnest(cemb) AS y FROM s_pairs
+), s_dots AS (
+  SELECT vec_id, cid,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na2,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb2
+  FROM s_expl GROUP BY vec_id, cid
+), s_scored AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY ROUND(dot / (sqrt(na2) * sqrt(nb2)), 4) DESC, cid)
+             AS crn
+  FROM s_dots
+), asg0 AS (
+  SELECT vec_id, cid AS bucket FROM s_scored WHERE crn = 1
+), comp AS (
+  SELECT vec_id, i AS j, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) t(i)
+), cent AS (
+  SELECT cid, list(m ORDER BY j) AS cemb FROM (
+    SELECT a.bucket AS cid, c.j,
+           CAST(SUM(CAST(c.x AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+    FROM comp c JOIN asg0 a USING (vec_id)
+    GROUP BY a.bucket, c.j
+  ) GROUP BY cid
 ), asg_pairs AS (
   SELECT e.vec_id, c.cid, e.embedding AS ve, c.cemb
   FROM embeddings e, cent c
@@ -140,13 +197,12 @@ WITH cent AS (
   SELECT vec_id, cid, unnest(ve) AS x, unnest(cemb) AS y FROM asg_pairs
 ), asg_dots AS (
   SELECT vec_id, cid,
-         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * y) AS dot,
          SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na2,
-         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb2
+         SUM(y * y) AS nb2
   FROM asg_expl GROUP BY vec_id, cid
 ), asg_scored AS (
   SELECT vec_id, cid,
-         ROUND(dot / (sqrt(na2) * sqrt(nb2)), 4) AS c_sim,
          row_number() OVER (PARTITION BY vec_id
              ORDER BY ROUND(dot / (sqrt(na2) * sqrt(nb2)), 4) DESC, cid)
              AS crn
@@ -184,28 +240,39 @@ SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
 )
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    cent = e.where(F.col("vec_id") < N_CENTROIDS).select(
+    seeds = e.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cemb"),
         norm_col("embedding").alias("cemb_n"),
     )
     # Corpus norms computed ONCE (not per centroid pair / per candidate).
     ev = e.select("vec_id", "embedding", norm_col("embedding").alias("vn"))
-    # Bucket assignment: one broadcast pass over the corpus; rank on the
-    # ROUNDED similarity (cid tie-break) so the argmax is engine-stable.
-    c_sim = F.round(
-        cosine_with_norms("embedding", "cemb", "vn", "cemb_n"), 4
+    asg0 = _assign_buckets(ev, seeds)
+    # One Lloyd iteration, fully distributed: bucket means via a grouped
+    # aggregate over (cid, dim) — DECIMAL(38,6) sums make the mean exact
+    # and order-independent, so the learned centroids are bit-equal
+    # across engines and partitionings; then re-assign against them.
+    comp = ev.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select("vec_id", "j", F.col("x").cast("double").alias("x"))
+    cent = (
+        comp.join(asg0, "vec_id")
+        .groupBy(F.col("bucket").alias("cid"), "j")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,6)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("m", F.col("s").cast("double") / F.col("n"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "m"))),
+                lambda s: s["m"],
+            ).alias("cemb")
+        )
+        .select("cid", "cemb", norm_col("cemb").alias("cemb_n"))
     )
-    w_asg = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cid")
-    )
-    assignment = (
-        ev.join(F.broadcast(cent))
-        .select("vec_id", "cid", c_sim.alias("c_sim"))
-        .withColumn("crn", F.row_number().over(w_asg))
-        .where(F.col("crn") == 1)
-        .select("vec_id", F.col("cid").alias("bucket"))
-    )
+    assignment = _assign_buckets(ev, cent)
     probes = (
         assignment.where(F.col("vec_id") < N_PROBES)
         .join(ev, "vec_id")
