@@ -223,6 +223,36 @@ class EventStream:
             ).drop("_first_ts")
         )
 
+    # -- connectable / multicast [RX:share, RX:replay] (SURVEY §2.7) -------
+
+    def share(self) -> "EventStream":
+        """Multicast the chain so far [RX:share/publish+refCount].
+
+        Rx ``share`` makes one upstream subscription feed every downstream
+        subscriber; the Spark analogue is caching the materialized prefix —
+        every downstream action reuses the cached partitions instead of
+        recomputing the chain. MEMORY_AND_DISK (the ``cache()`` default):
+        hot partitions serve from memory, cold spill to disk rather than
+        being evicted into recomputation."""
+        return self._wrap(self.df.cache())
+
+    def replay(self, storage_level: str = "MEMORY_AND_DISK_DESER") -> "EventStream":
+        """Persist with an explicit storage level [RX:replay].
+
+        Rx ``replay`` buffers the emitted sequence for late subscribers;
+        here the buffer is an explicit ``persist`` whose level the caller
+        picks (e.g. DISK_ONLY for a 100 TB intermediate that must not
+        occupy executor memory)."""
+        from pyspark import StorageLevel
+
+        return self._wrap(
+            self.df.persist(getattr(StorageLevel, storage_level))
+        )
+
+    def unpersist(self) -> "EventStream":
+        """Release the share/replay buffer (≡ connection teardown)."""
+        return self._wrap(self.df.unpersist())
+
     # -- terminal [RX:reduce, RS:2.x subscribe] ----------------------------
 
     def reduce_sum(self, value_col: str) -> DataFrame:

@@ -57,6 +57,71 @@ def src_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def empty(spark: SparkSession, schema: str = "value bigint") -> DataFrame:
+    """Zero-row stream that completes immediately [RX:empty-never-throw].
+
+    SURVEY §2.1 degenerate-creation row. Batch twin of ``Observable.empty``:
+    a bounded frame with the requested schema and no rows."""
+    return spark.createDataFrame([], schema)
+
+
+def never(spark: SparkSession, schema: str = "value bigint") -> DataFrame:
+    """Stream that emits nothing and never completes [RX:empty-never-throw].
+
+    In the bounded/batch twin the *no elements* part is observable but the
+    *never terminates* part is not (every bounded plan completes), so the
+    batch surface is an empty frame; the streaming twin is a rate source
+    filtered to false (runs forever, emits nothing)."""
+    return spark.createDataFrame([], schema)
+
+
+def never_stream(spark: SparkSession) -> DataFrame:
+    """Streaming twin of ``never``: unbounded, alive, and element-free."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .where(F.lit(False))
+    )
+
+
+def throw(
+    spark: SparkSession,
+    message: str = "Observable.error",
+    schema: str = "value bigint",
+) -> DataFrame:
+    """Stream that terminates with an error on first demand
+    [RX:empty-never-throw]. Spark-first: plans are lazy, so the error is
+    raised at ACTION time (≡ onError at subscription), not at assembly.
+    ``raise_error`` lives in a FILTER, not a projected column: Catalyst
+    prunes unused columns (a downstream count() would silently succeed)
+    but never prunes a non-literal filter, so every action on this frame —
+    or on anything composed over it — hits the error."""
+    one = spark.range(1).where(F.raise_error(F.lit(message)).isNull())
+    return one.select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in spark.createDataFrame([], schema).schema.fields
+        ]
+    )
+
+
+def defer(factory) -> DataFrame:
+    """Fresh stream per subscription [RX:empty-never-throw].
+
+    Spark plans are already lazy (assembly ≠ execution), but a plan built
+    ONCE still freezes its parameters; ``defer`` re-invokes the factory so
+    each subscription re-reads state the factory captures (new files in a
+    path, current time, ...)."""
+    return factory()
+
+
+def repeat(spark: SparkSession, value, n: int) -> DataFrame:
+    """Emit ``value`` ``n`` times [RX:empty-never-throw] — generated
+    JVM-side via a distributed range, not a driver loop."""
+    return spark.range(n).select(F.lit(value).alias("value"))
+
+
 @register(
     "src_interval",
     tier="T1",

@@ -166,3 +166,26 @@ def op_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ms",
         (F.col("ms") - F.lag("ms").over(w_user())).alias("delta_ms"),
     )
+
+
+def ignore_elements(df: DataFrame) -> DataFrame:
+    """Drop every element, keep only the terminal signal [RX:ignoreelements]
+    (SURVEY §2.2 no-query row).
+
+    Rx semantics require SUBSCRIBING upstream: side effects run and an
+    upstream error still reaches the terminal channel. ``limit(0)`` /
+    ``where(lit(False))`` would NOT do that — Catalyst's OptimizeLimitZero
+    and PruneFilters fold deterministic always-empty plans to an empty
+    relation, and (Spark 4) even ``rand() < -1`` is range-folded to false.
+    Instead: aggregate upstream to a 1-row count (upstream executes exactly
+    ONCE, its filters — where this engine keeps its guards — included),
+    filter on ``count < 0`` (unfoldable: the value is runtime data), and
+    re-project the original column names as typed nulls. Net: zero rows,
+    upstream's terminal signal (completion or error) preserved."""
+    counted = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return counted.where(F.col("_n") < 0).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+    )

@@ -161,3 +161,35 @@ def test_with_latest_from_heterogeneous_column_names(spark, sf_dir):
     )
 
     assert _same(got, op_with_latest_from(spark, sf_dir))
+
+
+def test_share_caches_and_computes_once(spark, sf_dir):
+    """share() must multicast: one upstream materialization feeds every
+    downstream action (SURVEY §2.7 publish/share). Evidence: the wrapped
+    frame reports a real storage level, downstream plans read an
+    InMemoryRelation, and results equal the unshared chain."""
+    src = EventStream.from_parquet(spark, f"{sf_dir}/events.parquet")
+    plain = src.filter("event_type = 'purchase'").scan_sum("value")
+    shared = src.filter("event_type = 'purchase'").scan_sum("value").share()
+    try:
+        lvl = shared.to_df().storageLevel
+        assert lvl.useMemory or lvl.useDisk
+        downstream = shared.filter("running_sum > 100").to_df()
+        plan = downstream._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+        assert _same(
+            shared.to_df(), plain.to_df()
+        )
+    finally:
+        shared.unpersist()
+
+
+def test_replay_honors_storage_level(spark, sf_dir):
+    src = EventStream.from_parquet(spark, f"{sf_dir}/events.parquet")
+    replayed = src.filter("event_type = 'click'").replay("DISK_ONLY")
+    try:
+        replayed.to_df().count()  # connect
+        lvl = replayed.to_df().storageLevel
+        assert lvl.useDisk and not lvl.useMemory
+    finally:
+        replayed.unpersist()
