@@ -416,13 +416,16 @@ FROM documents
 """,
 )
 def op_udf_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nullable Int64 (not int64): a null text yields <NA>, which Arrow
+    # hands back to Spark as SQL NULL — mirroring the oracle's
+    # length(NULL) = NULL instead of crashing the task on the NaN cast.
     @F.pandas_udf("long")
     def char_len(s: pd.Series) -> pd.Series:
-        return s.str.len().astype("int64")
+        return s.str.len().astype("Int64")
 
     @F.pandas_udf("long")
     def tok_count(s: pd.Series) -> pd.Series:
-        return s.str.split(" ").str.len().astype("int64")
+        return s.str.split(" ").str.len().astype("Int64")
 
     d = table(spark, sf_dir, "documents")
     return d.select(

@@ -21,12 +21,21 @@ def read_csv(
 ) -> DataFrame:
     """CSV scan with explicit schema; malformed rows go to the PERMISSIVE
     corrupt-record column instead of failing the job (in-band errors,
-    matching the engine's try_* philosophy)."""
+    matching the engine's try_* philosophy).
+
+    PERMISSIVE only routes malformed rows if the corrupt-record column is
+    PRESENT in the schema — without it they silently become all-null rows,
+    so it is appended here (and the reader told its name) whenever the
+    caller didn't declare it."""
     configure_session(spark)
+    corrupt_col = "_corrupt_record"
+    if corrupt_col not in schema:
+        schema = f"{schema}, {corrupt_col} STRING"
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
         .csv(path)
     )
 

@@ -112,23 +112,47 @@ def _scan_fn(
     batches: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Per-user running sum [RX:scan]: state = (last_sum,), emit every
-    intermediate. Micro-batch rows are sorted by the (ts, event_id) total
-    order before folding, so replays are deterministic."""
-    (running,) = state.get if state.exists else (0.0,)
+    """Per-user running sum [RX:scan]: state = (last_sum_micros,), emit
+    every intermediate. Micro-batch rows are sorted by the (ts, event_id)
+    total order before folding, so replays are deterministic.
+
+    Accumulation is in integer MICRO-units (value × 10^6, the exact
+    analogue of the batch operator's DECIMAL(38,6) sums): int64 addition
+    is exact and order-independent, so the streaming twin matches the
+    batch result at the full 4-dp contract — a float64 fold drifts at
+    rounding-tie boundaries. Emission mirrors the batch side's
+    ROUND(CAST(dec AS DOUBLE), 4): micros → nearest double → HALF_UP at
+    4 dp via the shortest decimal repr (same path Spark's Round takes)."""
+    import numpy as np
+
+    (running,) = state.get if state.exists else (0,)
+    running = int(running)
     for pdf in batches:
         pdf = pdf.sort_values(["ts", "event_id"])
-        sums = pdf["value"].cumsum() + running
-        running = float(sums.iloc[-1]) if len(sums) else running
+        micros = (
+            pdf["value"].to_numpy(dtype="float64") * 1e6
+        ).round().astype("int64")
+        sums = np.cumsum(micros) + running
+        running = int(sums[-1]) if len(sums) else running
         yield pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
                 "ms": pdf["ms"],
-                "running_sum": sums.round(4),
+                "running_sum": [_round4(m / 1e6) for m in sums],
             }
         )
     state.update((running,))
+
+
+def _round4(d: float) -> float:
+    """Spark-equivalent ROUND(double, 4): HALF_UP over the shortest
+    decimal representation (Java BigDecimal.valueOf ≡ Python repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(d)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
 
 
 def twin_running_scan(sdf: DataFrame) -> DataFrame:
@@ -136,7 +160,7 @@ def twin_running_scan(sdf: DataFrame) -> DataFrame:
         _scan_fn,
         outputStructType="user_id BIGINT, event_id BIGINT, ms BIGINT, "
         "running_sum DOUBLE",
-        stateStructType="running DOUBLE",
+        stateStructType="running BIGINT",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

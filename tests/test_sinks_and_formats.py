@@ -81,9 +81,27 @@ def test_csv_jsonl_roundtrip(spark, sf_dir, tmp_path):
     formats.write_jsonl(src, json_path)
     from_csv = formats.read_csv(spark, csv_path, schema)
     from_json = formats.read_jsonl(spark, json_path, schema)
+    # read_csv appends the PERMISSIVE corrupt-record channel; clean data
+    # leaves it all-null. (cache() first: Spark disallows queries that
+    # touch ONLY the corrupt-record column on a raw CSV scan.)
+    assert "_corrupt_record" in from_csv.columns
+    from_csv = from_csv.cache()
+    assert from_csv.where("_corrupt_record IS NOT NULL").count() == 0
+    from_csv = from_csv.drop("_corrupt_record")
     assert from_csv.exceptAll(src).count() == 0
     assert src.exceptAll(from_csv).count() == 0
     assert from_json.exceptAll(src).count() == 0
+
+
+def test_csv_malformed_rows_land_in_corrupt_record(spark, tmp_path):
+    """A row that can't parse under the declared schema must surface in
+    _corrupt_record (in-band), not silently become an all-null row."""
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,x\nnot_an_int,y\n")
+    out = formats.read_csv(spark, str(p), "a INT, b STRING").cache()
+    bad = out.where("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1
+    assert bad[0]["_corrupt_record"] == "not_an_int,y"
 
 
 def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):

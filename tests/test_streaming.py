@@ -68,11 +68,13 @@ def test_twin_scan_matches_batch_totals(spark, sf_dir, stream_src, ckpt):
     out = twins.run_stream_to_table(
         twins.twin_running_scan(sdf), "t_scan", ckpt
     )
+    # Full 4-dp contract: the twin's integer-micro accumulation makes the
+    # final running_sum BIT-equal to the batch DECIMAL(38,6) reduce.
     finals = out.groupBy("user_id").agg(
-        F.round(F.max("running_sum"), 3).alias("total")
+        F.max("running_sum").alias("total")
     )
     batch = stateful.op_reduce(spark, sf_dir).select(
-        "user_id", F.round("total_value", 3).alias("total")
+        "user_id", F.col("total_value").alias("total")
     )
     assert finals.exceptAll(batch).count() == 0
     assert finals.count() == batch.count()
