@@ -127,21 +127,22 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assign_buckets(ev: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: one broadcast pass over the corpus;
-    rank on the ROUNDED similarity (cid tie-break) so the argmax is
+    argmax on the ROUNDED similarity (cid tie-break) so the result is
     engine-stable.  ev = (vec_id, embedding, vn); cent = (cid, cemb,
-    cemb_n) → (vec_id, bucket)."""
+    cemb_n) → (vec_id, bucket).
+
+    max_by over (c_sim, -cid) ≡ the oracle's row_number()=1 ordering
+    (c_sim DESC, cid ASC) but runs as a hash aggregate with map-side
+    partial combine — no per-vec_id window sort, one shuffle of one
+    row per (vec_id) group."""
     c_sim = F.round(
         cosine_with_norms("embedding", "cemb", "vn", "cemb_n"), 4
-    )
-    w_asg = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cid")
     )
     return (
         ev.join(F.broadcast(cent))
         .select("vec_id", "cid", c_sim.alias("c_sim"))
-        .withColumn("crn", F.row_number().over(w_asg))
-        .where(F.col("crn") == 1)
-        .select("vec_id", F.col("cid").alias("bucket"))
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cid, struct(c_sim, -cid))").alias("bucket"))
     )
 
 
