@@ -26,7 +26,6 @@ from scala_reactivex_spark.sources.catalog import table
 TOPK = 10
 N_PROBES = 5  # probe set = vec_id < 5 (FIXTURES.md)
 N_CENTROIDS = 8
-EMBED_DIM = 64  # fixture embedding dimension (FIXTURES.md)
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:

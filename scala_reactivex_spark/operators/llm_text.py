@@ -180,29 +180,51 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))).alias("floor_logp"),
         )
     )
-    candidates = tf.crossJoin(
-        F.broadcast(floors.select("model_lang", "floor_logp"))
+    # Sparse scoring: Σ_tokens logp_eff decomposes as
+    #   Σ_seen logp  +  floor × (n_tok − n_seen)
+    # so only (token occurrence × languages-that-SAW-the-token) rows flow
+    # through the join — doc×language granularity everywhere else. On a
+    # real corpus profiles are sparse in languages, so this is far smaller
+    # than the dense token×L fan-out (which is quadratic in practice when
+    # L tracks corpus breadth); the unseen mass is pure column math.
+    seen = (
+        tf.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "model_lang")
+        .agg(
+            F.sum("logp").alias("sum_seen"),
+            F.count("*").alias("n_seen"),
+        )
+    )
+    doc_stats = tf.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tok")
     )
     scored = (
-        candidates.join(
-            F.broadcast(profile), ["token", "model_lang"], "left"
-        )
-        .withColumn("logp_eff", F.coalesce("logp", "floor_logp"))
-        .groupBy("doc_id", "lang", "model_lang")
-        .agg(F.round(F.sum("logp_eff"), 4).alias("loglik"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("loglik").desc(), F.col("model_lang")
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
+        doc_stats.crossJoin(F.broadcast(floors))
+        .join(seen, ["doc_id", "model_lang"], "left")
         .select(
             "doc_id",
-            F.col("lang").alias("lang_true"),
-            F.col("model_lang").alias("lang_pred"),
-            (F.col("lang") == F.col("model_lang")).alias("correct"),
+            "lang",
+            "model_lang",
+            F.round(
+                F.coalesce("sum_seen", F.lit(0.0))
+                + F.col("floor_logp")
+                * (F.col("n_tok") - F.coalesce("n_seen", F.lit(0))),
+                4,
+            ).alias("loglik"),
         )
+    )
+    # Argmax as min_by over (-loglik, model_lang): identical ordering to
+    # row_number(loglik DESC, model_lang ASC)=1, but it runs as a hash
+    # aggregate with map-side combine instead of a per-doc window sort.
+    return scored.groupBy("doc_id", "lang").agg(
+        F.expr("min_by(model_lang, struct(-loglik, model_lang))").alias(
+            "_pred"
+        )
+    ).select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.col("_pred").alias("lang_pred"),
+        (F.col("lang") == F.col("_pred")).alias("correct"),
     )
 
 
