@@ -10,7 +10,8 @@
   cross-engine determinism guarantee at ties (the fixture vocabulary is
   shared across languages by construction, so ties are common).
 - ``llm_doc_fingerprint``: 64-bit Karp-Rabin rolling fingerprint over UTF-8
-  bytes via an Arrow-batched pandas UDF. Rows-only (engine-specific hash).
+  bytes via an Arrow-batched pandas UDF; oracle = the same fold as a
+  DuckDB ``list_reduce`` in exact int128 arithmetic.
 
 All token work happens post-explode with hash aggregates — no driver
 collection, linear in corpus size.
@@ -233,9 +234,20 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier="T3",
     doc="64-bit Karp-Rabin rolling fingerprint over UTF-8 bytes "
     "(base 257 mod 2^61-1) — Arrow-batched pandas UDF, the sanctioned "
-    "Python path for byte-level work. Rows-only (engine-specific hash); "
-    "determinism and collision behavior are pytest-verified.",
-    oracle=None,
+    "Python path for byte-level work. Oracle: the same polynomial fold "
+    "as a DuckDB list_reduce in HUGEINT (exact int128 arithmetic; "
+    "ord(char) ≡ UTF-8 byte on the ASCII-only fixture corpus, asserted "
+    "in tests/test_multimodal.py). Integer math — no float hazard.",
+    oracle="""
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS HUGEINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ord(substring(text, i, 1)) AS HUGEINT))),
+         (acc, b) -> (acc * 257 + b) % CAST(2305843009213693951 AS HUGEINT)
+       ) AS BIGINT) AS fingerprint
+FROM documents
+""",
 )
 def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     MOD = (1 << 61) - 1
