@@ -123,3 +123,126 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return payload.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+def fake_resize(data: bytes) -> bytes:
+    """Deterministic stand-in for an image resize: every 2nd byte (a 2×
+    nearest-neighbor downsample of a 1-D signal). Swap for a real
+    PIL/cv2 resample and the plumbing below is unchanged."""
+    return data[::2]
+
+
+def _resize_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                "resized": pdf["payload"].map(fake_resize),
+            }
+        )
+
+
+@register(
+    "llm_multimodal_resize",
+    tier="T3",
+    doc="Binary-column resize stage via mapInPandas: payload → downsampled "
+    "payload (codec stubbed as an every-2nd-byte resample), with the "
+    "resized bytes' md5 computed JVM-side. The oracle rebuilds the same "
+    "resample character-wise (ASCII fixture: char ≡ byte), proving the "
+    "Arrow round-trip of BINARY columns end-to-end.",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, text,
+         array_to_string(list_transform(
+             range(1, length(text) + 1, 2),
+             i -> substring(text, i, 1)), '') AS resized
+  FROM documents
+)
+SELECT doc_id,
+       length(text) AS orig_bytes,
+       length(resized) AS resized_bytes,
+       md5(resized) AS resized_md5
+FROM r
+""",
+)
+def llm_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payload = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = payload.mapInPandas(
+        _resize_worker, schema="doc_id long, orig_bytes long, resized binary"
+    )
+    return out.select(
+        "doc_id",
+        "orig_bytes",
+        F.length("resized").cast("bigint").alias("resized_bytes"),
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
+FRAME_BYTES = 32  # video-ish framing of the opaque payload
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def fake_frame_sample(data: bytes) -> tuple[int, int, bytes]:
+    """Deterministic stand-in for video frame sampling: split the payload
+    into 32-byte frames, keep every 4th. Returns (n_frames, n_sampled,
+    sampled_bytes)."""
+    n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+    kept = range(0, n_frames, FRAME_STRIDE)
+    sampled = b"".join(
+        data[k * FRAME_BYTES : (k + 1) * FRAME_BYTES] for k in kept
+    )
+    return n_frames, len(kept), sampled
+
+
+def _frame_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        trip = pdf["payload"].map(fake_frame_sample)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": trip.map(lambda t: t[0]).astype("int64"),
+                "n_sampled": trip.map(lambda t: t[1]).astype("int64"),
+                "sampled": trip.map(lambda t: t[2]),
+            }
+        )
+
+
+@register(
+    "llm_multimodal_frames",
+    tier="T3",
+    doc="Frame-sampling stage via mapInPandas: payload framed into 32-byte "
+    "chunks, every 4th kept (the video keyframe-sampling shape), sampled "
+    "bytes checksummed JVM-side. Oracle rebuilds the framing with blob "
+    "substring arithmetic (ASCII fixture: char ≡ byte).",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CAST(ceil(length(text) / 32.0) AS BIGINT) AS n_frames,
+         array_to_string(list_transform(
+             range(0, CAST(ceil(length(text) / 32.0) AS BIGINT), 4),
+             k -> substring(text, k * 32 + 1, 32)), '') AS sampled
+  FROM documents
+)
+SELECT doc_id, n_frames,
+       CAST(ceil(n_frames / 4.0) AS BIGINT) AS n_sampled,
+       md5(sampled) AS sample_md5
+FROM f
+""",
+)
+def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payload = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = payload.mapInPandas(
+        _frame_worker,
+        schema="doc_id long, n_frames long, n_sampled long, sampled binary",
+    )
+    return out.select(
+        "doc_id",
+        "n_frames",
+        "n_sampled",
+        F.md5("sampled").alias("sample_md5"),
+    )

@@ -65,3 +65,35 @@ def test_fake_features_empty_payload():
     """Empty payload → (0, -1), matching DuckDB's unicode('') = -1 instead
     of crashing the whole mapInPandas task."""
     assert mm.fake_features(b"") == (0, -1)
+
+
+def test_fake_resize_and_frames_edges():
+    """Deterministic codec stubs behave on empty / sub-frame payloads."""
+    from scala_reactivex_spark.operators.llm_multimodal import (
+        fake_frame_sample,
+        fake_resize,
+    )
+
+    assert fake_resize(b"") == b""
+    assert fake_resize(b"abcdef") == b"ace"
+    assert fake_frame_sample(b"") == (0, 0, b"")
+    n_frames, n_sampled, sampled = fake_frame_sample(b"x" * 33)
+    assert (n_frames, n_sampled) == (2, 1)
+    assert sampled == b"x" * 32  # frame 0 only; frame 1 skipped by stride
+
+
+def test_multimodal_resize_binary_roundtrip(spark, sf_dir):
+    """The resized payload survives the Arrow binary round-trip: JVM-side
+    md5 over the UDF's bytes matches a driver-side recomputation."""
+    import hashlib
+
+    from scala_reactivex_spark.operators.llm_multimodal import (
+        llm_multimodal_resize,
+    )
+
+    out = {r.doc_id: r.resized_md5 for r in llm_multimodal_resize(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    assert len(out) == len(docs) > 0
+    for doc_id, text in list(docs.items())[:25]:
+        exp = hashlib.md5(text.encode()[::2]).hexdigest()
+        assert out[doc_id] == exp
