@@ -15,6 +15,9 @@ pathological key distribution at 100 TB:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,7 +62,20 @@ def write_bucketed(
     Both sides of a recurring join written this way are co-partitioned on
     disk — Spark's bucketed scan reports the required hash distribution,
     so the join needs no shuffle at read time (and no sort, if sorted).
+
+    Idempotent: a stale managed-table LOCATION from a previous run (e.g.
+    a killed job that dropped the catalog entry but not the directory)
+    would fail overwrite with LOCATION_ALREADY_EXISTS, so the table AND
+    its leftover directory are cleared first.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    leftover = os.path.join(
+        warehouse.removeprefix("file:"), table_name.lower()
+    )
+    if os.path.isdir(leftover):
+        shutil.rmtree(leftover)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
     if sort_key:
         writer = writer.sortBy(sort_key)
