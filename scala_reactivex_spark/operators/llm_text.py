@@ -157,9 +157,13 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
     # Profile: P(token | lang) with add-one smoothing, one aggregate pass.
+    # lang totals and vocabulary size REDERIVE from the (lang, token)
+    # counts — same values (Σ n per lang ≡ token count; distinct tokens of
+    # lang_tok ≡ corpus vocabulary), but the inputs are the tiny profile
+    # aggregate instead of two more full passes over the exploded corpus.
     lang_tok = tf.groupBy("lang", "token").agg(F.count("*").alias("n"))
-    lang_tot = tf.groupBy("lang").agg(F.count("*").alias("tot"))
-    vocab_n = tf.select("token").distinct().agg(
+    lang_tot = lang_tok.groupBy("lang").agg(F.sum("n").alias("tot"))
+    vocab_n = lang_tok.select("token").distinct().agg(
         F.count("*").alias("v")
     )
     profile = (
@@ -188,16 +192,23 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real corpus profiles are sparse in languages, so this is far smaller
     # than the dense token×L fan-out (which is quadratic in practice when
     # L tracks corpus breadth); the unseen mass is pure column math.
+    # One full pass over the exploded corpus: (doc, token) occurrence
+    # counts feed BOTH the seen-mass join (logp × cnt) and the per-doc
+    # token totals — and shrink the profile-join input to distinct
+    # (doc, token) pairs.
+    dtf = tf.groupBy("doc_id", "lang", "token").agg(
+        F.count("*").alias("cnt")
+    )
     seen = (
-        tf.join(F.broadcast(profile), "token")
+        dtf.join(F.broadcast(profile), "token")
         .groupBy("doc_id", "model_lang")
         .agg(
-            F.sum("logp").alias("sum_seen"),
-            F.count("*").alias("n_seen"),
+            F.sum(F.col("logp") * F.col("cnt")).alias("sum_seen"),
+            F.sum("cnt").alias("n_seen"),
         )
     )
-    doc_stats = tf.groupBy("doc_id", "lang").agg(
-        F.count("*").alias("n_tok")
+    doc_stats = dtf.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n_tok")
     )
     scored = (
         doc_stats.crossJoin(F.broadcast(floors))
