@@ -148,3 +148,18 @@ def test_tumbling_partition_law(spark, rows, width):
 
     expected = Counter(int(ts) // width for ts, *_ in rows)
     assert {r.b: r.n for r in agg} == dict(expected)
+
+
+def test_sign_lsh_config_invariants():
+    """For ANY threshold, the chosen banding must fit the plane budget and
+    respect the random-pair candidate-rate cap — the invariant that keeps
+    the LSH path linear at every operating point."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        N_HYPERPLANES,
+        sign_lsh_config,
+    )
+
+    for t in [i / 20 for i in range(20)] + [0.999]:
+        rows, bands = sign_lsh_config(t)
+        assert rows * bands <= N_HYPERPLANES
+        assert bands * (2.0**-rows) <= 0.04, (t, rows, bands)
