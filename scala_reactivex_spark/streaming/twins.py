@@ -275,6 +275,67 @@ def twin_interval_join(sdf: DataFrame) -> DataFrame:
     ).select("p_user", "p_event_id", "c_event_id")
 
 
+# --- LLM-pipeline twin: streaming sequence packing ---
+
+DOCS_DDL = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def docs_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source streaming read of the documents table (one file per
+    micro-batch — the arrival-order knob for the packing twin)."""
+    configure_session(spark)
+    return (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def _pack_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming sequence packing: state = (tokens emitted so far,) per
+    lang; pack_id = tokens-before-me // budget, identical to the batch
+    windowed cumsum (llm_pack_sequences). Docs sort by doc_id inside the
+    micro-batch; ACROSS batches correctness relies on the source feeding
+    doc_id-ordered chunks (a file per range — the streaming contract the
+    equivalence test sets up). Integer state: exact, replay-safe."""
+    budget = 256  # CONTEXT_TOKENS (operators/llm_pipeline.py)
+    (cum,) = state.get if state.exists else (0,)
+    cum = int(cum)
+    for pdf in batches:
+        pdf = pdf.sort_values("doc_id")
+        n_tok = (
+            pdf["text"].str.split(" ").str.len().astype("int64")
+        )
+        before = n_tok.cumsum().shift(fill_value=0) + cum
+        cum += int(n_tok.sum())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "n_tok": n_tok,
+                "pack_id": (before // budget).astype("int64"),
+            }
+        )
+    state.update((cum,))
+
+
+def twin_pack_sequences(sdf: DataFrame) -> DataFrame:
+    return sdf.groupBy("lang").applyInPandasWithState(
+        _pack_fn,
+        outputStructType="doc_id BIGINT, lang STRING, n_tok BIGINT, "
+        "pack_id BIGINT",
+        stateStructType="cum BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- runner (the 'subscribe' terminal) ---
 
 

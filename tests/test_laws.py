@@ -366,3 +366,18 @@ def test_embed_quantize_bounds(spark, sf_dir):
         FF.col("max_err_1e4") > FF.col("scale") / 254 * 10000 + 1
     )
     assert joined.count() == 0
+
+
+def test_embed_lsh_rejects_wrong_dimension(spark):
+    """The dimension guard must fail LOUDLY (it lives in a filter so
+    Catalyst cannot prune it) instead of producing a garbage matmul."""
+    import pytest as _pytest
+
+    from scala_reactivex_spark.operators.llm_dedup import embed_lsh_pairs
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(Exception, match="64-dim"):
+        embed_lsh_pairs(e, 0.4).count()

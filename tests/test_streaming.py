@@ -155,3 +155,42 @@ def test_twin_tws_running_stats_matches_batch(spark, sf_dir, stream_src, ckpt):
     )
     assert finals.count() == batch.count()
     assert finals.exceptAll(batch).count() == 0
+
+
+@pytest.fixture(scope="module")
+def docs_stream_src(spark, sf_dir, tmp_path_factory):
+    """Documents split into 3 doc_id-range files written in order, so the
+    file source (maxFilesPerTrigger=1) feeds doc_id-ordered micro-batches
+    — the arrival-order contract of the packing twin."""
+    src = tmp_path_factory.mktemp("docs_src")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+    for i in range(3):
+        chunk = docs.where(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        chunk.coalesce(1).write.mode("append").parquet(str(src))
+    return str(src)
+
+
+def test_twin_pack_sequences_equals_batch(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """Streaming packing over 3 ordered micro-batches (state carried
+    across batch boundaries) aggregates to EXACTLY the batch
+    llm_pack_sequences pack stats."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        llm_pack_sequences,
+    )
+
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_pack_sequences(sdf), "t_pack", ckpt
+    )
+    finals = out.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("pack_tokens")
+    )
+    batch = llm_pack_sequences(spark, sf_dir)
+    assert finals.count() == batch.count()
+    assert finals.exceptAll(batch).count() == 0
