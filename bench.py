@@ -73,6 +73,11 @@ def main() -> None:
         ).save()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    # Every extras name must still exist in the registry — a rename or
+    # typo would silently fold that query into the frozen headline total
+    # and break comparability with the BASELINE.md pin.
+    missing = BEYOND_BASELINE - set(times)
+    assert not missing, f"BEYOND_BASELINE names not in registry: {missing}"
     total = round(
         sum(t for n, t in times.items() if n not in BEYOND_BASELINE), 3
     )

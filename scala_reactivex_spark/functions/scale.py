@@ -16,6 +16,7 @@ pathological key distribution at 100 TB:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -70,12 +71,19 @@ def write_bucketed(
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    leftover = os.path.join(
-        warehouse.removeprefix("file:"), table_name.lower()
-    )
-    if os.path.isdir(leftover):
-        shutil.rmtree(leftover)
+    # Directory cleanup only for BARE default-database identifiers, where
+    # the managed location is warehouse/<name> by construction — a
+    # qualified or funky name (db.table, quoting, separators) must not
+    # drive an rmtree at a guessed path.
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_name):
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        leftover = os.path.join(
+            warehouse.removeprefix("file:"), table_name.lower()
+        )
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
     if sort_key:
         writer = writer.sortBy(sort_key)

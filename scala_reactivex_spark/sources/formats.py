@@ -28,8 +28,12 @@ def read_csv(
     so it is appended here (and the reader told its name) whenever the
     caller didn't declare it."""
     configure_session(spark)
+    from pyspark.sql.types import StructType
+
     corrupt_col = "_corrupt_record"
-    if corrupt_col not in schema:
+    # Parse the DDL and check actual column NAMES — a substring test would
+    # be fooled by e.g. a caller column named "my_corrupt_record".
+    if corrupt_col not in [f.name for f in StructType.fromDDL(schema)]:
         schema = f"{schema}, {corrupt_col} STRING"
     return (
         spark.read.schema(schema)

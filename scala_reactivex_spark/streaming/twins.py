@@ -304,7 +304,9 @@ def _pack_fn(
     micro-batch; ACROSS batches correctness relies on the source feeding
     doc_id-ordered chunks (a file per range — the streaming contract the
     equivalence test sets up). Integer state: exact, replay-safe."""
-    budget = 256  # CONTEXT_TOKENS (operators/llm_pipeline.py)
+    from scala_reactivex_spark.operators.llm_pipeline import CONTEXT_TOKENS
+
+    budget = CONTEXT_TOKENS
     (cum,) = state.get if state.exists else (0,)
     cum = int(cum)
     for pdf in batches:

@@ -324,19 +324,31 @@ def test_pack_sequences_budget_law(spark, sf_dir):
     for lang, ids in by_lang.items():
         ids = sorted(ids)
         assert ids == list(range(len(ids))), (lang, ids[:5])
-    # straddle law on the raw per-doc packing
+    # Straddle law on the raw per-doc packing: within any pack, the docs
+    # BEFORE the final one fit the budget (pack_tokens − last_doc_tokens
+    # < budget) — only the last doc may straddle. Recompute the per-doc
+    # assignment independently in Python and also cross-check its pack
+    # stats against the query output.
+    import collections
+
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .selectExpr("lang", "doc_id", "size(split(text, ' ')) AS n_tok")
         .collect()
     )
-    import collections
-
     cum = collections.defaultdict(int)
+    packs = collections.defaultdict(lambda: [0, 0, 0])  # n_docs, toks, last
     for r in sorted(docs, key=lambda r: (r.lang, r.doc_id)):
         before = cum[r.lang]
-        assert before % CONTEXT_TOKENS < CONTEXT_TOKENS  # tautology guard
+        pack = packs[(r.lang, before // CONTEXT_TOKENS)]
+        pack[0] += 1
+        pack[1] += r.n_tok
+        pack[2] = r.n_tok  # doc_id-ordered loop → last write wins
         cum[r.lang] = before + r.n_tok
+    for (lang, pack_id), (n, toks, last) in packs.items():
+        assert toks - last < CONTEXT_TOKENS, (lang, pack_id, toks, last)
+    got = {(r.lang, r.pack_id): (r.n_docs, r.pack_tokens) for r in out}
+    assert got == {k: (n, toks) for k, (n, toks, _) in packs.items()}
 
 
 def test_embed_quantize_bounds(spark, sf_dir):

@@ -162,15 +162,29 @@ def docs_stream_src(spark, sf_dir, tmp_path_factory):
     """Documents split into 3 doc_id-range files written in order, so the
     file source (maxFilesPerTrigger=1) feeds doc_id-ordered micro-batches
     — the arrival-order contract of the packing twin."""
+    import os
+    import time
+
     src = tmp_path_factory.mktemp("docs_src")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hi = docs.agg(F.max("doc_id")).collect()[0][0]
     cuts = [0, hi // 3, 2 * hi // 3, hi + 1]
+    stamped: set[str] = set()
+    base = time.time()
     for i in range(3):
         chunk = docs.where(
             (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
         )
         chunk.coalesce(1).write.mode("append").parquet(str(src))
+        # FileStreamSource orders pending files by MODIFICATION TIME;
+        # back-to-back writes can land in one mtime granule, so stamp each
+        # chunk's new files with strictly increasing times to make the
+        # 3-batch arrival order deterministic.
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if name.endswith(".parquet") and p not in stamped:
+                os.utime(p, (base + 10 * i, base + 10 * i))
+                stamped.add(p)
     return str(src)
 
 
