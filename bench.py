@@ -46,6 +46,10 @@ BEYOND_BASELINE = {
     "llm_doc_split",
     "llm_pack_sequences",
     "llm_embed_quantize",
+    "rel_pivot",
+    "llm_vocab_coverage",
+    "llm_stratified_sample",
+    "llm_boilerplate",
 }
 
 

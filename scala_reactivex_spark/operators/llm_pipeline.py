@@ -174,3 +174,60 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         F.floor(dequant_err * 10000).cast("bigint").alias("max_err_1e4"),
     )
+
+
+STRATUM_CAP = 100  # target docs per source stratum
+
+
+@register(
+    "llm_stratified_sample",
+    tier="T3",
+    doc="Stratified source rebalancing: down-sample over-represented "
+    f"sources toward {STRATUM_CAP} docs each.  A doc lands in one of 256 "
+    "content-addressed buckets (first two md5 nibbles) and survives iff "
+    "bucket < 256·cap/n_source — so membership is a pure function of "
+    "(text, stratum size): reproducible across runs, engines, and "
+    "partitionings, and NO per-stratum sort or rand() anywhere.  Scale "
+    "shape: stratum sizes are one map-side-combined aggregate over a "
+    "low-cardinality key, broadcast back; the keep-filter is then "
+    "embarrassingly parallel over the corpus.  All-integer thresholds "
+    "(DIV), no float rates.",
+    oracle="""
+WITH n AS (
+  SELECT source, count(*) AS n_total FROM documents GROUP BY source
+), b AS (
+  SELECT d.source, n.n_total,
+         least(256, 256 * 100 // n.n_total) AS k,
+         (instr('0123456789abcdef', substr(md5(d.text), 1, 1)) - 1) * 16
+         + instr('0123456789abcdef', substr(md5(d.text), 2, 1)) - 1
+           AS bucket
+  FROM documents d JOIN n USING (source)
+)
+SELECT source,
+       CAST(max(n_total) AS BIGINT) AS n_total,
+       CAST(max(k) AS BIGINT) AS threshold_256,
+       CAST(count(*) FILTER (WHERE bucket < k) AS BIGINT) AS n_kept
+FROM b GROUP BY source
+""",
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    hexpos = "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
+    bucket = F.expr(
+        f"({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1"
+    )
+    k = F.expr(f"least(256, (256 * {STRATUM_CAP}) DIV n_total)")
+    return (
+        docs.join(F.broadcast(sizes), "source")
+        .withColumn("bucket", bucket)
+        .withColumn("k", k)
+        .groupBy("source")
+        .agg(
+            F.max("n_total").cast("bigint").alias("n_total"),
+            F.max("k").cast("bigint").alias("threshold_256"),
+            F.count(F.when(F.col("bucket") < F.col("k"), 1))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )

@@ -355,3 +355,67 @@ def llm_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hash1").isin("0", "1", "2", "3"))
         .select("doc_id", "lang", "hash1")
     )
+
+
+VOCAB_TOPK = 25
+
+
+@register(
+    "llm_vocab_coverage",
+    tier="T3",
+    doc="Tokenizer-vocabulary induction: global token frequencies, ranked "
+    "(count DESC, token ASC), with the cumulative corpus-coverage fraction "
+    "a vocabulary truncated at each rank would achieve — the standard "
+    "'how big must the vocab be' curve before training a tokenizer.  "
+    "Scale shape: the corpus is reduced to the |V|-row vocab table by one "
+    "hash aggregate (map-side combined); the ranking window then runs over "
+    "|V| rows, not the corpus, and |V| ≪ corpus size by Heaps' law.  The "
+    "grand total joins back as a broadcast of one row.  Coverage is "
+    "integer-floored at 1e-4 (bigint cumsums — no float drift).",
+    oracle=f"""
+WITH tf AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token, count(*) AS n FROM tf WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT token, CAST(n AS BIGINT) AS n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+         CAST(SUM(n) OVER (ORDER BY n DESC, token
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+  FROM vocab
+)
+SELECT rank, token, n,
+       CAST(cum_n * 10000 // (SELECT CAST(SUM(n) AS BIGINT) FROM vocab)
+            AS BIGINT) AS coverage_1e4
+FROM ranked
+WHERE rank <= {VOCAB_TOPK}
+""",
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    cum = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vocab.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "token",
+        "n",
+        F.sum("n").over(cum).alias("cum_n"),
+    ).where(F.col("rank") <= VOCAB_TOPK)
+    total = vocab.agg(F.sum("n").alias("total_n"))
+    # Integer DIV end-to-end (matches DuckDB `//`) — a double quotient
+    # could land on the wrong side of an integer boundary at scale.
+    return ranked.join(F.broadcast(total)).select(
+        "rank",
+        "token",
+        "n",
+        F.expr("CAST(cum_n * 10000 DIV total_n AS BIGINT)").alias(
+            "coverage_1e4"
+        ),
+    )

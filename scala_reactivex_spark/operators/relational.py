@@ -549,3 +549,51 @@ def rel_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 4
         ).alias("spend_90d"),
     )
+
+
+@register(
+    "rel_pivot",
+    tier="T2",
+    doc="PIVOT (wide conditional aggregation): per return-flag row with one "
+    "(sum_qty, sum_price) column pair per line-status.  Spark's "
+    "`.pivot(col, values)` with the value list given EXPLICITLY — the "
+    "two-pass 'discover distinct values first' form collects to the driver "
+    "and makes the output schema data-dependent, both wrong at 100 TB.  "
+    "With pinned values this stays ONE hash aggregate over "
+    "(flag × status)-conditional partials: same single shuffle as a plain "
+    "groupBy, map-side combined, whole-stage codegen.",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+           THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE), 4)
+           AS f_qty,
+       ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+           THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE), 4)
+           AS f_price,
+       ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+           THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE), 4)
+           AS o_qty,
+       ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+           THEN CAST(l_extendedprice AS DECIMAL(38,6)) END) AS DOUBLE), 4)
+           AS o_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            dsum("l_quantity").alias("qty"),
+            dsum("l_extendedprice").alias("price"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_qty").alias("f_qty"),
+        F.col("F_price").alias("f_price"),
+        F.col("O_qty").alias("o_qty"),
+        F.col("O_price").alias("o_price"),
+    )

@@ -1,0 +1,81 @@
+"""Invariant tests for the corpus-statistics / rebalancing operators.
+
+The DuckDB oracle gate (scripts/verify_local.py) pins exact values; these
+tests pin the LAWS the operators must satisfy at any scale factor, so a
+fixture change can't silently degrade them into degenerate output.
+"""
+
+from __future__ import annotations
+
+from scala_reactivex_spark.operators.llm_dedup import llm_boilerplate
+from scala_reactivex_spark.operators.llm_pipeline import (
+    STRATUM_CAP,
+    llm_stratified_sample,
+)
+from scala_reactivex_spark.operators.llm_text import (
+    VOCAB_TOPK,
+    llm_vocab_coverage,
+)
+from scala_reactivex_spark.operators.relational import rel_pivot
+
+
+def test_pivot_is_lossless_regrouping(spark, sf_dir):
+    """Pivot cells must re-sum to the plain groupBy totals (same rows,
+    different shape) — and every (flag × status) cell is populated in the
+    fixture, so no NULL column appears."""
+    rows = {r["l_returnflag"]: r for r in rel_pivot(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "N", "R"}
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.sources.catalog import table
+
+    plain = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"), 4).alias("q"))
+        .collect()
+    )
+    for p in plain:
+        r = rows[p["l_returnflag"]]
+        assert abs((r["f_qty"] + r["o_qty"]) - p["q"]) < 1e-6
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    rows = sorted(
+        llm_vocab_coverage(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, VOCAB_TOPK + 1))
+    # counts non-increasing in rank; coverage strictly increasing, ≤ 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["n"] >= b["n"]
+        assert a["coverage_1e4"] < b["coverage_1e4"]
+    assert 0 < rows[0]["coverage_1e4"] <= rows[-1]["coverage_1e4"] <= 10000
+
+
+def test_stratified_sample_respects_caps(spark, sf_dir):
+    rows = llm_stratified_sample(spark, sf_dir).collect()
+    assert rows, "no strata"
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        assert 1 <= r["threshold_256"] <= 256
+        # a stratum already under cap keeps everything (threshold saturates)
+        if r["n_total"] <= STRATUM_CAP:
+            assert r["threshold_256"] == 256
+            assert r["n_kept"] == r["n_total"]
+        else:
+            # binomial(n_total, k/256) concentrates: expected kept is
+            # n_total·k/256 ≈ cap; allow wide deterministic slack (±60%)
+            assert r["n_kept"] <= 2 * STRATUM_CAP
+
+
+def test_boilerplate_density_laws(spark, sf_dir):
+    rows = llm_boilerplate(spark, sf_dir).collect()
+    n_docs = len(rows)
+    assert n_docs > 0
+    for r in rows:
+        assert 0 < r["n_bigrams"]
+        assert 0 <= r["n_common"] <= r["n_bigrams"]
+        assert 0 <= r["common_1e4"] <= 10000
+        assert r["common_1e4"] == r["n_common"] * 10000 // r["n_bigrams"]
+    # the signal must separate documents (not a degenerate constant column)
+    assert len({r["common_1e4"] for r in rows}) > 1
