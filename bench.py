@@ -47,6 +47,7 @@ BEYOND_BASELINE = {
     "llm_pack_sequences",
     "llm_embed_quantize",
     "rel_pivot",
+    "llm_decontaminate",
     "llm_vocab_coverage",
     "llm_stratified_sample",
     "llm_boilerplate",

@@ -231,3 +231,85 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+DECON_W = 4  # probe shingle width (words)
+
+
+@register(
+    "llm_decontaminate",
+    tier="T3",
+    doc="Eval-set decontamination: the held-out 'test' split (same "
+    "content-hash routing as llm_doc_split) contributes its distinct "
+    f"{DECON_W}-gram probe set; every train doc sharing at least one probe "
+    "n-gram is flagged with its hit count and hit density — the standard "
+    "benchmark-leakage sweep run before pretraining.  Scale shape: the "
+    "probe set is DISTINCT n-grams of the (small) eval corpus — broadcast "
+    "when it fits, hash shuffle join on the n-gram key otherwise (AQE "
+    "decides); the train side streams map-side into the join, then one "
+    "per-doc aggregate.  No driver collection, all-integer outputs.",
+    oracle="""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+              WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+              ELSE 'test' END AS split,
+         string_split(text, ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, split,
+         unnest(list_transform(generate_series(1, len(words) - 3),
+                i -> array_to_string(words[i:i+3], ' '))) AS s
+  FROM split WHERE len(words) >= 4
+), probes AS (
+  SELECT DISTINCT s FROM sh WHERE split = 'test'
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(*) * 10000 // max(grams.n_grams) AS BIGINT) AS hit_1e4
+FROM sh
+JOIN probes USING (s)
+JOIN (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id) grams
+  USING (doc_id)
+WHERE sh.split = 'train'
+GROUP BY sh.doc_id
+""",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    w = docs.select(
+        "doc_id", split.alias("split"), F.split("text", " ").alias("words")
+    ).where(F.size("words") >= DECON_W)
+    sh = w.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (DECON_W - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("words"), i, DECON_W)
+                ),
+            )
+        ).alias("s"),
+    )
+    probes = sh.where(F.col("split") == "test").select("s").distinct()
+    grams = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        sh.where(F.col("split") == "train")
+        .join(probes, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.join(grams, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        F.expr("CAST(n_hits * 10000 DIV n_grams AS BIGINT)").alias(
+            "hit_1e4"
+        ),
+    )

@@ -79,3 +79,18 @@ def test_boilerplate_density_laws(spark, sf_dir):
         assert r["common_1e4"] == r["n_common"] * 10000 // r["n_bigrams"]
     # the signal must separate documents (not a degenerate constant column)
     assert len({r["common_1e4"] for r in rows}) > 1
+
+
+def test_decontaminate_flags_only_train_docs(spark, sf_dir):
+    from scala_reactivex_spark.operators.llm_pipeline import llm_decontaminate
+    from scala_reactivex_spark.operators.llm_pipeline import llm_doc_split
+
+    rows = llm_decontaminate(spark, sf_dir).collect()
+    assert rows, "fixture should contain some contamination"
+    n_train = {
+        r["split"]: r["n_docs"] for r in llm_doc_split(spark, sf_dir).collect()
+    }["train"]
+    assert len(rows) <= n_train
+    for r in rows:
+        assert r["n_hits"] >= 1
+        assert 0 < r["hit_1e4"] <= 10000
