@@ -90,19 +90,48 @@ def main() -> None:
         sum(t for n, t in times.items() if n in BEYOND_BASELINE), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "extras_seconds": extras,
-                "extras": sorted(BEYOND_BASELINE),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail (headline + extras, 3 decimals) goes to a repo
+    # file; the stdout contract line must stay SHORT.  The bench driver
+    # keeps only the last ~2000 chars of stdout and parses the final line —
+    # round 2's line outgrew that window when extras landed and the driver
+    # recorded parsed:null (BENCH_r02.json).  So: detail → file, stdout →
+    # compact line with ONLY the frozen 72-query headline set (the
+    # BASELINE.md pin), 2-decimal seconds, no spaces.
+    detail = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "extras_seconds": extras,
+        "extras": sorted(BEYOND_BASELINE),
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    headline = {
+        n: round(t, 2) for n, t in times.items() if n not in BEYOND_BASELINE
+    }
+    line = json.dumps(
+        {
+            "metric": "headline_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": headline,
+            "extras_seconds": extras,
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    # Hard bound: the driver's stdout tail is 2000 chars; leave margin for
+    # a trailing progress-bar erase sequence.
+    assert len(line) < 1900, f"bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

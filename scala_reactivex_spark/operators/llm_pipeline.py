@@ -126,23 +126,41 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round(x_i / scale * 127) with scale = max |x_i| — the embedding "
     "compression step before serving/ANN storage. Quantized values are "
     "exact integers (identical HALF-away-from-zero rounding of identical "
-    "doubles both engines); the dequant error bound is part of the row.",
+    "doubles both engines).  The compared row carries SCALAR summaries of "
+    "the quantized vector (L1 mass, min/max, saturation count) plus the "
+    "dequant error bound — never the raw array: the driver's canonicalizer "
+    "sorts/hashes pandas columns and list cells are unhashable "
+    "(CORRECTNESS_r02 regression).  An all-zero vector quantizes to the "
+    "zero vector with zero error (scale=0 guard both engines, never 0/0).",
     oracle="""
 WITH s AS (
   SELECT vec_id,
          list_max(list_transform(embedding,
                                  x -> abs(CAST(x AS DOUBLE)))) AS scale
   FROM embeddings
+), q AS (
+  SELECT e.vec_id, s.scale, e.embedding,
+         CASE WHEN s.scale = 0
+              THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e.embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) / s.scale * 127)
+                            AS BIGINT))
+         END AS qv
+  FROM embeddings e JOIN s ON e.vec_id = s.vec_id
 )
-SELECT e.vec_id,
-       list_transform(e.embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) / s.scale * 127) AS BIGINT))
-         AS q,
-       CAST(floor(list_max(list_transform(e.embedding,
-           x -> abs(CAST(round(CAST(x AS DOUBLE) / s.scale * 127) AS
-                         DOUBLE) / 127 * s.scale - CAST(x AS DOUBLE))))
-         * 10000) AS BIGINT) AS max_err_1e4
-FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+SELECT vec_id,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+       CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(list_max(list_transform(
+                     generate_series(1, len(qv)),
+                     i -> abs(CAST(qv[i] AS DOUBLE) / 127 * scale
+                              - CAST(embedding[i] AS DOUBLE))))
+                 * 10000) AS BIGINT)
+       END AS max_err_1e4
+FROM q
 """,
 )
 def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,11 +169,17 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     )
     e = e.withColumn("scale", scale)
-    q = F.transform(
-        "embedding",
-        lambda x: F.round(x.cast("double") / F.col("scale") * 127, 0).cast(
-            "bigint"
-        ),
+    zero = F.lit(0).cast("bigint")
+    q = F.when(
+        F.col("scale") == 0,
+        F.transform("embedding", lambda x: zero),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.round(
+                x.cast("double") / F.col("scale") * 127, 0
+            ).cast("bigint"),
+        )
     )
     e = e.withColumn("q", q)
     dequant_err = F.array_max(
@@ -171,8 +195,19 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's truncates — floor pins one semantic.
     return e.select(
         "vec_id",
-        "q",
-        F.floor(dequant_err * 10000).cast("bigint").alias("max_err_1e4"),
+        F.aggregate(
+            F.transform("q", lambda v: F.abs(v)),
+            zero,
+            lambda acc, v: acc + v,
+        ).alias("q_l1"),
+        F.array_min("q").cast("bigint").alias("q_min"),
+        F.array_max("q").cast("bigint").alias("q_max"),
+        F.size(F.filter("q", lambda v: F.abs(v) == 127))
+        .cast("bigint")
+        .alias("n_sat"),
+        F.when(F.col("scale") == 0, zero)
+        .otherwise(F.floor(dequant_err * 10000).cast("bigint"))
+        .alias("max_err_1e4"),
     )
 
 
@@ -248,7 +283,7 @@ DECON_W = 4  # probe shingle width (words)
     "when it fits, hash shuffle join on the n-gram key otherwise (AQE "
     "decides); the train side streams map-side into the join, then one "
     "per-doc aggregate.  No driver collection, all-integer outputs.",
-    oracle="""
+    oracle=f"""
 WITH split AS (
   SELECT doc_id,
          CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
@@ -258,9 +293,9 @@ WITH split AS (
   FROM documents
 ), sh AS (
   SELECT doc_id, split,
-         unnest(list_transform(generate_series(1, len(words) - 3),
-                i -> array_to_string(words[i:i+3], ' '))) AS s
-  FROM split WHERE len(words) >= 4
+         unnest(list_transform(generate_series(1, len(words) - {DECON_W - 1}),
+                i -> array_to_string(words[i:i+{DECON_W - 1}], ' '))) AS s
+  FROM split WHERE len(words) >= {DECON_W}
 ), probes AS (
   SELECT DISTINCT s FROM sh WHERE split = 'test'
 )

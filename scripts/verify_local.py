@@ -81,6 +81,24 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             continue
+        # Driver-hashability rule: the external gate canonicalizes results
+        # with pandas sort_values over every column, which crashes on
+        # list/array/dict cells (unhashable — llm_embed_quantize,
+        # CORRECTNESS_r02).  Compared outputs must be scalar columns only.
+        unhashable = {
+            c
+            for r in srows[:100]
+            for c, v in zip(scols, r)
+            if isinstance(v, (list, dict, set, bytearray))
+        }
+        if unhashable:
+            print(
+                f"FAIL  {name}: non-scalar output column(s) "
+                f"{sorted(unhashable)} — driver canonicalizer cannot "
+                "sort/hash list cells; emit scalar summaries instead"
+            )
+            n_fail += 1
+            continue
         if not spec.oracle:
             print(
                 f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)"
