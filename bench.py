@@ -51,6 +51,14 @@ BEYOND_BASELINE = {
     "llm_vocab_coverage",
     "llm_stratified_sample",
     "llm_boilerplate",
+    # round 3
+    "llm_repetition_score",
+    "llm_token_entropy",
+    "llm_unigram_lm",
+    "llm_cdc_chunks",
+    "llm_embed_norm_stats",
+    "rel_grouping_sets",
+    "rel_q6_forecast",
 }
 
 

@@ -1,0 +1,327 @@
+"""Per-document corpus quality signals (SURVEY.md §2.10 family, round 3).
+
+The filtering stage of a pretraining-data pipeline scores every document
+with cheap statistical signals before any model-based scoring:
+
+- ``llm_repetition_score``: Gopher-style repetition — top-token and
+  top-bigram mass plus the distinct-token ratio.  Highly repetitive
+  documents (boilerplate, generated spam, scraped menus) light up here.
+- ``llm_token_entropy``: unigram Shannon entropy per document — the
+  information-density cousin of the repetition score (low entropy ⇒
+  few tokens dominate).
+- ``llm_unigram_lm``: corpus-level unigram language-model score — the
+  summed log10 probability of each document's tokens under the corpus
+  unigram distribution, the classic cheap perplexity proxy for outlier
+  detection.
+- ``llm_cdc_chunks``: content-defined chunking — boundaries where the
+  hash of a sliding token shingle lands in a fixed residue class, so
+  chunk edges move WITH the content (insert a word and only the local
+  chunk changes — the property dedup-friendly chunking needs; fixed-size
+  chunking reshuffles every downstream boundary).
+- ``llm_embed_norm_stats``: per-label embedding L2-norm health stats —
+  the standard sanity sweep before ANN indexing (norm collapse or
+  explosion per class is the first thing to check).
+
+Determinism (§2.11): every ratio/score that crosses the engine boundary
+is integer (scaled by 1e4/1e6 with an explicit half-up floor on identical
+doubles) or ROUND(x,4); integer division is Spark ``DIV`` ≡ DuckDB ``//``
+on non-negative operands only (negative semantics differ — never divide
+negatives); DuckDB integer SUM/``count`` widenings are pinned to BIGINT.
+
+Scale shape: every operator is explode → map-side-combined aggregate (or
+a pure projection), no driver collection, no all-pairs join.  The one
+scalar (corpus token total) rides a 1-row broadcast cross join, the same
+declared pattern as llm_vocab_coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import table
+
+CDC_W = 4  # chunking shingle width (tokens)
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok) — whitespace tokens, the shared corpus convention."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+
+
+@register(
+    "llm_repetition_score",
+    tier="T3",
+    doc="Gopher-style repetition signals per document: total/distinct "
+    "token counts, the mass of the single most frequent token and of the "
+    "most frequent bigram (scaled 1e4, integer DIV).  Scale shape: two "
+    "explode→two-level hash aggregates joined on doc_id — map-side "
+    "partials throughout, no windows over the corpus, no driver state.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_cnt
+  FROM c GROUP BY doc_id
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                i -> array_to_string(words[i:i+1], ' '))) AS b
+  FROM w WHERE len(words) >= 2
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+), bper AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigram,
+         CAST(max(c) AS BIGINT) AS top_bg
+  FROM bc GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tok, p.n_distinct,
+       CAST(p.top_cnt * 10000 // p.n_tok AS BIGINT) AS top_tok_1e4,
+       CAST(p.n_distinct * 10000 // p.n_tok AS BIGINT) AS distinct_1e4,
+       CAST(b.top_bg * 10000 // b.n_bigram AS BIGINT) AS top_bigram_1e4
+FROM per_doc p JOIN bper b USING (doc_id)
+""",
+)
+def llm_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_cnt"),
+    )
+    words = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    bg = words.where(F.size("words") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("words"), i, 2)),
+            )
+        ).alias("b"),
+    )
+    bper = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigram"),
+            F.max("c").cast("bigint").alias("top_bg"),
+        )
+    )
+    return per_doc.join(bper, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        F.expr("CAST(top_cnt * 10000 DIV n_tok AS BIGINT)").alias(
+            "top_tok_1e4"
+        ),
+        F.expr("CAST(n_distinct * 10000 DIV n_tok AS BIGINT)").alias(
+            "distinct_1e4"
+        ),
+        F.expr("CAST(top_bg * 10000 DIV n_bigram AS BIGINT)").alias(
+            "top_bigram_1e4"
+        ),
+    )
+
+
+@register(
+    "llm_token_entropy",
+    tier="T3",
+    doc="Unigram Shannon entropy per document (bits): H = -Σ p·log2(p) "
+    "over the doc's token distribution, ROUND(,4) both engines.  The "
+    "per-token terms are IEEE ops on identical doubles; the per-doc sum "
+    "spans ≤|vocab| terms so cross-engine accumulation drift is far below "
+    "the 1e-4 grid.  Scale shape: one explode→(doc,tok) aggregate, a "
+    "doc-partitioned window for the total, one final aggregate.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), e AS (
+  SELECT doc_id, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM c
+)
+SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tok, count(*) AS n_distinct,
+       ROUND(-sum((CAST(c AS DOUBLE) / n)
+                  * log2(CAST(c AS DOUBLE) / n)), 4) AS entropy
+FROM e GROUP BY doc_id
+""",
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("doc_id")).cast("bigint")
+    e = cnt.withColumn("n", n)
+    p = F.col("c").cast("double") / F.col("n")
+    return e.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tok"),
+        F.count("*").alias("n_distinct"),
+        F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"),
+    )
+
+
+@register(
+    "llm_unigram_lm",
+    tier="T3",
+    doc="Corpus-unigram LM score — the cheap perplexity proxy: each "
+    "token contributes log10(count(tok)/total_tokens); the per-doc sum "
+    "is emitted as an INTEGER (per-token half-up floor at 1e6 on "
+    "identical doubles, then exact integer summation) so cross-engine "
+    "accumulation order cannot drift the hash.  Scale shape: the "
+    "frequency table is one map-side-combined aggregate joined back on "
+    "the token key (AQE picks broadcast vs shuffle by vocab size); the "
+    "corpus total is a 1-row broadcast cross join (declared, allow-"
+    "listed); per-doc score is one final aggregate.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), t AS (
+  SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS t FROM freq
+)
+SELECT toks.doc_id, count(*) AS n_tok,
+       CAST(sum(CAST(floor(log10(CAST(f.c AS DOUBLE) / t.t) * 1000000
+                           + 0.5) AS BIGINT)) AS BIGINT) AS logp_sum_1e6
+FROM toks JOIN freq f USING (tok) CROSS JOIN t
+GROUP BY toks.doc_id
+""",
+)
+def llm_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(spark, sf_dir)
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(
+        F.sum("c").cast("bigint").cast("double").alias("t")
+    )
+    lp = F.floor(
+        F.log10(F.col("c").cast("double") / F.col("t")) * 1000000 + 0.5
+    ).cast("bigint")
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(lp).cast("bigint").alias("logp_sum_1e6"),
+        )
+    )
+
+
+@register(
+    "llm_cdc_chunks",
+    tier="T3",
+    doc=f"Content-defined chunking: a boundary falls after every "
+    f"{CDC_W}-token shingle whose md5 starts with nibble 0 or 1 "
+    "(expected boundary rate 1/8 ⇒ ~8-token chunks) — edges are a pure "
+    "function of local content, so an edit only re-chunks its own "
+    "neighborhood (the invariant CDC exists for; fixed-width chunking "
+    "shifts every later boundary).  Emits per-doc shingle/boundary/chunk "
+    "counts.  Scale shape: explode → one aggregate, embarrassingly "
+    "parallel; md5 is JVM-side codegen, no Python.",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - {CDC_W - 1}),
+                i -> array_to_string(words[i:i+{CDC_W - 1}], ' '))) AS s
+  FROM w WHERE len(words) >= {CDC_W}
+)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(count(*) FILTER (WHERE substr(md5(s), 1, 1) IN ('0', '1'))
+            AS BIGINT) AS n_bounds,
+       CAST(count(*) FILTER (WHERE substr(md5(s), 1, 1) IN ('0', '1'))
+            + 1 AS BIGINT) AS n_chunks
+FROM sh GROUP BY doc_id
+""",
+)
+def llm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    sh = words.where(F.size("words") >= CDC_W).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (CDC_W - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("words"), i, CDC_W)
+                ),
+            )
+        ).alias("s"),
+    )
+    is_bound = F.substring(F.md5(F.col("s").cast("binary")), 1, 1).isin(
+        "0", "1"
+    )
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.count(F.when(is_bound, 1)).cast("bigint").alias("n_bounds"),
+        (F.count(F.when(is_bound, 1)) + 1).cast("bigint").alias("n_chunks"),
+    )
+
+
+@register(
+    "llm_embed_norm_stats",
+    tier="T3",
+    doc="Embedding L2-norm health per label — the pre-ANN sanity sweep "
+    "(norm collapse/explosion per class breaks cosine indexes).  The "
+    "in-vector square sum folds in array order (identical fold order "
+    "both engines ⇒ identical double), then the per-row norm is pinned "
+    "to an integer (half-up floor at 1e6) so the cross-row aggregation "
+    "order cannot drift: sum/min/max are exact integer ops.  Scale "
+    "shape: one projection + one map-side-combined aggregate on a "
+    "low-cardinality key.",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         CAST(floor(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * 1000000 + 0.5) AS BIGINT) AS norm_1e6
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(sum(norm_1e6) AS BIGINT) AS sum_norm_1e6,
+       CAST(min(norm_1e6) AS BIGINT) AS min_norm_1e6,
+       CAST(max(norm_1e6) AS BIGINT) AS max_norm_1e6
+FROM n GROUP BY label
+""",
+)
+def llm_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    norm_1e6 = F.floor(F.sqrt(sq_sum) * 1000000 + 0.5).cast("bigint")
+    return (
+        e.select("label", norm_1e6.alias("norm_1e6"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("norm_1e6").cast("bigint").alias("sum_norm_1e6"),
+            F.min("norm_1e6").cast("bigint").alias("min_norm_1e6"),
+            F.max("norm_1e6").cast("bigint").alias("max_norm_1e6"),
+        )
+    )

@@ -597,3 +597,83 @@ def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_qty").alias("o_qty"),
         F.col("O_price").alias("o_price"),
     )
+
+
+@register(
+    "rel_grouping_sets",
+    tier="T2",
+    doc="Explicit GROUPING SETS ((status,priority),(status),()) — the "
+    "third member of the rollup/cube/grouping-sets family, with a "
+    "grouping-id discriminator; decimal sums for cross-engine exactness. "
+    "Scale shape: Catalyst expands the sets into one Expand + single "
+    "hash aggregate (map-side partials intact) — not one scan per set.",
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+           AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+""",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2
+                + F.grouping("o_orderpriority")
+            ).alias("gid"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "orderpriority"
+            ),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "rel_q6_forecast",
+    tier="T2",
+    doc="TPC-H Q6-shaped revenue-change forecast: tight multi-predicate "
+    "scan (date range + discount band + quantity cap) into a single "
+    "global aggregate — the canonical predicate-pushdown showcase: every "
+    "filter reaches the parquet scan, ReadSchema is 3 columns, and the "
+    "aggregate is one map-side-combined row per partition.",
+    oracle="""
+SELECT count(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_extendedprice * l_discount
+           AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def rel_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum(F.expr("l_extendedprice * l_discount")).alias("revenue"),
+    )

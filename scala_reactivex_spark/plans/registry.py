@@ -33,6 +33,7 @@ _OPERATOR_MODULES = (
     "scala_reactivex_spark.operators.llm_text",
     "scala_reactivex_spark.operators.llm_multimodal",
     "scala_reactivex_spark.operators.llm_pipeline",
+    "scala_reactivex_spark.operators.llm_signals",
 )
 
 

@@ -1,0 +1,151 @@
+"""Invariant tests for the quality-signal operators (llm_signals.py).
+
+The DuckDB oracle gate (scripts/verify_local.py) pins exact values; these
+tests pin the LAWS each signal must satisfy at any scale factor, so a
+fixture change can't silently degrade them into degenerate output.
+"""
+
+from __future__ import annotations
+
+import math
+
+from scala_reactivex_spark.operators.llm_signals import (
+    CDC_W,
+    llm_cdc_chunks,
+    llm_embed_norm_stats,
+    llm_repetition_score,
+    llm_token_entropy,
+    llm_unigram_lm,
+)
+from scala_reactivex_spark.operators.relational import (
+    rel_grouping_sets,
+    rel_q6_forecast,
+)
+
+
+def test_repetition_ratios_bounded(spark, sf_dir):
+    """All 1e4-scaled masses are proper ratios; distinct ≤ total; a
+    nonempty corpus yields nonempty output."""
+    rows = llm_repetition_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["top_tok_1e4"] <= 10000
+        assert 1 <= r["distinct_1e4"] <= 10000
+        assert 1 <= r["top_bigram_1e4"] <= 10000
+        assert 1 <= r["n_distinct"] <= r["n_tok"]
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 ≤ H ≤ log2(n_distinct) (uniform-distribution maximum), and the
+    fixture's word-salad docs are not degenerate single-token streams."""
+    rows = llm_token_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy"] <= math.log2(r["n_distinct"]) + 1e-9
+    assert any(r["entropy"] > 1.0 for r in rows)
+
+
+def test_unigram_lm_scores_negative_and_token_consistent(spark, sf_dir):
+    """log10 p < 0 for every token ⇒ strictly negative sums; token counts
+    agree with the entropy operator's per-doc totals (same tokenizer)."""
+    lm = {r["doc_id"]: r for r in llm_unigram_lm(spark, sf_dir).collect()}
+    ent = {
+        r["doc_id"]: r for r in llm_token_entropy(spark, sf_dir).collect()
+    }
+    assert set(lm) == set(ent)
+    for d, r in lm.items():
+        assert r["logp_sum_1e6"] < 0
+        assert r["n_tok"] == ent[d]["n_tok"]
+
+
+def test_cdc_chunk_arithmetic(spark, sf_dir):
+    """chunks = boundaries + 1; shingle count = n_tok - (W-1); boundary
+    rate over the corpus is near the designed 1/8 (md5 nibble ∈ {0,1})."""
+    rows = llm_cdc_chunks(spark, sf_dir).collect()
+    ent = {
+        r["doc_id"]: r for r in llm_token_entropy(spark, sf_dir).collect()
+    }
+    assert rows
+    tot_sh = tot_b = 0
+    for r in rows:
+        assert r["n_chunks"] == r["n_bounds"] + 1
+        assert r["n_shingles"] == ent[r["doc_id"]]["n_tok"] - (CDC_W - 1)
+        tot_sh += r["n_shingles"]
+        tot_b += r["n_bounds"]
+    rate = tot_b / tot_sh
+    assert 0.08 <= rate <= 0.17, f"boundary rate {rate} far from 1/8"
+
+
+def test_cdc_boundaries_are_edit_local(spark, sf_dir):
+    """The CDC property itself: two docs sharing a long suffix produce the
+    same boundary decisions inside the shared region (shingle hashes are a
+    pure function of shingle content — checked via the registered op on a
+    synthetic two-doc frame)."""
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = "PREFIX " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    sh = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.size(F.split("text", " ")) - (CDC_W - 1)
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split("text", " "), i, CDC_W)
+                ),
+            )
+        ).alias("pos", "s"),
+    ).withColumn(
+        "bound",
+        F.substring(F.md5(F.col("s").cast("binary")), 1, 1).isin("0", "1"),
+    )
+    a = [
+        (r["s"], r["bound"])
+        for r in sh.where("doc_id = 1").orderBy("pos").collect()
+    ]
+    b = [
+        (r["s"], r["bound"])
+        for r in sh.where("doc_id = 2").orderBy("pos").collect()
+    ]
+    # Every shingle fully inside the shared suffix decides identically.
+    assert b[1:] == a
+
+
+def test_norm_stats_ordering(spark, sf_dir):
+    """min ≤ mean ≤ max per label; every fixture label present."""
+    rows = llm_embed_norm_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        mean = r["sum_norm_1e6"] / r["n_vecs"]
+        assert r["min_norm_1e6"] <= mean <= r["max_norm_1e6"]
+        assert r["min_norm_1e6"] > 0  # no zero vectors in the fixture
+
+
+def test_grouping_sets_reaggregate(spark, sf_dir):
+    """Finest level re-sums to the per-status level, which re-sums to the
+    grand total; gid discriminates the three levels."""
+    rows = rel_grouping_sets(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[3]) == 1  # one grand-total row
+    fine_n = sum(r["n_orders"] for r in by_gid[0])
+    mid_n = sum(r["n_orders"] for r in by_gid[1])
+    assert fine_n == mid_n == by_gid[3][0]["n_orders"]
+
+
+def test_q6_selects_strict_subset(spark, sf_dir):
+    """The multi-predicate filter keeps a nonzero strict subset and
+    revenue is positive."""
+    from scala_reactivex_spark.sources.catalog import table
+
+    r = rel_q6_forecast(spark, sf_dir).collect()[0]
+    total = table(spark, sf_dir, "lineitem").count()
+    assert 0 < r["n_rows"] < total
+    assert r["revenue"] > 0
