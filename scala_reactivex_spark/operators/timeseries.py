@@ -1,0 +1,259 @@
+"""Time-series / change-data-capture operators over the events stream.
+
+The reference's event model (SURVEY.md §1.2, §2.9 custom-operator row) calls
+for the temporal join/compaction family every event-sourced system needs and
+plain SQL lacks first-class syntax for:
+
+- ``rel_join_asof``: as-of join — each purchase picks the MOST RECENT click
+  of the same user at-or-before its timestamp.  Spark has no ASOF JOIN; the
+  scalable formulation is union-tag + one partitioned sort + ``last(...,
+  ignorenulls)`` — a single shuffle on the key, NO range-expanded
+  intermediate (the naive interval join materializes every (purchase ×
+  preceding-click) pair before aggregating it away).
+- ``rel_cdc_upsert``: latest-change-wins compaction of a change log — the
+  MERGE/upsert snapshot shape, as one map-side-combinable ``max(struct)``.
+- ``rel_scd2``: slowly-changing-dimension type-2 intervals — contiguous
+  same-value runs become [valid_from, valid_to) effective ranges
+  (gaps-and-islands with a running change counter).
+- ``rel_funnel``: ordered conversion funnel (signup → click → purchase),
+  each stage anchored at-or-after the previous stage's first completion.
+
+Determinism (§2.11): event total order is (ts, event_id) everywhere; time is
+emitted only as ``ms`` (≡ DuckDB ``epoch_ms``); ratios are integer ``DIV``
+on non-negative operands; window frames are explicit ROWS frames.
+
+Scale shape: every operator here is ONE hash shuffle on its natural key
+(user_id or (user_id, event_type)) with any window sorts riding that same
+partitioning — no broadcast of the fact side, no driver state, no
+correlated per-row work.  At 100 TB the events table would be
+bucketed/partitioned by user_id and these plans keep zero extra exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import table
+
+
+@register(
+    "rel_join_asof",
+    tier="T2",
+    doc="As-of join: purchase ← most recent click of the same user with "
+    "click.ts <= purchase.ts (ties on ts broken by max event_id).  "
+    "Implemented as union-tag + last(ignorenulls) over one (user_id)-"
+    "partitioned ROWS frame — one shuffle, no pair blow-up; the oracle is "
+    "the independent max-ts/max-id two-join formulation.",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+     best AS (
+       SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+              max(c.ts) AS c_ts
+       FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+       GROUP BY p.event_id, p.user_id, p.ts)
+SELECT b.p_event_id, b.user_id, epoch_ms(b.p_ts) AS p_ms,
+       max(c.event_id) AS c_event_id, epoch_ms(b.c_ts) AS c_ms
+FROM best b LEFT JOIN c ON c.user_id = b.user_id AND c.ts = b.c_ts
+GROUP BY b.p_event_id, b.user_id, b.p_ts, b.c_ts
+""",
+)
+def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # kind 0 sorts clicks before a same-ts purchase (<= semantics); within
+    # a ts tie the click with max event_id is last, so it wins.
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "ms", F.lit(0).alias("kind")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "ms", F.lit(1).alias("kind")
+    )
+    u = clicks.unionByName(purchases).select(
+        "*",
+        F.when(F.col("kind") == 0, F.col("event_id")).alias("click_id"),
+        F.when(F.col("kind") == 0, F.col("ms")).alias("click_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("c_event_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("c_ms", F.last("click_ms", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ms").alias("p_ms"),
+            "c_event_id",
+            "c_ms",
+        )
+    )
+
+
+@register(
+    "rel_cdc_upsert",
+    tier="T2",
+    doc="Latest-change-wins upsert compaction: the events table as a change "
+    "log keyed by (user_id, event_type); emit each key's current state — "
+    "the MERGE INTO snapshot shape.  One max(struct) aggregate ordered by "
+    "the (ts, event_id) total order: map-side combinable, ONE shuffle, "
+    "strictly cheaper than the window row_number formulation the oracle "
+    "uses (which must materialize and sort every version).",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms, value,
+         CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+             AS n_changes,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, n_changes, event_id, ms, value
+FROM r WHERE rn = 1
+""",
+)
+def rel_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # Lexicographic struct max on the unique (ts, event_id) prefix — the
+    # trailing payload fields never participate in the comparison.
+    last = F.max(F.struct("ts", "event_id", "ms", "value")).alias("last")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_changes"), last)
+        .select(
+            "user_id",
+            "event_type",
+            "n_changes",
+            F.col("last.event_id").alias("event_id"),
+            F.col("last.ms").alias("ms"),
+            F.col("last.value").alias("value"),
+        )
+    )
+
+
+@register(
+    "rel_scd2",
+    tier="T2",
+    doc="SCD type-2 interval build: per user, contiguous runs of the same "
+    "event_type become [valid_from_ms, valid_to_ms) effective ranges "
+    "(valid_to = next run's start, NULL while current).  Gaps-and-islands "
+    "via a running change-flag sum; both window passes and the final lead "
+    "ride the SAME user_id partitioning — one shuffle end to end.",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ms,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, event_type, ms,
+         CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END
+             AS chg
+  FROM o),
+s AS (
+  SELECT user_id, event_type, ms,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ms
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+  FROM f),
+g AS (
+  SELECT user_id, seg, min(event_type) AS event_type,
+         CAST(min(ms) AS BIGINT) AS valid_from_ms,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, seg)
+SELECT user_id, seg, event_type, valid_from_ms,
+       lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY seg)
+           AS valid_to_ms,
+       n_events
+FROM g
+""",
+)
+def rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "ms"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(wseq)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    run = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    segs = ev.withColumn("chg", chg).withColumn(
+        "seg", F.sum("chg").over(run).cast("bigint")
+    )
+    g = segs.groupBy("user_id", "seg").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ms").cast("bigint").alias("valid_from_ms"),
+        F.count("*").alias("n_events"),
+    )
+    wuser = Window.partitionBy("user_id").orderBy("seg")
+    return g.select(
+        "user_id",
+        "seg",
+        "event_type",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(wuser).alias("valid_to_ms"),
+        "n_events",
+    )
+
+
+@register(
+    "rel_funnel",
+    tier="T2",
+    doc="Ordered conversion funnel signup → click → purchase: each stage "
+    "counts users whose first qualifying event is at-or-after the previous "
+    "stage's anchor.  Three unbounded windows over ONE user_id partitioning "
+    "(no re-shuffle between stages), then a single global roll-up; "
+    "conversion rates are integer 1e4 ratios (non-negative DIV).",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase,
+       CAST((SELECT count(*) FROM s2) * 10000
+            // (SELECT count(*) FROM s1) AS BIGINT) AS click_conv_1e4,
+       CAST((SELECT count(*) FROM s3) * 10000
+            // (SELECT count(*) FROM s1) AS BIGINT) AS purchase_conv_1e4
+""",
+)
+def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    df = ev.withColumn("s1", F.min(F.when(is_("signup"), F.col("ts"))).over(wu))
+    df = df.withColumn(
+        "s2",
+        F.min(
+            F.when(is_("click") & (F.col("ts") >= F.col("s1")), F.col("ts"))
+        ).over(wu),
+    )
+    df = df.withColumn(
+        "s3",
+        F.min(
+            F.when(is_("purchase") & (F.col("ts") >= F.col("s2")), F.col("ts"))
+        ).over(wu),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("s1").alias("s1"), F.max("s2").alias("s2"), F.max("s3").alias("s3")
+    )
+    return per_user.agg(
+        F.count("s1").cast("bigint").alias("n_signup"),
+        F.count("s2").cast("bigint").alias("n_click"),
+        F.count("s3").cast("bigint").alias("n_purchase"),
+        F.expr("CAST(count(s2) * 10000 DIV count(s1) AS BIGINT)").alias(
+            "click_conv_1e4"
+        ),
+        F.expr("CAST(count(s3) * 10000 DIV count(s1) AS BIGINT)").alias(
+            "purchase_conv_1e4"
+        ),
+    )

@@ -28,6 +28,7 @@ _OPERATOR_MODULES = (
     "scala_reactivex_spark.operators.combinators",
     "scala_reactivex_spark.operators.aggregates",
     "scala_reactivex_spark.operators.relational",
+    "scala_reactivex_spark.operators.timeseries",
     "scala_reactivex_spark.operators.llm_dedup",
     "scala_reactivex_spark.operators.llm_similarity",
     "scala_reactivex_spark.operators.llm_text",

@@ -1,0 +1,100 @@
+"""Invariant tests for the time-series/CDC operators (timeseries.py).
+
+The DuckDB oracle gate pins exact values; these pin the operator LAWS so a
+fixture change can't degrade the semantics silently.
+"""
+
+from __future__ import annotations
+
+from scala_reactivex_spark.operators.timeseries import (
+    rel_cdc_upsert,
+    rel_funnel,
+    rel_join_asof,
+    rel_scd2,
+)
+from scala_reactivex_spark.sources.catalog import table
+
+
+def test_asof_match_is_at_or_before(spark, sf_dir):
+    """Every matched click precedes (or ties) its purchase; every purchase
+    appears exactly once (left-join cardinality preservation)."""
+    rows = rel_join_asof(spark, sf_dir).collect()
+    n_purch = (
+        table(spark, sf_dir, "events")
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    assert len(rows) == n_purch
+    assert len({r["p_event_id"] for r in rows}) == n_purch
+    matched = [r for r in rows if r["c_event_id"] is not None]
+    assert matched, "fixture should produce at least one as-of match"
+    for r in matched:
+        assert r["c_ms"] <= r["p_ms"]
+
+
+def test_asof_picks_latest_click(spark, sf_dir):
+    """Spot-check the as-of law per row against a brute-force recompute for
+    one user: the matched click IS max-by-(ts, event_id) among candidates."""
+    rows = rel_join_asof(spark, sf_dir).collect()
+    some_user = next(r["user_id"] for r in rows if r["c_event_id"] is not None)
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(f"user_id = {some_user}")
+        .select("event_id", "event_type", "ts", "ms")
+        .collect()
+    )
+    clicks = sorted(
+        ((r["ts"], r["event_id"], r["ms"]) for r in ev if r["event_type"] == "click")
+    )
+    purch = {r["event_id"]: r["ts"] for r in ev if r["event_type"] == "purchase"}
+    got = {r["p_event_id"]: r["c_event_id"] for r in rows if r["user_id"] == some_user}
+    for p_id, p_ts in purch.items():
+        cands = [(ts, eid) for ts, eid, _ in clicks if ts <= p_ts]
+        want = max(cands)[1] if cands else None
+        assert got[p_id] == want
+
+
+def test_cdc_upsert_is_latest_state(spark, sf_dir):
+    """One row per live key; version counts re-sum to the full log; the
+    surviving ms is the key's max (latest wins)."""
+    rows = rel_cdc_upsert(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    assert len(rows) == ev.select("user_id", "event_type").distinct().count()
+    assert sum(r["n_changes"] for r in rows) == ev.count()
+    mx = {
+        (r["user_id"], r["event_type"]): r["mx"]
+        for r in ev.groupBy("user_id", "event_type")
+        .agg({"ms": "max"})
+        .withColumnRenamed("max(ms)", "mx")
+        .collect()
+    }
+    for r in rows:
+        assert r["ms"] == mx[(r["user_id"], r["event_type"])]
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    """Per user: segs number 1..k; intervals chain (valid_to == next
+    valid_from, NULL only on the last); adjacent runs change value; event
+    counts re-sum to the log."""
+    rows = rel_scd2(spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in rows) == table(
+        spark, sf_dir, "events"
+    ).count()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for segs in by_user.values():
+        segs.sort(key=lambda r: r["seg"])
+        assert [r["seg"] for r in segs] == list(range(1, len(segs) + 1))
+        for a, b in zip(segs, segs[1:]):
+            assert a["valid_to_ms"] == b["valid_from_ms"]
+            assert a["event_type"] != b["event_type"]
+        assert segs[-1]["valid_to_ms"] is None
+
+
+def test_funnel_monotone(spark, sf_dir):
+    """Each stage is a subset of the previous; rates are proper ratios."""
+    r = rel_funnel(spark, sf_dir).collect()[0]
+    assert r["n_signup"] >= r["n_click"] >= r["n_purchase"] >= 0
+    assert r["n_signup"] > 0
+    assert 0 <= r["purchase_conv_1e4"] <= r["click_conv_1e4"] <= 10000
