@@ -677,3 +677,132 @@ def rel_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dsum(F.expr("l_extendedprice * l_discount")).alias("revenue"),
     )
+
+
+@register(
+    "rel_window_funcs",
+    tier="T2",
+    doc="Analytic-function battery over one partitioned sort: lag/lead "
+    "(neighbor access), ntile (equi-depth bucketing), percent_rank and "
+    "cume_dist (pinned to integer 1e6 — the (rank-1)/(n-1) and k/n "
+    "quotients are identical IEEE doubles both engines, half-up floored). "
+    "Scale shape: every function shares the SAME (status)-partitioned "
+    "(date, key) sort — one shuffle, one sort, five analytics.",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_orderkey) OVER w AS next_key,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+           AS pr_1e6,
+       CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_1e6
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def rel_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    pin = lambda c: F.floor(c * 1000000 + 0.5).cast("bigint")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        pin(F.percent_rank().over(w)).alias("pr_1e6"),
+        pin(F.cume_dist().over(w)).alias("cd_1e6"),
+    )
+
+
+@register(
+    "rel_percentiles",
+    tier="T2",
+    doc="Exact distribution summary per order priority: discrete "
+    "percentiles (p25/p50/p75/p95 via percentile_disc ≡ DuckDB "
+    "quantile_disc — both return an ACTUAL data value, no interpolation, "
+    "so the doubles are parquet-exact passthroughs), plus min/max/count. "
+    "Scale shape: exact percentiles need the per-group sorted mass — one "
+    "shuffle on the (low-cardinality) group key; at extreme group sizes "
+    "the approx path is rel_agg_approx's percentile_approx sketch.",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n,
+       min(o_totalprice) AS min_price,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.50) AS p50,
+       quantile_disc(o_totalprice, 0.75) AS p75,
+       quantile_disc(o_totalprice, 0.95) AS p95,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    pd_ = lambda q: F.expr(  # noqa: E731
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY o_totalprice)"
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        pd_(0.25).alias("p25"),
+        pd_(0.50).alias("p50"),
+        pd_(0.75).alias("p75"),
+        pd_(0.95).alias("p95"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+Q3_CUTOFF = "1998-06-01"
+
+
+@register(
+    "rel_q3_shipping",
+    tier="T2",
+    doc="TPC-H Q3-shaped shipping priority: segment-filtered customers ⨝ "
+    "pre-cutoff orders ⨝ post-cutoff lineitems → per-order revenue → "
+    "top 10.  Scale shape: both join predicates and all three filters push "
+    "into the scans; customer⨝orders shuffles on custkey, the result "
+    "joins lineitem on orderkey (AQE picks broadcast only if the filtered "
+    "side collapses); the final top-10 is TakeOrderedAndProject on the "
+    "ROUNDED revenue with orderkey tie-break — a total order, so the "
+    "LIMIT frontier is engine-independent.",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS od_day,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+GROUP BY l_orderkey, od_day
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def rel_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    od_day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .withColumn("od_day", od_day)
+        .groupBy("l_orderkey", "od_day")
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -98,3 +98,79 @@ def test_funnel_monotone(spark, sf_dir):
     assert r["n_signup"] >= r["n_click"] >= r["n_purchase"] >= 0
     assert r["n_signup"] > 0
     assert 0 <= r["purchase_conv_1e4"] <= r["click_conv_1e4"] <= 10000
+
+
+def test_window_funcs_laws(spark, sf_dir):
+    """ntile buckets are balanced (sizes differ by ≤1 within a partition),
+    percent_rank and cume_dist are monotone in the sort order and bounded."""
+    from scala_reactivex_spark.operators.relational import rel_window_funcs
+
+    rows = rel_window_funcs(spark, sf_dir).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["o_orderstatus"], []).append(r)
+    for status, rs in by_status.items():
+        sizes = {}
+        for r in rs:
+            sizes[r["quartile"]] = sizes.get(r["quartile"], 0) + 1
+            assert 0 <= r["pr_1e6"] <= 1000000
+            assert 0 < r["cd_1e6"] <= 1000000
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_percentiles_ordered(spark, sf_dir):
+    """min ≤ p25 ≤ p50 ≤ p75 ≤ p95 ≤ max, and each percentile is an actual
+    data value (discrete semantics)."""
+    from scala_reactivex_spark.operators.relational import rel_percentiles
+    from scala_reactivex_spark.sources.catalog import table as _t
+
+    prices = {
+        r["o_totalprice"]
+        for r in _t(spark, sf_dir, "orders").select("o_totalprice").collect()
+    }
+    for r in rel_percentiles(spark, sf_dir).collect():
+        seq = [r["min_price"], r["p25"], r["p50"], r["p75"], r["p95"], r["max_price"]]
+        assert seq == sorted(seq)
+        for v in seq:
+            assert v in prices
+
+
+def test_q3_topk_is_maximal(spark, sf_dir):
+    """The returned 10 revenues are the global top-10 of the full grouped
+    result (recomputed without the limit)."""
+    from pyspark.sql import functions as F
+
+    from scala_reactivex_spark.functions.determinism import dsum
+    from scala_reactivex_spark.operators.relational import (
+        Q3_CUTOFF,
+        rel_q3_shipping,
+    )
+    from scala_reactivex_spark.sources.catalog import table as _t
+
+    got = [r["revenue"] for r in rel_q3_shipping(spark, sf_dir).collect()]
+    assert len(got) == 10
+    assert got == sorted(got, reverse=True)
+    full = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp"))
+        .join(
+            _t(spark, sf_dir, "orders").where(
+                F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "customer").where(
+                F.col("c_mktsegment") == "BUILDING"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+    top = [
+        r["revenue"]
+        for r in full.orderBy(F.col("revenue").desc()).limit(10).collect()
+    ]
+    assert got == top
