@@ -325,3 +325,120 @@ def llm_embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("norm_1e6").cast("bigint").alias("max_norm_1e6"),
         )
     )
+
+
+TFIDF_TOPK = 3  # top terms kept per document
+
+
+@register(
+    "llm_tfidf",
+    tier="T3",
+    doc=f"TF-IDF top-{TFIDF_TOPK} terms per document: tf·ln(N/df) pinned "
+    "to integer 1e4 (tf and N/df are identical bigints/doubles both "
+    "engines, so the product and ln are identical IEEE ops), ranked per "
+    "doc by (score DESC, term) — a total order, so the top-k frontier "
+    "cannot drift.  Scale shape: tf and df are two map-side-combined "
+    "aggregates; the df join is on the token key (AQE broadcasts if the "
+    "vocab collapses); N rides a declared 1-row broadcast cross join; the "
+    "per-doc rank window partitions by doc_id — no corpus-wide sort.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT count(*) AS n FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.tok, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         CAST(floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) * 10000 + 0.5)
+              AS BIGINT) AS tfidf_1e4
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_1e4 DESC, tok) AS rnk
+  FROM s
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, tf, df, tfidf_1e4
+FROM r WHERE rnk <= {TFIDF_TOPK}
+""",
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n"))
+    score = F.floor(
+        F.col("tf")
+        * F.log(F.col("n").cast("double") / F.col("df"))
+        * 10000
+        + 0.5
+    ).cast("bigint")
+    s = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", "tf", "df", score.alias("tfidf_1e4"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_1e4").desc(), F.col("tok")
+    )
+    return (
+        s.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "tok", "tf", "df", "tfidf_1e4")
+    )
+
+
+@register(
+    "llm_embed_centroid",
+    tier="T3",
+    doc="Per-label embedding centroid by vector position — the class-"
+    "prototype build that seeds IVF/k-NN classifiers.  Each component is "
+    "pinned to integer 1e6 BEFORE aggregation (identical float→double "
+    "casts both engines), so sums are exact integers in any order; the "
+    "centroid itself is floor(sum/n) on identical doubles (floor is "
+    "toward −∞ in both engines — safe for negative components, unlike "
+    "integer DIV).  Scale shape: posexplode → one map-side-combined "
+    "aggregate on the bounded (label, pos) key — |labels|·dim cells of "
+    "state regardless of corpus size.",
+    oracle="""
+WITH x AS (
+  SELECT label, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM (SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+)
+SELECT label, CAST(i - 1 AS BIGINT) AS pos, count(*) AS n_vecs,
+       CAST(sum(v) AS BIGINT) AS sum_1e6,
+       CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT)
+           AS centroid_1e6,
+       CAST(min(v) AS BIGINT) AS min_1e6,
+       CAST(max(v) AS BIGINT) AS max_1e6
+FROM x GROUP BY label, i
+""",
+)
+def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    v = F.floor(F.col("val").cast("double") * 1000000 + 0.5).cast("bigint")
+    return (
+        e.select("label", F.col("pos").cast("bigint").alias("pos"), v.alias("v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("v").cast("bigint").alias("sum_1e6"),
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("centroid_1e6"),
+            F.min("v").cast("bigint").alias("min_1e6"),
+            F.max("v").cast("bigint").alias("max_1e6"),
+        )
+    )

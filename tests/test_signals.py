@@ -149,3 +149,45 @@ def test_q6_selects_strict_subset(spark, sf_dir):
     total = table(spark, sf_dir, "lineitem").count()
     assert 0 < r["n_rows"] < total
     assert r["revenue"] > 0
+
+
+def test_tfidf_topk_laws(spark, sf_dir):
+    """≤ k terms per doc, ranked by (score desc, term asc); every scored
+    term actually occurs in its doc (tf ≥ 1, df ≥ 1); a corpus-universal
+    term (df = N) scores exactly 0."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        TFIDF_TOPK,
+        llm_tfidf,
+    )
+    from scala_reactivex_spark.sources.catalog import table as _t
+
+    rows = llm_tfidf(spark, sf_dir).collect()
+    n_docs = _t(spark, sf_dir, "documents").count()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert r["tf"] >= 1 and 1 <= r["df"] <= n_docs
+        if r["df"] == n_docs:
+            assert r["tfidf_1e4"] == 0
+    for rs in by_doc.values():
+        assert 1 <= len(rs) <= TFIDF_TOPK
+        rs.sort(key=lambda r: r["rnk"])
+        keys = [(-r["tfidf_1e4"], r["tok"]) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_embed_centroid_bounds(spark, sf_dir):
+    """One cell per (label, pos) over the full 64-dim grid; min ≤ centroid
+    ≤ max; n_vecs is constant across positions within a label."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        llm_embed_centroid,
+    )
+
+    rows = llm_embed_centroid(spark, sf_dir).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+        assert r["min_1e6"] <= r["centroid_1e6"] <= r["max_1e6"]
+    for rs in by_label.values():
+        assert sorted(r["pos"] for r in rs) == list(range(64))
+        assert len({r["n_vecs"] for r in rs}) == 1
