@@ -433,3 +433,102 @@ def twin_running_stats_tws(sdf: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def _cdc_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Latest-change-wins state [rel_cdc_upsert twin]: state = the key's
+    current (ts, event_id, ms, value, n_changes); each micro-batch folds
+    its rows in (ts, event_id) total order and emits the post-batch state
+    (update-mode semantics).  O(1) state per key — the streaming MERGE."""
+    user_id, event_type = key
+    if state.exists:
+        ts, event_id, ms, value, n_changes = state.get
+    else:
+        ts = event_id = ms = value = None
+        n_changes = 0
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n_changes += len(pdf)
+        if len(pdf):
+            last = pdf.iloc[-1]
+            cand = (int(last["ts"]), int(last["event_id"]))
+            if ts is None or cand > (ts, event_id):
+                ts, event_id = cand
+                ms, value = int(last["ms"]), float(last["value"])
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "n_changes": [n_changes],
+                "event_id": [event_id],
+                "ms": [ms],
+                "value": [value],
+            }
+        )
+    state.update((ts, event_id, ms, value, n_changes))
+
+
+def twin_cdc_upsert(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of rel_cdc_upsert: per-key latest state, live."""
+    return sdf.groupBy("user_id", "event_type").applyInPandasWithState(
+        _cdc_fn,
+        outputStructType="user_id BIGINT, event_type STRING, "
+        "n_changes BIGINT, event_id BIGINT, ms BIGINT, value DOUBLE",
+        stateStructType="ts BIGINT, event_id BIGINT, ms BIGINT, "
+        "value DOUBLE, n_changes BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _asof_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """As-of join state [rel_join_asof twin]: state = the user's latest
+    click (ts, event_id, ms); rows fold in the same (ts, kind, event_id)
+    order as the batch operator's window frame, so a click at the exact
+    purchase timestamp is visible to it.  Each purchase emits its match
+    immediately — O(1) state, no buffering of the click history."""
+    (user_id,) = key
+    if state.exists:
+        cts, cid, cms = state.get
+    else:
+        cts = cid = cms = None
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "kind", "event_id"])
+        out: list[tuple] = []
+        for r in pdf.itertuples(index=False):
+            if r.kind == 0:
+                cand = (int(r.ts), int(r.event_id))
+                if cts is None or cand > (cts, cid):
+                    cts, cid = cand
+                    cms = int(r.ms)
+            else:
+                out.append((int(r.event_id), user_id, int(r.ms), cid, cms))
+        yield pd.DataFrame(
+            out, columns=["p_event_id", "user_id", "p_ms", "c_event_id", "c_ms"]
+        )
+    state.update((cts, cid, cms))
+
+
+def twin_asof_join(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of rel_join_asof: purchase ← latest click, live."""
+    tagged = sdf.where(
+        F.col("event_type").isin("click", "purchase")
+    ).withColumn(
+        "kind", F.when(F.col("event_type") == "click", 0).otherwise(1)
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType="p_event_id BIGINT, user_id BIGINT, p_ms BIGINT, "
+        "c_event_id BIGINT, c_ms BIGINT",
+        stateStructType="cts BIGINT, cid BIGINT, cms BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -208,3 +208,48 @@ def test_twin_pack_sequences_equals_batch(
     batch = llm_pack_sequences(spark, sf_dir)
     assert finals.count() == batch.count()
     assert finals.exceptAll(batch).count() == 0
+
+
+def test_twin_cdc_upsert_equals_batch(spark, sf_dir, stream_src, ckpt):
+    """The last emission per key equals the batch MERGE compaction exactly
+    (n_changes is monotone, so max picks the final state)."""
+    from scala_reactivex_spark.operators.timeseries import rel_cdc_upsert
+
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_cdc_upsert(sdf), "t_cdc", ckpt, output_mode="update"
+    )
+    final = {}
+    for r in out.collect():
+        k = (r["user_id"], r["event_type"])
+        if k not in final or r["n_changes"] > final[k]["n_changes"]:
+            final[k] = r
+    want = {
+        (r["user_id"], r["event_type"]): r
+        for r in rel_cdc_upsert(spark, sf_dir).collect()
+    }
+    assert set(final) == set(want)
+    for k, r in final.items():
+        w = want[k]
+        assert (r["n_changes"], r["event_id"], r["ms"], r["value"]) == (
+            w["n_changes"], w["event_id"], w["ms"], w["value"]
+        )
+
+
+def test_twin_asof_join_equals_batch(spark, sf_dir, stream_src, ckpt):
+    """Single-batch drain in total order reproduces the batch as-of join
+    row-for-row (same tie-breaking: a same-ts click is visible, max
+    event_id wins)."""
+    from scala_reactivex_spark.operators.timeseries import rel_join_asof
+
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(twins.twin_asof_join(sdf), "t_asof", ckpt)
+    got = {
+        r["p_event_id"]: (r["c_event_id"], r["c_ms"])
+        for r in out.collect()
+    }
+    want = {
+        r["p_event_id"]: (r["c_event_id"], r["c_ms"])
+        for r in rel_join_asof(spark, sf_dir).collect()
+    }
+    assert got == want
