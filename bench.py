@@ -59,6 +59,15 @@ BEYOND_BASELINE = {
     "llm_embed_norm_stats",
     "rel_grouping_sets",
     "rel_q6_forecast",
+    "rel_join_asof",
+    "rel_cdc_upsert",
+    "rel_scd2",
+    "rel_funnel",
+    "rel_window_funcs",
+    "rel_percentiles",
+    "rel_q3_shipping",
+    "llm_tfidf",
+    "llm_embed_centroid",
 }
 
 
