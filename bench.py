@@ -68,6 +68,9 @@ BEYOND_BASELINE = {
     "rel_q3_shipping",
     "llm_tfidf",
     "llm_embed_centroid",
+    "rel_q18_large_orders",
+    "llm_domain_mix",
+    "llm_winnowing",
 }
 
 

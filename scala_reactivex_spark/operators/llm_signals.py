@@ -442,3 +442,130 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").cast("bigint").alias("max_1e6"),
         )
     )
+
+
+@register(
+    "llm_domain_mix",
+    tier="T3",
+    doc="Training-mix matrix: per (source, lang) document and token counts "
+    "with integer 1e4 corpus shares — the table a data-mixing plan is "
+    "negotiated over.  Token counts come from size(split(…)) per doc (no "
+    "explode — one projection), aggregated on a low-cardinality key; the "
+    "corpus totals ride a declared 1-row broadcast cross join; shares are "
+    "non-negative integer DIV.",
+    oracle="""
+WITH per AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+         CAST(sum(tok_sum) AS BIGINT) AS tot_toks
+  FROM per
+)
+SELECT source, lang, n_docs, tok_sum,
+       CAST(n_docs * 10000 // tot_docs AS BIGINT) AS doc_share_1e4,
+       CAST(tok_sum * 10000 // tot_toks AS BIGINT) AS tok_share_1e4
+FROM per CROSS JOIN tot
+""",
+)
+def llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_sum"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("tot_docs"),
+        F.sum("tok_sum").cast("bigint").alias("tot_toks"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "tok_sum",
+        F.expr("CAST(n_docs * 10000 DIV tot_docs AS BIGINT)").alias(
+            "doc_share_1e4"
+        ),
+        F.expr("CAST(tok_sum * 10000 DIV tot_toks AS BIGINT)").alias(
+            "tok_share_1e4"
+        ),
+    )
+
+
+WINNOW_K = 4  # shingle width (tokens)
+WINNOW_W = 5  # winnowing window (shingles)
+
+
+@register(
+    "llm_winnowing",
+    tier="T3",
+    doc=f"Winnowing document fingerprints (the MOSS scheme): hash every "
+    f"{WINNOW_K}-token shingle, slide a {WINNOW_W}-shingle window, keep "
+    "each window's MINIMUM hash — guarantees any match of ≥ w+k-1 tokens "
+    "shares a fingerprint, at ~2/(w+1) selection density.  Hashes are "
+    "16-hex-char md5 prefixes compared as STRINGS (fixed-width lowercase "
+    "hex ⇒ lexicographic = numeric — no cross-engine hex→int conversion). "
+    "Scale shape: entirely per-row array math (one projection, no "
+    "shuffle, no UDF — all codegen'd higher-order functions).",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), f AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(words) - {WINNOW_K - 1}),
+             i -> substr(md5(array_to_string(words[i:i+{WINNOW_K - 1}], ' ')),
+                         1, 16)) AS fps
+  FROM w WHERE len(words) >= {WINNOW_K + WINNOW_W - 1}
+), s AS (
+  SELECT doc_id, len(fps) AS n_shingles,
+         list_transform(generate_series(1, len(fps) - {WINNOW_W - 1}),
+             j -> list_min(fps[j:j+{WINNOW_W - 1}])) AS wins
+  FROM f
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(len(wins) AS BIGINT) AS n_windows,
+       CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp,
+       list_min(wins) AS min_fp, list_max(wins) AS max_fp
+FROM s
+""",
+)
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("words") - (WINNOW_K - 1)),
+        lambda i: F.substring(
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("words"), i, WINNOW_K)).cast(
+                    "binary"
+                )
+            ),
+            1,
+            16,
+        ),
+    )
+    d = docs.where(F.size("words") >= WINNOW_K + WINNOW_W - 1).select(
+        "doc_id", fps.alias("fps")
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("fps") - (WINNOW_W - 1)),
+        lambda j: F.array_min(F.slice(F.col("fps"), j, WINNOW_W)),
+    )
+    return d.select(
+        "doc_id",
+        F.size("fps").cast("bigint").alias("n_shingles"),
+        wins.alias("wins"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        F.size("wins").cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct("wins")).cast("bigint").alias("n_fp"),
+        F.array_min("wins").alias("min_fp"),
+        F.array_max("wins").alias("max_fp"),
+    )

@@ -806,3 +806,59 @@ def rel_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+Q18_MIN_QTY = 200
+
+
+@register(
+    "rel_q18_large_orders",
+    tier="T2",
+    doc="TPC-H Q18-shaped large-volume orders: per-order quantity "
+    "aggregate → HAVING threshold → join back to orders and customers. "
+    "Scale shape: the HAVING side is one map-side-combined aggregate that "
+    "shrinks lineitem to qualifying orderkeys BEFORE any wide join; both "
+    "joins are then keyed equi-joins on the reduced set (AQE broadcasts "
+    "the survivor side when it collapses).  The threshold compares the "
+    "ROUND(…,4) decimal sum both engines, so the frontier cannot drift.",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4)
+         > {Q18_MIN_QTY}
+)
+SELECT c_name, o_custkey, o_orderkey,
+       CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS od_day,
+       o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+)
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    od_day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("bigint")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            od_day.alias("od_day"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )

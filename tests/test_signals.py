@@ -191,3 +191,104 @@ def test_embed_centroid_bounds(spark, sf_dir):
     for rs in by_label.values():
         assert sorted(r["pos"] for r in rs) == list(range(64))
         assert len({r["n_vecs"] for r in rs}) == 1
+
+
+def test_domain_mix_shares_sum(spark, sf_dir):
+    """Cell counts re-sum to corpus totals; integer shares are proper
+    ratios whose sum lands within floor-loss of 10000."""
+    from scala_reactivex_spark.operators.llm_signals import llm_domain_mix
+
+    rows = llm_domain_mix(spark, sf_dir).collect()
+    n_cells = len(rows)
+    assert n_cells >= 2
+    doc_sum = sum(r["doc_share_1e4"] for r in rows)
+    tok_sum = sum(r["tok_share_1e4"] for r in rows)
+    assert 10000 - n_cells <= doc_sum <= 10000
+    assert 10000 - n_cells <= tok_sum <= 10000
+
+
+def test_winnowing_guarantee(spark, sf_dir):
+    """Winnowing's coverage law on the fixture: selection density is near
+    2/(w+1); every window contributes (n_windows = n_shingles - w + 1);
+    and two docs sharing a ≥ (w+k-1)-token run share a fingerprint —
+    checked on a synthetic pair through the same expressions."""
+    from pyspark.sql import functions as F
+
+    from scala_reactivex_spark.operators.llm_signals import (
+        WINNOW_K,
+        WINNOW_W,
+        llm_winnowing,
+    )
+
+    rows = llm_winnowing(spark, sf_dir).collect()
+    assert rows
+    tot_fp = sum(r["n_fp"] for r in rows)
+    tot_sh = sum(r["n_shingles"] for r in rows)
+    dens = tot_fp / tot_sh
+    # theory: expected density 2/(w+1) = 1/3 for w=5; allow fixture slack
+    assert 0.15 <= dens <= 0.55, dens
+    for r in rows:
+        assert r["n_windows"] == r["n_shingles"] - (WINNOW_W - 1)
+        assert 1 <= r["n_fp"] <= r["n_windows"]
+        assert r["min_fp"] <= r["max_fp"]
+
+    # The guarantee itself, on a synthetic pair sharing a ≥(w+k-1)-token
+    # run, recomputed through the same expressions as the operator.
+    shared = "one two three four five six seven eight nine ten"
+    two = [(1, "PREFIX " + shared), (2, shared + " SUFFIX")]
+    fdf = (
+        spark.createDataFrame(two, "doc_id long, text string")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (WINNOW_K - 1)),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("words"), i, WINNOW_K)
+                        ).cast("binary")
+                    ),
+                    1,
+                    16,
+                ),
+            ).alias("fps"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("fps") - (WINNOW_W - 1)),
+                lambda j: F.array_min(F.slice(F.col("fps"), j, WINNOW_W)),
+            ).alias("wins"),
+        )
+        .collect()
+    )
+    sets = {r["doc_id"]: set(r["wins"]) for r in fdf}
+    assert sets[1] & sets[2], "shared run must share a fingerprint"
+
+
+def test_q18_threshold_law(spark, sf_dir):
+    """Every returned order's quantity exceeds the threshold, and the
+    result covers exactly the qualifying orderkeys."""
+    from pyspark.sql import functions as F
+
+    from scala_reactivex_spark.functions.determinism import dsum
+    from scala_reactivex_spark.operators.relational import (
+        Q18_MIN_QTY,
+        rel_q18_large_orders,
+    )
+    from scala_reactivex_spark.sources.catalog import table as _t
+
+    rows = rel_q18_large_orders(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["total_qty"] > Q18_MIN_QTY
+    want = {
+        r["l_orderkey"]
+        for r in _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("q"))
+        .where(F.col("q") > Q18_MIN_QTY)
+        .collect()
+    }
+    assert {r["o_orderkey"] for r in rows} == want
