@@ -144,18 +144,18 @@ def rel_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ride the SAME user_id partitioning — one shuffle end to end.",
     oracle="""
 WITH o AS (
-  SELECT user_id, event_type, epoch_ms(ts) AS ms,
+  SELECT user_id, event_type, ts, event_id, epoch_ms(ts) AS ms,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
   FROM events),
 f AS (
-  SELECT user_id, event_type, ms,
+  SELECT user_id, event_type, ts, event_id, ms,
          CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END
              AS chg
   FROM o),
 s AS (
   SELECT user_id, event_type, ms,
-         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ms
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
   FROM f),
 g AS (
@@ -221,9 +221,11 @@ SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
        CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click,
        CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase,
        CAST((SELECT count(*) FROM s2) * 10000
-            // (SELECT count(*) FROM s1) AS BIGINT) AS click_conv_1e4,
+            // NULLIF((SELECT count(*) FROM s1), 0) AS BIGINT)
+           AS click_conv_1e4,
        CAST((SELECT count(*) FROM s3) * 10000
-            // (SELECT count(*) FROM s1) AS BIGINT) AS purchase_conv_1e4
+            // NULLIF((SELECT count(*) FROM s1), 0) AS BIGINT)
+           AS purchase_conv_1e4
 """,
 )
 def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

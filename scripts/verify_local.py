@@ -85,11 +85,21 @@ def main() -> int:
         # with pandas sort_values over every column, which crashes on
         # list/array/dict cells (unhashable — llm_embed_quantize,
         # CORRECTNESS_r02).  Compared outputs must be scalar columns only.
+        # Detect via the schema, not sampled row values: a column whose
+        # sampled rows are all NULL would otherwise slip past (ADVICE r3).
+        from pyspark.sql.types import (
+            ArrayType,
+            BinaryType,
+            MapType,
+            StructType,
+        )
+
         unhashable = {
-            c
-            for r in srows[:100]
-            for c, v in zip(scols, r)
-            if isinstance(v, (list, dict, set, bytearray))
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(
+                f.dataType, (ArrayType, BinaryType, MapType, StructType)
+            )
         }
         if unhashable:
             print(
