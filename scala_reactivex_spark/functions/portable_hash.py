@@ -1,0 +1,91 @@
+"""Cross-engine-portable integer hashing (Spark ⇄ DuckDB).
+
+The engine's sketch-based scale paths (MinHash LSH, SimHash, sign-LSH)
+need pseudo-random hashes that BOTH engines can recompute bit-for-bit so
+the DuckDB oracle can grade the full pipeline, not just row counts.
+Spark's ``xxhash64`` has no DuckDB twin; instead everything derives from
+one Karp-Rabin polynomial fold over the token's characters
+
+    h(token) = fold over chars: acc <- (acc * 257 + codepoint) mod (2^31-1)
+
+plus a family of affine "permutations" ``g_i(h) = (a_i*h + b_i) mod p``
+with fixed LCG-generated coefficients shared by both engines.  Every
+intermediate stays below 2^62, so plain BIGINT columns carry the math
+exactly in Spark AND DuckDB — no HUGEINT, no float, no UDF.
+
+The same Karp-Rabin shape at 64-bit width is already oracle-proven by
+``llm_doc_fingerprint`` (Mersenne 2^61-1 fold, HUGEINT on the DuckDB
+side); this 31-bit variant keeps products inside int64 so the affine
+step runs as whole-stage-codegen column math in Spark and plain BIGINT
+SQL in DuckDB.  On the ASCII fixture corpus Spark ``ascii()`` ≡ DuckDB
+``ord()`` ≡ the UTF-8 byte (asserted in tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+#: Mersenne prime 2^31 - 1: max product a*h < 2^62 fits signed int64.
+P31 = (1 << 31) - 1
+#: Karp-Rabin radix (first prime above the byte alphabet).
+KR_BASE = 257
+#: Radix for folding several 31-bit values into one bucket id.
+FOLD_BASE = 1_000_003
+
+
+def kr31_spark_expr(col: str) -> str:
+    """Spark SQL expression: Karp-Rabin fold of ``col`` mod 2^31-1.
+
+    JVM-side higher-order ``aggregate`` — no Python in the loop.  The
+    empty-string guard matches DuckDB, whose ``range(1, 1)`` is empty
+    (Spark's ``sequence(1, 0)`` would count DOWN instead).
+    """
+    return (
+        f"CASE WHEN length({col}) = 0 THEN 0L ELSE "
+        f"aggregate(sequence(1, length({col})), 0L, "
+        f"(acc, i) -> (acc * {KR_BASE} + ascii(substring({col}, i, 1)))"
+        f" % {P31}) END"
+    )
+
+
+def kr31_duck_expr(col: str) -> str:
+    """DuckDB expression computing the identical fold in BIGINT."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> CAST(ord(substring({col}, i, 1)) AS BIGINT))), "
+        f"(acc, b) -> (acc * {KR_BASE} + b) % {P31})"
+    )
+
+
+def affine_seeds(k: int, *, seed: int = 20260813) -> list[tuple[int, int]]:
+    """k fixed (a, b) pairs for g_i(h) = (a*h + b) mod P31, from a glibc
+    LCG so both the Spark plan and the interpolated oracle SQL see the
+    same literals.  a is never 0; both fit in 31 bits."""
+    x = seed
+    out: list[tuple[int, int]] = []
+    for _ in range(k):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = 1 + x % (P31 - 1)
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % P31
+        out.append((a, b))
+    return out
+
+
+def fold31(cols):
+    """Spark column fold of several 31-bit values into one bucket id:
+    acc <- (acc * FOLD_BASE + v) mod P31.  Call only with an active
+    SparkSession (builds Column expressions)."""
+    from pyspark.sql import functions as F
+
+    acc = F.lit(0).cast("long")
+    for c in cols:
+        acc = (acc * FOLD_BASE + c) % P31
+    return acc
+
+
+def fold31_duck(list_expr: str) -> str:
+    """DuckDB twin of :func:`fold31` over a list expression."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {list_expr}), "
+        f"(acc, v) -> (acc * {FOLD_BASE} + v) % {P31})"
+    )
