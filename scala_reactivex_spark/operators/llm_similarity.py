@@ -245,8 +245,15 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cemb"),
         norm_col("embedding").alias("cemb_n"),
     )
-    # Corpus norms computed ONCE (not per centroid pair / per candidate).
-    ev = e.select("vec_id", "embedding", norm_col("embedding").alias("vn"))
+    # Corpus norms computed ONCE (not per centroid pair / per candidate),
+    # and PERSISTED: this frame feeds the seed assignment, the component
+    # explode, the re-assignment, and the probe/candidate gathers — five
+    # branches that would otherwise each re-scan the parquet and re-fold
+    # the norms (the r3 wall-time regression).  At cluster scale this is
+    # the "materialize the vector index once" step of any IVF build.
+    ev = e.select(
+        "vec_id", "embedding", norm_col("embedding").alias("vn")
+    ).persist()
     asg0 = _assign_buckets(ev, seeds)
     # One Lloyd iteration, fully distributed: bucket means via a grouped
     # aggregate over (cid, dim) — DECIMAL(38,6) sums make the mean exact
@@ -272,7 +279,10 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cid", "cemb", norm_col("cemb").alias("cemb_n"))
     )
-    assignment = _assign_buckets(ev, cent)
+    # The final (vec_id, bucket) index is read twice (probe selection and
+    # candidate gather) — persist the two-int-column frame rather than
+    # re-running the broadcast-assign pass.
+    assignment = _assign_buckets(ev, cent).persist()
     probes = (
         assignment.where(F.col("vec_id") < N_PROBES)
         .join(ev, "vec_id")

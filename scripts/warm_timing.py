@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Isolated warm-session timing for individual queries.
+
+The bench headline interleaves 100+ queries in one cold session, and this
+box's run-to-run variance is large (BASELINE.md; same-code headline has
+ranged 41.8-50.0 s).  This script answers "is query X actually slow?" by
+timing it ALONE in a warm session: one untimed warm-up run (JIT, codegen,
+parquet footer cache), then N timed repeats, reporting min/median.
+
+    SPARK_GRAFT_CPUS=32 python scripts/warm_timing.py llm_ann_ivf [q ...]
+    # env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), REPS (3)
+
+Prints one JSON line per query plus a summary JSON suitable for
+committing next to BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    names = sys.argv[1:]
+    if not names:
+        print("usage: warm_timing.py QUERY [QUERY ...]", file=sys.stderr)
+        return 2
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("REPS", "3"))
+
+    from scala_reactivex_spark.plans.registry import registry
+    from scala_reactivex_spark.session import get_spark
+
+    spark = get_spark("warm-timing")
+    specs = registry()
+    out = {}
+    for name in names:
+        fn = specs[name].fn
+        fn(spark, sf_dir).collect()  # warm-up, untimed
+        times = []
+        for _ in range(reps):
+            # A query that .persist()s would otherwise serve later reps
+            # from the earlier rep's cache (Spark cache-matches on the
+            # analyzed plan) — clear so every rep pays its own
+            # materialization and the timing is honest.
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            times.append(round(time.time() - t0, 3))
+        out[name] = {
+            "warm_min": min(times),
+            "warm_median": statistics.median(times),
+            "reps": times,
+        }
+        print(json.dumps({name: out[name]}))
+    print(json.dumps({"sf_dir": sf_dir, "queries": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
