@@ -144,12 +144,62 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Language ID via learned token profiles: per-lang add-one-smoothed "
     "log-probabilities aggregated in one pass, scored per doc over EVERY "
     "candidate language (unseen (lang, token) pairs get the smoothed floor "
-    "log(1/(tot+V)), not a free pass), argmax. Rows-only — the fixture "
-    "corpus shares one vocabulary across languages by construction, so "
-    "log-likelihood ties make cross-engine argmax comparison meaningless; "
-    "the scoring mechanism (full candidate coverage, smoothing floor, "
-    "deterministic argmax) is pytest-checked.",
-    oracle=None,
+    "log(1/(tot+V)), not a free pass), argmax. Per-token log-probs are "
+    "pinned to integer micro-log10 units (floor(log10(p)*1e6+0.5), the "
+    "llm_unigram_lm convention) so doc scores are order-proof BIGINT sums "
+    "and the (score DESC, lang) argmax is deterministic cross-engine — "
+    "fully hash-graded, emitting the winning score as data.",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), lt AS (
+  SELECT lang, token, count(*) AS n FROM tf GROUP BY lang, token
+), tot AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM lt GROUP BY lang
+), v AS (
+  SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM lt
+), prof AS (
+  SELECT lt.lang AS model_lang, lt.token,
+         CAST(floor(log10(CAST(lt.n + 1 AS DOUBLE)
+                          / CAST(t.tot + v.v AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS lp
+  FROM lt JOIN tot t ON lt.lang = t.lang CROSS JOIN v
+), floors AS (
+  SELECT t.lang AS model_lang,
+         CAST(floor(log10(1.0 / CAST(t.tot + v.v AS DOUBLE)) * 1000000
+                    + 0.5) AS BIGINT) AS fl
+  FROM tot t CROSS JOIN v
+), dtf AS (
+  SELECT doc_id, lang, token, count(*) AS cnt
+  FROM tf GROUP BY doc_id, lang, token
+), seen AS (
+  SELECT d.doc_id, p.model_lang,
+         CAST(sum(p.lp * d.cnt) AS BIGINT) AS sum_seen,
+         CAST(sum(d.cnt) AS BIGINT) AS n_seen
+  FROM dtf d JOIN prof p ON d.token = p.token
+  GROUP BY d.doc_id, p.model_lang
+), stats AS (
+  SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_tok
+  FROM dtf GROUP BY doc_id, lang
+), scored AS (
+  SELECT s.doc_id, s.lang, f.model_lang,
+         COALESCE(se.sum_seen, 0)
+           + f.fl * (s.n_tok - COALESCE(se.n_seen, 0)) AS score
+  FROM stats s CROSS JOIN floors f
+  LEFT JOIN seen se
+    ON se.doc_id = s.doc_id AND se.model_lang = f.model_lang
+), best AS (
+  SELECT doc_id, lang, model_lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, model_lang) AS rn
+  FROM scored
+)
+SELECT doc_id, lang AS lang_true, model_lang AS lang_pred,
+       CAST(score AS BIGINT) AS best_score_1e6,
+       (lang = model_lang) AS correct
+FROM best WHERE rn = 1
+""",
 )
 def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -166,24 +216,34 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_n = lang_tok.select("token").distinct().agg(
         F.count("*").alias("v")
     )
+    # Integer pinning (the llm_unigram_lm convention): per-token log-probs
+    # become micro-log10 BIGINTs, so every downstream sum is exact integer
+    # math — order-independent across partitions AND engines.
+    lp = F.floor(
+        F.log10(
+            (F.col("n") + 1).cast("double")
+            / (F.col("tot") + F.col("v")).cast("double")
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
     profile = (
         lang_tok.join(F.broadcast(lang_tot), "lang")
         .crossJoin(F.broadcast(vocab_n))
-        .select(
-            F.col("lang").alias("model_lang"),
-            "token",
-            F.log((F.col("n") + 1) / (F.col("tot") + F.col("v"))).alias("logp"),
-        )
+        .select(F.col("lang").alias("model_lang"), "token", lp.alias("lp"))
     )
     # Smoothed floor per candidate language for UNSEEN (lang, token)
-    # pairs: log(1 / (tot + V)). An inner join would silently drop these
-    # terms and reward languages that never saw the doc's tokens.
+    # pairs: log10(1 / (tot + V)) in the same integer units. An inner join
+    # would silently drop these terms and reward languages that never saw
+    # the doc's tokens.
+    fl = F.floor(
+        F.log10(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double"))
+        * 1000000
+        + 0.5
+    ).cast("bigint")
     floors = (
         lang_tot.crossJoin(F.broadcast(vocab_n))
-        .select(
-            F.col("lang").alias("model_lang"),
-            F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))).alias("floor_logp"),
-        )
+        .select(F.col("lang").alias("model_lang"), fl.alias("fl"))
     )
     # Sparse scoring: Σ_tokens logp_eff decomposes as
     #   Σ_seen logp  +  floor × (n_tok − n_seen)
@@ -203,12 +263,14 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtf.join(F.broadcast(profile), "token")
         .groupBy("doc_id", "model_lang")
         .agg(
-            F.sum(F.col("logp") * F.col("cnt")).alias("sum_seen"),
-            F.sum("cnt").alias("n_seen"),
+            F.sum(F.col("lp") * F.col("cnt")).cast("bigint").alias(
+                "sum_seen"
+            ),
+            F.sum("cnt").cast("bigint").alias("n_seen"),
         )
     )
     doc_stats = dtf.groupBy("doc_id", "lang").agg(
-        F.sum("cnt").alias("n_tok")
+        F.sum("cnt").cast("bigint").alias("n_tok")
     )
     scored = (
         doc_stats.crossJoin(F.broadcast(floors))
@@ -217,25 +279,28 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "model_lang",
-            F.round(
-                F.coalesce("sum_seen", F.lit(0.0))
-                + F.col("floor_logp")
-                * (F.col("n_tok") - F.coalesce("n_seen", F.lit(0))),
-                4,
-            ).alias("loglik"),
+            (
+                F.coalesce("sum_seen", F.lit(0).cast("bigint"))
+                + F.col("fl")
+                * (F.col("n_tok") - F.coalesce("n_seen", F.lit(0)))
+            ).alias("score"),
         )
     )
-    # Argmax as min_by over (-loglik, model_lang): identical ordering to
-    # row_number(loglik DESC, model_lang ASC)=1, but it runs as a hash
+    # Argmax as min_by over (-score, model_lang): identical ordering to
+    # row_number(score DESC, model_lang ASC)=1, but it runs as a hash
     # aggregate with map-side combine instead of a per-doc window sort.
+    # The winning score is emitted as data so the oracle grades the
+    # scoring math itself, not just the argmax label.
     return scored.groupBy("doc_id", "lang").agg(
-        F.expr("min_by(model_lang, struct(-loglik, model_lang))").alias(
+        F.expr("min_by(model_lang, struct(-score, model_lang))").alias(
             "_pred"
-        )
+        ),
+        F.max("score").cast("bigint").alias("best_score_1e6"),
     ).select(
         "doc_id",
         F.col("lang").alias("lang_true"),
         F.col("_pred").alias("lang_pred"),
+        "best_score_1e6",
         (F.col("lang") == F.col("_pred")).alias("correct"),
     )
 
