@@ -532,3 +532,328 @@ def twin_asof_join(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+def _combine_latest_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """combineLatest state [op_combine_latest twin, RX:combinelatest]:
+    state = the key's latest value from each side; every arrival (in the
+    batch operator's (ts, event_id) total order) updates its side and
+    emits the pair once both sides have emitted — O(1) state per key,
+    the signature Rx combinator run live."""
+    (user_id,) = key
+    if state.exists:
+        la, lb = state.get
+    else:
+        la = lb = None
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+        for r in pdf.itertuples(index=False):
+            if r.kind == 0:
+                la = float(r.value)
+            else:
+                lb = float(r.value)
+            if la is not None and lb is not None:
+                out.append((user_id, int(r.event_id), int(r.ms), la, lb))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ms", "la", "lb"]
+        )
+    state.update((la, lb))
+
+
+def _tag_purchase_click(sdf: DataFrame) -> DataFrame:
+    """purchase → side A (kind 0), click → side B (kind 1) — the same
+    stream pairing the batch combinators use."""
+    return sdf.where(
+        F.col("event_type").isin("purchase", "click")
+    ).withColumn(
+        "kind", F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    )
+
+
+def twin_combine_latest(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of op_combine_latest: on every arrival from either
+    stream, emit (latest purchase, latest click), live."""
+    out = _tag_purchase_click(sdf).groupBy("user_id").applyInPandasWithState(
+        _combine_latest_fn,
+        outputStructType="user_id BIGINT, event_id BIGINT, ms BIGINT, "
+        "la DOUBLE, lb DOUBLE",
+        stateStructType="la DOUBLE, lb DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # Round in Spark (not Python) so the emitted values are bit-identical
+    # to the batch operator's F.round output.
+    return out.select(
+        "user_id",
+        "event_id",
+        "ms",
+        F.round("la", 4).alias("latest_purchase"),
+        F.round("lb", 4).alias("latest_click"),
+    )
+
+
+def _with_latest_from_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """withLatestFrom state [op_with_latest_from twin]: state = the key's
+    latest click value; clicks update silently, each purchase emits
+    (purchase value, latest click) if a click was seen — emit-on-A-only,
+    the as-of pairing of the Rx combinator family."""
+    (user_id,) = key
+    if state.exists:
+        (lb,) = state.get
+    else:
+        lb = None
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+        for r in pdf.itertuples(index=False):
+            if r.kind == 1:
+                lb = float(r.value)
+            elif lb is not None:
+                out.append(
+                    (user_id, int(r.event_id), int(r.ms), float(r.value), lb)
+                )
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ms", "a_val", "lb"]
+        )
+    state.update((lb,))
+
+
+def twin_with_latest_from(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of op_with_latest_from: purchases emit with the
+    latest click value at-or-before them, live."""
+    out = _tag_purchase_click(sdf).groupBy("user_id").applyInPandasWithState(
+        _with_latest_from_fn,
+        outputStructType="user_id BIGINT, event_id BIGINT, ms BIGINT, "
+        "a_val DOUBLE, lb DOUBLE",
+        stateStructType="lb DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ms",
+        F.round("a_val", 4).alias("purchase_value"),
+        F.round("lb", 4).alias("latest_click"),
+    )
+
+
+def _zip_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """zip state [op_zip twin, RX:zip]: state = the unmatched tail of
+    whichever side is ahead (Rx zip buffers the faster stream) plus the
+    next pair index.  Each arrival appends to its side's buffer; heads
+    pair off FIFO and emit — at any instant at most ONE buffer is
+    non-empty, so state is bounded by the streams' index skew."""
+    (user_id,) = key
+    if state.exists:
+        rn, p_ids, p_ms, p_vals, c_ids, c_ms, c_vals = state.get
+        p_buf = [list(p_ids or ()), list(p_ms or ()), list(p_vals or ())]
+        c_buf = [list(c_ids or ()), list(c_ms or ()), list(c_vals or ())]
+    else:
+        rn = 0
+        p_buf = [[], [], []]
+        c_buf = [[], [], []]
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+        for r in pdf.itertuples(index=False):
+            buf = p_buf if r.kind == 0 else c_buf
+            buf[0].append(int(r.event_id))
+            buf[1].append(int(r.ms))
+            buf[2].append(float(r.value))
+            while p_buf[0] and c_buf[0]:
+                rn += 1
+                out.append(
+                    (
+                        user_id,
+                        rn,
+                        p_buf[0].pop(0),
+                        c_buf[0].pop(0),
+                        p_buf[1].pop(0),
+                        c_buf[1].pop(0),
+                        p_buf[2].pop(0) + c_buf[2].pop(0),
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "rn",
+                "p_event_id",
+                "c_event_id",
+                "p_ms",
+                "c_ms",
+                "pair_sum",
+            ],
+        )
+    state.update(
+        (rn, p_buf[0], p_buf[1], p_buf[2], c_buf[0], c_buf[1], c_buf[2])
+    )
+
+
+def twin_zip(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of op_zip: i-th purchase pairs with i-th click."""
+    out = _tag_purchase_click(sdf).groupBy("user_id").applyInPandasWithState(
+        _zip_fn,
+        outputStructType="user_id BIGINT, rn BIGINT, p_event_id BIGINT, "
+        "c_event_id BIGINT, p_ms BIGINT, c_ms BIGINT, pair_sum DOUBLE",
+        stateStructType="rn BIGINT, p_ids ARRAY<BIGINT>, p_ms ARRAY<BIGINT>, "
+        "p_vals ARRAY<DOUBLE>, c_ids ARRAY<BIGINT>, c_ms ARRAY<BIGINT>, "
+        "c_vals ARRAY<DOUBLE>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        "user_id",
+        "rn",
+        "p_event_id",
+        "c_event_id",
+        "p_ms",
+        "c_ms",
+        F.round("pair_sum", 4).alias("pair_value"),
+    )
+
+
+def _take_until_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """takeUntil state [op_take_until twin, RX:takeuntil]: state = whether
+    the other stream (signup) has fired.  Rows fold in (ts, kind,
+    event_id) order with signups FIRST at equal timestamps, so a purchase
+    at the signup's exact timestamp is already cut off (the batch
+    operator's strict ts < s_ts) — O(1) boolean state."""
+    (user_id,) = key
+    stopped = bool(state.get[0]) if state.exists else False
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "kind", "event_id"])
+        out: list[tuple] = []
+        for r in pdf.itertuples(index=False):
+            if r.kind == 0:
+                stopped = True
+            elif not stopped:
+                out.append(
+                    (user_id, int(r.event_id), int(r.ms), float(r.value))
+                )
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ms", "value"]
+        )
+    state.update((stopped,))
+
+
+def twin_take_until(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of op_take_until: purchases pass until the user's
+    first signup arrives, live."""
+    tagged = sdf.where(
+        F.col("event_type").isin("signup", "purchase")
+    ).withColumn(
+        "kind", F.when(F.col("event_type") == "signup", 0).otherwise(1)
+    )
+    out = tagged.groupBy("user_id").applyInPandasWithState(
+        _take_until_fn,
+        outputStructType="user_id BIGINT, event_id BIGINT, ms BIGINT, "
+        "value DOUBLE",
+        stateStructType="stopped BOOLEAN",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        "user_id", "event_id", "ms", F.round("value", 4).alias("value_r")
+    )
+
+
+def _amb_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """amb state [op_amb twin, RX:amb]: state = the winning side, decided
+    by the first arrival (purchases sort before clicks at equal ts —
+    the batch tie rule p_ts <= c_ts).  Winner's events pass, loser's are
+    dropped — O(1) state."""
+    (user_id,) = key
+    win = int(state.get[0]) if state.exists else -1
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "kind", "event_id"])
+        out: list[tuple] = []
+        for r in pdf.itertuples(index=False):
+            if win < 0:
+                win = int(r.kind)
+            if r.kind == win:
+                out.append(
+                    (
+                        user_id,
+                        "purchase" if r.kind == 0 else "click",
+                        int(r.event_id),
+                        int(r.ms),
+                    )
+                )
+        yield pd.DataFrame(out, columns=["user_id", "src", "event_id", "ms"])
+    state.update((win,))
+
+
+def twin_amb(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of op_amb: the first stream to emit wins, live."""
+    out = _tag_purchase_click(sdf).groupBy("user_id").applyInPandasWithState(
+        _amb_fn,
+        outputStructType="user_id BIGINT, src STRING, event_id BIGINT, "
+        "ms BIGINT",
+        stateStructType="win INT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out
+
+
+def _switch_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """switch state [op_switch twin, RX:switch]: state = the id of the
+    latest outer trigger (signup); each inner element (click) emits owned
+    by it, elements before any trigger are dropped — O(1) state."""
+    (user_id,) = key
+    owner = state.get[0] if state.exists else None
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out: list[tuple] = []
+        for r in pdf.itertuples(index=False):
+            if r.kind == 0:
+                owner = int(r.event_id)
+            elif owner is not None:
+                out.append((user_id, int(r.event_id), int(r.ms), owner))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "ms", "owner_sig"]
+        )
+    state.update((owner,))
+
+
+def twin_switch(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of op_switch: clicks follow the latest signup."""
+    tagged = sdf.where(
+        F.col("event_type").isin("signup", "click")
+    ).withColumn(
+        "kind", F.when(F.col("event_type") == "signup", 0).otherwise(1)
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        _switch_fn,
+        outputStructType="user_id BIGINT, event_id BIGINT, ms BIGINT, "
+        "owner_sig BIGINT",
+        stateStructType="owner BIGINT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

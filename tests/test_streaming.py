@@ -253,3 +253,101 @@ def test_twin_asof_join_equals_batch(spark, sf_dir, stream_src, ckpt):
         for r in rel_join_asof(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_twin_combine_latest_equals_batch(spark, sf_dir, stream_src, ckpt):
+    """Single-batch drain in (ts, event_id) total order reproduces the
+    batch combineLatest row-for-row — one emission per arrival once both
+    sides have emitted, paired with the other side's latest value."""
+    from scala_reactivex_spark.operators.combinators import op_combine_latest
+
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_combine_latest(sdf), "t_combine_latest", ckpt
+    )
+    got = {
+        r["event_id"]: (r["ms"], r["latest_purchase"], r["latest_click"])
+        for r in out.collect()
+    }
+    want = {
+        r["event_id"]: (r["ms"], r["latest_purchase"], r["latest_click"])
+        for r in op_combine_latest(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_twin_with_latest_from_equals_batch(spark, sf_dir, stream_src, ckpt):
+    """Emit-on-A-only: each purchase pairs with the latest click at or
+    before it, exactly as the batch as-of pairing."""
+    from scala_reactivex_spark.operators.combinators import (
+        op_with_latest_from,
+    )
+
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_with_latest_from(sdf), "t_with_latest", ckpt
+    )
+    got = {
+        r["event_id"]: (r["ms"], r["purchase_value"], r["latest_click"])
+        for r in out.collect()
+    }
+    want = {
+        r["event_id"]: (r["ms"], r["purchase_value"], r["latest_click"])
+        for r in op_with_latest_from(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_twin_zip_equals_batch(spark, sf_dir, stream_src, ckpt):
+    """FIFO pairing with buffered faster side reproduces the batch
+    row_number equi-join pair-for-pair."""
+    from scala_reactivex_spark.operators.combinators import op_zip
+
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(twins.twin_zip(sdf), "t_zip", ckpt)
+    key = ["user_id", "rn", "p_event_id", "c_event_id", "p_ms", "c_ms",
+           "pair_value"]
+    got = {tuple(r[k] for k in key) for r in out.collect()}
+    want = {tuple(r[k] for k in key) for r in op_zip(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_twin_take_until_equals_batch(spark, sf_dir, stream_src, ckpt):
+    from scala_reactivex_spark.operators.combinators import op_take_until
+
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_take_until(sdf), "t_take_until", ckpt
+    )
+    got = {r["event_id"]: (r["ms"], r["value_r"]) for r in out.collect()}
+    want = {
+        r["event_id"]: (r["ms"], r["value_r"])
+        for r in op_take_until(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_twin_amb_equals_batch(spark, sf_dir, stream_src, ckpt):
+    from scala_reactivex_spark.operators.combinators import op_amb
+
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(twins.twin_amb(sdf), "t_amb", ckpt)
+    got = {r["event_id"]: (r["src"], r["ms"]) for r in out.collect()}
+    want = {
+        r["event_id"]: (r["src"], r["ms"])
+        for r in op_amb(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_twin_switch_equals_batch(spark, sf_dir, stream_src, ckpt):
+    from scala_reactivex_spark.operators.combinators import op_switch
+
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(twins.twin_switch(sdf), "t_switch", ckpt)
+    got = {r["event_id"]: (r["ms"], r["owner_sig"]) for r in out.collect()}
+    want = {
+        r["event_id"]: (r["ms"], r["owner_sig"])
+        for r in op_switch(spark, sf_dir).collect()
+    }
+    assert got == want
