@@ -71,6 +71,8 @@ BEYOND_BASELINE = {
     "rel_q18_large_orders",
     "llm_domain_mix",
     "llm_winnowing",
+    # round 4
+    "rel_skew_agg",
 }
 
 

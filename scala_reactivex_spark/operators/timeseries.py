@@ -259,3 +259,75 @@ def rel_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_conv_1e4"
         ),
     )
+
+
+#: Salt fan-out for the skewed-key aggregate — the hot key spreads over
+#: this many map-side partials before the (tiny) final combine.
+SKEW_SALT = 16
+
+
+@register(
+    "rel_skew_agg",
+    tier="T2",
+    doc="Skew-resistant aggregation over a deliberately hot key: "
+    "skew_key collapses ~30%% of all events onto key 0 (user_id %% 10 < "
+    "3), the kill-shape for a naive groupBy at 100 TB (one reducer gets "
+    "a third of the table). Two standard counters, both graded: (1) "
+    "sum/count run salt-then-combine — a first aggregate on (skew_key, "
+    "event_id %% 16) spreads the hot key over 16 partials, the second "
+    "combines 16 tiny rows per key; (2) distinct-user counts first "
+    "deduplicate (skew_key, user_id) pairs — a shuffle on the HIGH-"
+    "cardinality composite, immune to the hot key — then count. AQE "
+    "skew-join splitting (spark.sql.adaptive.skewJoin, on in "
+    "RUNTIME_CONFS) covers the join side of the same problem at "
+    "runtime. Salting changes WHERE rows combine, never the result: "
+    "sums ride DECIMAL(38,6), counts are integers — exact under any "
+    "grouping, which is precisely why the oracle is a plain GROUP BY.",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS skew_key,
+         user_id, value
+  FROM events
+)
+SELECT skew_key,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+           AS total_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY skew_key
+""",
+)
+def rel_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 3, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("skew_key"),
+        "user_id",
+        "value",
+        "event_id",
+    )
+    # Phase 1: salted partials — the hot key's rows land on SKEW_SALT
+    # different reducers instead of one straggler.
+    partial = ev.groupBy(
+        "skew_key", (F.col("event_id") % SKEW_SALT).alias("salt")
+    ).agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("ps"),
+    )
+    # Phase 2: combine — ≤ SKEW_SALT rows per key, trivially balanced.
+    totals = partial.groupBy("skew_key").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.round(F.sum("ps").cast("double"), 4).alias("total_value"),
+    )
+    # Distinct users: dedupe on the high-cardinality (skew_key, user_id)
+    # pair first (hot key spreads across users), then a tiny count.
+    users = (
+        ev.select("skew_key", "user_id")
+        .distinct()
+        .groupBy("skew_key")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    return totals.join(users, "skew_key").select(
+        "skew_key", "n_events", "total_value", "n_users"
+    )

@@ -113,6 +113,20 @@ def audit() -> int:
         ("rel_topk is TakeOrderedAndProject", by["rel_topk"]["topk"]),
         ("rel_q1_pricing whole-stage codegen", by["rel_q1_pricing"]["codegen"]),
         ("no unexpected nested-loop joins", not failures),
+        # Skew evidence (SURVEY §4 / VERDICT r3 ask): the hot-key aggregate
+        # must run salt-then-combine — a partial HashAggregate keyed on the
+        # (event_id % 16) salt BEFORE the per-key combine — so no single
+        # reducer owns the hot key's rows.
+        (
+            "rel_skew_agg salts the hot-key aggregate (% 16 salt key in plan)",
+            re.search(r"event_id#\d+L? % 16", by["rel_skew_agg"]["plan"])
+            is not None
+            and by["rel_skew_agg"]["plan"].count("HashAggregate") >= 4,
+        ),
+        (
+            "AQE skew-join handling enabled in session confs",
+            spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
+        ),
     ]
 
     with open("PLANS.md", "w") as f:
