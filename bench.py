@@ -73,6 +73,7 @@ BEYOND_BASELINE = {
     "llm_winnowing",
     # round 4
     "rel_skew_agg",
+    "rel_topk_window",
 }
 
 

@@ -266,3 +266,68 @@ def op_timeout_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("gap_ns div 1000000").cast("bigint").alias("gap_ms"),
         )
     )
+
+
+TOPK_WINDOW_K = 3
+TOPK_SALT = 16
+
+
+@register(
+    "rel_topk_window",
+    tier="T2",
+    doc="Per-window heavy hitters: top-3 spenders per 1-day tumbling "
+    "bucket (purchases only), ranked on (rounded spend DESC, user_id). "
+    "Scale shape: the (bucket, user) aggregate map-side combines, then "
+    "top-k runs TWO-PHASE — rank within (bucket, user_id %% 16) salt "
+    "groups keeping ≤k each, then rank the ≤16k survivors per bucket — "
+    "so no reducer ever sorts a whole day's users (the per-day window "
+    "sort is the straggler at 100 TB; every salt's top-k contains every "
+    "global top-k member of that salt, so the result is identical). "
+    "Live twin: streaming/twins.py twin_topk_window.",
+    oracle="""
+WITH g AS (
+  SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, user_id,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS spend,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_ms
+                               ORDER BY spend DESC, user_id) AS rnk
+  FROM g
+)
+SELECT bucket_ms, user_id, spend, n, rnk FROM r WHERE rnk <= 3
+""",
+)
+def rel_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.window("tsm", "1 day").alias("w"), "user_id")
+        .agg(dsum("value").alias("spend"), F.count("*").alias("n"))
+        .select(
+            F.unix_millis("w.start").alias("bucket_ms"),
+            "user_id",
+            "spend",
+            "n",
+        )
+    )
+    # Phase 1: top-k inside each (bucket, salt) slice — bounded sorts.
+    wsalt = Window.partitionBy(
+        "bucket_ms", F.col("user_id") % TOPK_SALT
+    ).orderBy(F.col("spend").desc(), "user_id")
+    survivors = (
+        g.withColumn("srnk", F.row_number().over(wsalt))
+        .where(F.col("srnk") <= TOPK_WINDOW_K)
+        .drop("srnk")
+    )
+    # Phase 2: final rank over ≤ salt·k rows per bucket.
+    wb = Window.partitionBy("bucket_ms").orderBy(
+        F.col("spend").desc(), "user_id"
+    )
+    return (
+        survivors.withColumn("rnk", F.row_number().over(wb))
+        .where(F.col("rnk") <= TOPK_WINDOW_K)
+        .select("bucket_ms", "user_id", "spend", "n", "rnk")
+    )

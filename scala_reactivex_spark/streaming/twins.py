@@ -857,3 +857,39 @@ def twin_switch(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def twin_topk_window(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of rel_topk_window [T3 live heavy hitters]: the
+    per-(bucket, user) spend totals update continuously as a watermarked
+    windowed aggregate (complete mode); the top-k is a rank VIEW over
+    the live state — streaming cannot sort inside the micro-batch, so
+    the ranking is applied to the materialized table, exactly like the
+    reference's live top-k scan over its hot cells.  Restricted to
+    purchases like the batch operator."""
+    return (
+        sdf.where(F.col("event_type") == "purchase")
+        .withWatermark("tsm", "1 hour")
+        .groupBy(F.window("tsm", "1 day").alias("w"), "user_id")
+        .agg(dsum("value").alias("spend"), F.count("*").alias("n"))
+        .select(
+            F.unix_millis("w.start").alias("bucket_ms"),
+            "user_id",
+            "spend",
+            "n",
+        )
+    )
+
+
+def topk_view(materialized: DataFrame, k: int = 3) -> DataFrame:
+    """Rank view over twin_topk_window's sink table — the live top-k."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("bucket_ms").orderBy(
+        F.col("spend").desc(), "user_id"
+    )
+    return (
+        materialized.withColumn("rnk", F.row_number().over(wb))
+        .where(F.col("rnk") <= k)
+        .select("bucket_ms", "user_id", "spend", "n", "rnk")
+    )

@@ -351,3 +351,24 @@ def test_twin_switch_equals_batch(spark, sf_dir, stream_src, ckpt):
         for r in op_switch(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_twin_topk_window_equals_batch(spark, sf_dir, stream_src, ckpt):
+    """The live heavy-hitters state, ranked through the top-k view after
+    the drain, equals the batch two-phase top-k row-for-row."""
+    from scala_reactivex_spark.operators.windows import rel_topk_window
+
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_topk_window(sdf), "t_topk_win", ckpt,
+        output_mode="complete",
+    )
+    got = {
+        (r["bucket_ms"], r["rnk"]): (r["user_id"], r["spend"], r["n"])
+        for r in twins.topk_view(out).collect()
+    }
+    want = {
+        (r["bucket_ms"], r["rnk"]): (r["user_id"], r["spend"], r["n"])
+        for r in rel_topk_window(spark, sf_dir).collect()
+    }
+    assert got == want
