@@ -74,6 +74,9 @@ BEYOND_BASELINE = {
     # round 4
     "rel_skew_agg",
     "rel_topk_window",
+    "rel_q5_volume",
+    "llm_pii_scrub",
+    "llm_seq_len_hist",
 }
 
 

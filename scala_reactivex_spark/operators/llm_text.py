@@ -484,3 +484,83 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage_1e4"
         ),
     )
+
+
+#: Denylist-redaction pattern (word-boundary alternation). The fixture
+#: corpus has no literal emails/SSNs, so the scrub demonstrates the
+#: mechanism on a term denylist — the identical regexp_replace pipeline
+#: stage handles PII patterns on a real corpus (swap the pattern).
+SCRUB_PATTERN = r"\b(customer|key|value)\b"
+SCRUB_MASK = "[REDACTED]"
+
+
+@register(
+    "llm_pii_scrub",
+    tier="T3",
+    doc="Sensitive-term scrubbing (the PII-redaction stage of a training "
+    "pipeline): word-boundary denylist matches are counted and replaced "
+    "with a mask token, emitting the redaction count and the md5 of the "
+    "scrubbed text. Pure projection — regexp runs JVM-side per row, no "
+    "shuffle, embarrassingly parallel at any corpus size. The pattern "
+    "subset used (\\b, alternation) behaves identically in Java regex "
+    "and DuckDB's RE2, so the oracle replays the scrub verbatim.",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{SCRUB_PATTERN}'))
+            AS BIGINT) AS n_redacted,
+       md5(regexp_replace(text, '{SCRUB_PATTERN}',
+                          '{SCRUB_MASK}', 'g')) AS scrubbed_md5
+FROM documents
+""",
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, r'{SCRUB_PATTERN}', 0)"))
+        .cast("bigint")
+        .alias("n_redacted"),
+        F.md5(
+            F.regexp_replace("text", SCRUB_PATTERN, SCRUB_MASK).cast(
+                "binary"
+            )
+        ).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "llm_seq_len_hist",
+    tier="T3",
+    doc="Sequence-length histogram in power-of-two buckets — the packing "
+    "planner's input (choose max_seq_len / packing budget from the tail "
+    "mass). Bucket = floor(log2(n_tok)) computed INTEGER-side as "
+    "length(bin(n_tok))-1 (bit length), never float log2, so the "
+    "2^k boundaries are exact in both engines. One tiny aggregate.",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+)
+SELECT CAST(length(bin(n_tok)) - 1 AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(min(n_tok) AS BIGINT) AS min_tok,
+       CAST(max(n_tok) AS BIGINT) AS max_tok
+FROM t GROUP BY 1
+""",
+)
+def llm_seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    return (
+        t.groupBy(
+            (F.length(F.bin("n_tok")) - 1).cast("bigint").alias(
+                "log2_bucket"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("n_tok").cast("bigint").alias("min_tok"),
+            F.max("n_tok").cast("bigint").alias("max_tok"),
+        )
+    )

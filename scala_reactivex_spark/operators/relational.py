@@ -862,3 +862,75 @@ def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1997-01-01"
+
+
+@register(
+    "rel_q5_volume",
+    tier="T2",
+    doc="TPC-H Q5 shape (local supplier volume): revenue per nation where "
+    "the customer AND the line's supplier sit in the same ASIA nation, "
+    "orders within one year — the engine's 6-way join benchmark. Scale "
+    "shape: region/nation broadcast (bounded dims), customer and supplier "
+    "hash-join the fact chain on their keys, the residual c_nationkey = "
+    "s_nationkey equality rides the supplier join, ONE aggregate at the "
+    "end; lineitem (the 100 TB table) is never broadcast and its scan "
+    "prunes to 4 columns.",
+    oracle="""
+SELECT n.n_name,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def rel_q5_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
