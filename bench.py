@@ -34,6 +34,7 @@ EXCLUDE = {
     "llm_dedup_minhash",
     "llm_dedup_shingle",
     "llm_dedup_cluster",  # builds on the all-pairs near-dup baseline
+    "llm_dedup_containment",  # same all-pairs inverted-index baseline
 }
 
 # Queries registered AFTER the BASELINE.md pin (round 1, 72-query suite).
