@@ -5,8 +5,10 @@ beyond the parquet footer and normalizes time once, here, so every operator
 downstream sees the same deterministic columns:
 
 ``events`` (the Observable[T] stand-in, SURVEY.md §1.2):
-- ``ts``   bigint — raw nanosecond epoch (parquet TIMESTAMP(NANOS) read under
-  ``spark.sql.legacy.parquet.nanosAsLong=true``). Used as the primary sort
+- ``ts``   bigint — raw nanosecond epoch. Parquet TIMESTAMP(NANOS) fixtures
+  read as bigint under ``spark.sql.legacy.parquet.nanosAsLong=true``;
+  TIMESTAMP(MICROS) fixtures read as timestamp and are converted to
+  bigint ns here (``_normalize_events``). Used as the primary sort
   key together with ``event_id`` (total order — SURVEY.md §2.11.4).
 - ``tsm``  timestamp — microsecond truncation (``ts div 1000``), for Spark's
   native time windowing (window / session_window / watermarks).
@@ -49,12 +51,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Integer division keeps the full int64 — ns values (~1.7e18) exceed
-        # double's 53-bit mantissa, so a float path would corrupt timestamps.
-        df = df.withColumn(
-            "tsm", F.timestamp_micros(F.expr("ts div 1000"))
-        ).withColumn("ms", F.expr("ts div 1000000"))
+        df = _normalize_events(df)
     return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """Derive the canonical (ts bigint-ns, tsm timestamp, ms bigint) columns.
+
+    Fixture generations differ in the parquet type of ``ts``: TIMESTAMP(NANOS)
+    arrives as bigint under ``nanosAsLong`` (the documented contract), while
+    TIMESTAMP(MICROS) arrives as timestamp/timestamp_ntz.  Normalize the
+    latter to bigint nanoseconds so every downstream operator (and the
+    streaming twins' BIGINT state schemas) sees one representation.  The
+    NTZ→instant cast happens under the UTC session timezone
+    (configure_session), matching DuckDB's naive-timestamp ``epoch_ms``.
+    """
+    if dict(df.dtypes)["ts"] != "bigint":
+        df = df.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "bigint"
+            ),
+        )
+    # Integer division keeps the full int64 — ns values (~1.7e18) exceed
+    # double's 53-bit mantissa, so a float path would corrupt timestamps.
+    return df.withColumn(
+        "tsm", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withColumn("ms", F.expr("ts div 1000000"))
 
 
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -35,12 +35,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from scala_reactivex_spark.functions.determinism import dsum
 from scala_reactivex_spark.session import configure_session
 
-#: events schema under spark.sql.legacy.parquet.nanosAsLong=true
-EVENTS_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
-
 DEBOUNCE_NS = 2 * 3_600 * 1_000_000_000
 
 
@@ -50,16 +44,23 @@ def events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     ``source_dir`` must contain only events parquet part files (the file
     source streams a directory).  ``maxFilesPerTrigger`` is the
     backpressure knob — the micro-batch analogue of ``request(n)``.
+
+    The stream schema is sniffed from the parquet footers via a one-off
+    batch read (file sources require a static schema), then ``ts`` is
+    normalized to the engine's bigint-nanosecond contract exactly as in
+    the batch catalog — so the twins' BIGINT state schemas hold across
+    fixture generations (TIMESTAMP NANOS-as-long vs MICROS).
     """
     configure_session(spark)
+    from scala_reactivex_spark.sources.catalog import _normalize_events
+
+    batch_schema = spark.read.parquet(source_dir).schema
     sdf = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    return sdf.withColumn(
-        "tsm", F.timestamp_micros(F.expr("ts div 1000"))
-    ).withColumn("ms", F.expr("ts div 1000000"))
+    return _normalize_events(sdf)
 
 
 # --- windowed twins (watermark + native window expressions) ---
