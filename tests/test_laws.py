@@ -131,6 +131,37 @@ def test_minhash_lsh_agrees_with_exact_near_dedup(spark, sf_dir):
     assert ones <= lsh
 
 
+def test_minhash_bucket_cap_law(spark, sf_dir):
+    """Hot-bucket cap law: (1) a capped run's pair set is a subset of the
+    uncapped run's (the cap only removes candidates, never adds); (2) with
+    a cap larger than the corpus the guard is a no-op — output identical
+    to uncapped; (3) with cap < smallest bucket everything is skipped."""
+    big = 10**9
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup.llm_dedup_minhash(spark, sf_dir, cap=big).collect()
+    }
+    # The default production cap — binds or not, always a subset.
+    default = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup.llm_dedup_minhash(spark, sf_dir).collect()
+    }
+    assert default <= uncapped
+    # A tiny cap that MUST bind (bucket size >= 2 wherever a pair exists).
+    tiny = {
+        (r.doc_a, r.doc_b)
+        for r in llm_dedup.llm_dedup_minhash(spark, sf_dir, cap=2).collect()
+    }
+    assert tiny <= default
+    assert llm_dedup.llm_dedup_minhash(spark, sf_dir, cap=1).count() == 0
+    # Stats account for every banded entry: skipped + kept == docs × bands.
+    n_docs = table(spark, sf_dir, "documents").count()
+    stats = llm_dedup.llm_dedup_minhash_stats(spark, sf_dir).collect()
+    assert sum(r.skipped_docs + r.kept_docs for r in stats) == (
+        n_docs * llm_dedup.LSH_BANDS
+    )
+
+
 def test_combine_latest_pairs_nondecreasing(spark, sf_dir):
     """combineLatest emits one row per trigger event once both sides have
     been seen — count equals merged events minus the leading one-sided
