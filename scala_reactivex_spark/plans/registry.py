@@ -100,13 +100,10 @@ _R2_GREEN = (
 
 #: Keys graded at their declared rows-only maximum (no oracle by design,
 #: reasons in each @register doc) — a window slot cannot improve their grade.
-#: Round 5: llm_dedup_minhash / llm_dedup_simhash / llm_dedup_embed_lsh /
-#: llm_lang_id gained hash oracles in round 4 but were left here by mistake
-#: (VERDICT r4 #1), so the driver never re-graded them; removed so they enter
-#: the front of the window.
-_ROWS_ONLY_GRADED = (
-    "rel_agg_approx",
-)
+#: Round 6: empty — rel_agg_approx (the last oracle-less entry) now pins its
+#: HLL estimate to a deterministic ±3% error-band boolean, so it is
+#: hash-gradeable and moves to the front of the window.
+_ROWS_ONLY_GRADED: tuple[str, ...] = ()
 
 
 def _grade_order(names):
