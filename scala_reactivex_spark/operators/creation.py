@@ -122,6 +122,70 @@ def repeat(spark: SparkSession, value, n: int) -> DataFrame:
     return spark.range(n).select(F.lit(value).alias("value"))
 
 
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture dir) a day-partitioned copy of events
+    under ``<repo>/.cache`` — the hive layout whose read side exercises
+    partition pruning, the mechanism that turns a 100 TB scan into a
+    read of only the matching partitions."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(repo_root, ".cache", f"events_by_day_{base}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events")
+        (
+            ev.select(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                "ms",
+                F.dayofmonth("tsm").alias("dom"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("dom")
+            .parquet(out)
+        )
+    return out
+
+
+@register(
+    "src_partition_prune",
+    tier="T2",
+    doc="Partition-pruned scan: a day-partitioned parquet copy of events "
+    "(hive layout, written once via sources/formats-style partitionBy) "
+    "read back with a filter on the partition column — the scan touches "
+    "only 7 of 30 day directories (PartitionFilters in PLANS.md; "
+    "pytest asserts the pruned InputFiles count). Aggregates the kept "
+    "week per (day, event_type) with the decimal-exact sum.",
+    oracle="""
+SELECT day(ts) AS dom, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+           AS total_value
+FROM events
+WHERE day(ts) <= 7
+GROUP BY day(ts), event_type
+""",
+)
+def src_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.functions.determinism import dsum
+
+    path = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.where(F.col("dom") <= 7)
+        .groupBy(F.col("dom").cast("bigint").alias("dom"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
 @register(
     "src_interval",
     tier="T1",

@@ -93,6 +93,37 @@ def test_csv_jsonl_roundtrip(spark, sf_dir, tmp_path):
     assert from_json.exceptAll(src).count() == 0
 
 
+def test_src_partition_prune_reads_only_matching_partitions(spark, sf_dir):
+    """The graded pruning query must actually prune: the executed scan's
+    input files all come from dom<=7 partition directories, and the plan
+    carries PartitionFilters on the partition column."""
+    import contextlib
+    import io
+
+    from scala_reactivex_spark.operators import creation
+
+    path = creation._partitioned_events(spark, sf_dir)
+    scan = spark.read.parquet(path).where(F.col("dom") <= 7)
+    # Files ACTUALLY read at execution (input_file_name reflects pruning;
+    # DataFrame.inputFiles() lists the pre-pruning index, so is useless here).
+    read_files = [
+        r[0] for r in scan.select(F.input_file_name()).distinct().collect()
+    ]
+    assert read_files, "scan read no files"
+    bad = [
+        f
+        for f in read_files
+        if not any(f"/dom={d}/" in f for d in range(1, 8))
+    ]
+    assert not bad, f"read files outside dom<=7 partitions: {bad[:3]}"
+    # And strictly fewer than the full 30-day layout.
+    assert len(read_files) < len(scan.inputFiles())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain()
+    assert "PartitionFilters" in buf.getvalue()
+
+
 def test_csv_malformed_rows_land_in_corrupt_record(spark, tmp_path):
     """A row that can't parse under the declared schema must surface in
     _corrupt_record (in-band), not silently become an all-null row."""
