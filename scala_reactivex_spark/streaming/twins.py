@@ -328,6 +328,23 @@ def _pack_fn(
     state.update((cum,))
 
 
+def twin_dedup_exact(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of llm_dedup_exact's keep-side [T3 dedup family]:
+    ``dropDuplicates`` on the content hash — the first-arriving document
+    per md5(text) survives; under the doc_id-ordered arrival contract of
+    the docs file source (same contract as twin_pack_sequences) that is
+    exactly the batch ``keep_id = min(doc_id)``.
+
+    State is one row per distinct hash — bounded by unique content, not
+    stream length.  At 100 TB with an event-time column, swap in
+    ``dropDuplicatesWithinWatermark`` so state is additionally bounded by
+    the lateness horizon instead of growing with corpus-lifetime distinct
+    hashes."""
+    return sdf.select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id"
+    ).dropDuplicates(["text_hash"])
+
+
 def twin_pack_sequences(sdf: DataFrame) -> DataFrame:
     return sdf.groupBy("lang").applyInPandasWithState(
         _pack_fn,

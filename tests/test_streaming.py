@@ -210,6 +210,24 @@ def test_twin_pack_sequences_equals_batch(
     assert finals.exceptAll(batch).count() == 0
 
 
+def test_twin_dedup_exact_equals_batch(spark, sf_dir, docs_stream_src, ckpt):
+    """Streaming dropDuplicates on content hash keeps exactly the batch
+    keep-set: same (text_hash, keep_id) pairs as llm_dedup_exact, with
+    first-arrival == min(doc_id) under the ordered docs source."""
+    from scala_reactivex_spark.operators.llm_dedup import llm_dedup_exact
+
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_dedup_exact(sdf), "t_dedup", ckpt
+    )
+    got = {(r["text_hash"], r["doc_id"]) for r in out.collect()}
+    want = {
+        (r["text_hash"], r["keep_id"])
+        for r in llm_dedup_exact(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_twin_cdc_upsert_equals_batch(spark, sf_dir, stream_src, ckpt):
     """The last emission per key equals the batch MERGE compaction exactly
     (n_changes is monotone, so max picks the final state)."""
