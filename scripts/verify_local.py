@@ -17,6 +17,25 @@ import time
 
 sys.path.insert(0, ".")
 
+#: Max rows the gate will collect per query — far above any legitimate
+#: fixture result (largest is ~67k) but small enough that an unbounded
+#: operator fails the gate legibly instead of OOMing the driver.
+ROW_CAP = 1_000_000
+
+
+def collect_capped(sdf, cap: int = ROW_CAP):
+    """Collect at most ``cap`` rows; raise instead of fetching more.
+
+    ``limit(cap + 1)`` bounds the fetch itself, so even a pathological
+    unbounded operator cannot OOM the gate process (VERDICT r4 #6)."""
+    rows = [tuple(r) for r in sdf.limit(cap + 1).collect()]
+    if len(rows) > cap:
+        raise OverflowError(
+            f"result exceeds the {cap:,}-row gate cap — not collectable; "
+            "bound the operator's output"
+        )
+    return rows
+
 
 def norm_cell(v):
     if v is None:
@@ -76,7 +95,11 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            srows = collect_capped(sdf)
+        except OverflowError as exc:
+            print(f"FAIL  {name}: {exc}")
+            n_fail += 1
+            continue
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1

@@ -31,6 +31,30 @@ def test_query_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_verify_gate_row_cap(spark):
+    """The local gate's collect is bounded: a result over the cap raises
+    (legible failure) instead of materializing on the driver, and a
+    result under the cap passes through unchanged."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_local",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "verify_local.py",
+        ),
+    )
+    vl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vl)
+    small = spark.range(10)
+    assert len(vl.collect_capped(small, cap=100)) == 10
+    big = spark.range(1000)
+    with pytest.raises(OverflowError):
+        vl.collect_capped(big, cap=100)
+
+
 def test_every_query_documented_in_coverage():
     """COVERAGE.md is the judge's map — every registered query must appear
     in it (and stay there as the registry grows)."""
