@@ -569,3 +569,79 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("wins").alias("min_fp"),
         F.array_max("wins").alias("max_fp"),
     )
+
+
+#: Adjacent-token pairs as a struct array — the conditional-LM analogue of
+#: SHINGLE_EXPR (order-sensitive, shared by Spark side only; the oracle
+#: uses DuckDB's lockstep double-unnest).
+BIGRAM_PAIR_EXPR = (
+    "transform(sequence(0, size(words) - 2), "
+    "i -> struct(words[i] AS b1, words[i+1] AS b2))"
+)
+
+
+@register(
+    "llm_bigram_lm",
+    tier="T3",
+    doc="Corpus-bigram conditional LM score — the next-step perplexity "
+    "proxy after llm_unigram_lm: each adjacent pair contributes "
+    "log10(count(w1,w2) / count(w1 as prefix)), i.e. log P(w2|w1) under "
+    "the corpus bigram model (no smoothing needed: every scored bigram "
+    "exists in the model by construction). Per-doc sums are emitted as "
+    "INTEGERS (per-pair half-up floor at 1e6 on identical doubles, exact "
+    "integer summation) so accumulation order cannot drift the hash. "
+    "Scale shape: two map-side-combined frequency aggregates joined back "
+    "on the pair/prefix keys (AQE picks broadcast vs shuffle by vocab "
+    "size), one final per-doc aggregate — no windows over the corpus, no "
+    "driver state.",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i])) AS b1,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i + 1])) AS b2
+  FROM w
+), bgfreq AS (
+  SELECT b1, b2, count(*) AS c2 FROM bg GROUP BY b1, b2
+), prefix AS (
+  SELECT b1, count(*) AS c1 FROM bg GROUP BY b1
+)
+SELECT bg.doc_id, count(*) AS n_bigram,
+       CAST(sum(CAST(floor(log10(CAST(f.c2 AS DOUBLE)
+                                 / CAST(p.c1 AS DOUBLE)) * 1000000
+                           + 0.5) AS BIGINT)) AS BIGINT) AS logp_sum_1e6
+FROM bg
+JOIN bgfreq f USING (b1, b2)
+JOIN prefix p USING (b1)
+GROUP BY bg.doc_id
+""",
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .where(F.size("words") >= 2)
+    )
+    bg = w.select(
+        "doc_id", F.explode(F.expr(BIGRAM_PAIR_EXPR)).alias("bb")
+    ).select("doc_id", "bb.b1", "bb.b2")
+    bgfreq = bg.groupBy("b1", "b2").agg(F.count("*").alias("c2"))
+    prefix = bg.groupBy("b1").agg(F.count("*").alias("c1"))
+    lp = F.floor(
+        F.log10(F.col("c2").cast("double") / F.col("c1").cast("double"))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        bg.join(bgfreq, ["b1", "b2"])
+        .join(prefix, ["b1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigram"),
+            F.sum(lp).cast("bigint").alias("logp_sum_1e6"),
+        )
+    )
