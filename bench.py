@@ -27,11 +27,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Dedup-pair family — excluded from the timed set (see module docstring:
-# quadratic baselines + fixture-pathological LSH candidate density).
+# quadratic all-pairs correctness baselines). llm_dedup_minhash left this
+# set in round 6: the hot-bucket cap bounds its candidate join (~1.8 s warm
+# at sf0.1 vs ~45 s uncapped, WARM_r06.json), so it is timed as an extra.
 EXCLUDE = {
     "llm_dedup_near",
     "llm_dedup_embed",
-    "llm_dedup_minhash",
     "llm_dedup_shingle",
     "llm_dedup_cluster",  # builds on the all-pairs near-dup baseline
     "llm_dedup_containment",  # same all-pairs inverted-index baseline
@@ -78,6 +79,14 @@ BEYOND_BASELINE = {
     "rel_q5_volume",
     "llm_pii_scrub",
     "llm_seq_len_hist",
+    # round 6
+    "llm_dedup_minhash",  # capped LSH — timed now that the cap bounds it
+    "llm_dedup_minhash_stats",
+    "src_partition_prune",
+    "rel_q7_trade",
+    "rel_q10_returns",
+    "llm_dedup_minhash_cluster",
+    "llm_bigram_lm",
 }
 
 
