@@ -157,3 +157,47 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
         [d for d in os.listdir(path) if d.startswith("event_type=")]
     )
     assert n_dirs == 5
+
+
+def test_events_ts_contract_across_fixture_generations(spark, tmp_path):
+    """catalog.table('events') must yield identical (ts bigint-ns, ms, tsm)
+    whether the parquet stores TIMESTAMP(NANOS) (read as bigint under
+    nanosAsLong — the original fixture generation) or TIMESTAMP(MICROS)
+    (read as timestamp_ntz — the round-6 generation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scala_reactivex_spark.sources.catalog import table as cat_table
+
+    ns_vals = [1704067200_000_000_000, 1704067201_500_000_000]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(['{"k":1}', '{"k":2}']),
+    }
+    gens = {}
+    for unit, div in (("ns", 1), ("us", 1000)):
+        d = tmp_path / f"gen_{unit}"
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": cols["event_id"],
+                "ts": pa.array(
+                    [v // div for v in ns_vals], pa.timestamp(unit)
+                ),
+                "user_id": cols["user_id"],
+                "event_type": cols["event_type"],
+                "value": cols["value"],
+                "props": cols["props"],
+            }
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        df = cat_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "bigint"
+        gens[unit] = sorted(
+            (r.event_id, r.ts, r.ms, r.tsm) for r in df.collect()
+        )
+    assert gens["ns"] == gens["us"]
+    assert [g[1] for g in gens["us"]] == ns_vals
