@@ -145,20 +145,7 @@ def _assign_buckets(ev: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "llm_ann_ivf",
-    tier="T3",
-    doc="IVF-bucketed approximate NN with LEARNED centroids: seeds "
-    "(vec_id < 8) → one distributed Lloyd iteration (assign to nearest "
-    "seed, recompute centroids as bucket means) → final assignment; each "
-    "probe searches only its centroid's bucket → 1/K of the corpus per "
-    "query at scale. No driver collect anywhere: centroid means are a "
-    "grouped aggregate, re-assignment is a broadcast join. Determinism: "
-    "mean components sum as DECIMAL(38,6) (exact, order-independent "
-    "addition) and divide in double, so both engines produce bit-equal "
-    "centroids regardless of aggregation order; assignments rank the "
-    "ROUNDED similarity with cid tie-break.",
-    oracle="""
+_IVF_ORACLE = """
 WITH seeds AS (
   SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8
 ), s_pairs AS (
@@ -236,9 +223,13 @@ WITH seeds AS (
   FROM scored
 )
 SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
-""",
-)
-def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Build the IVF index once: persisted vector frame, learned
+    centroids (one Lloyd iteration), persisted (vec_id, bucket)
+    assignment — shared by the single- and multi-probe search paths."""
     e = table(spark, sf_dir, "embeddings")
     seeds = e.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"),
@@ -283,6 +274,26 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate gather) — persist the two-int-column frame rather than
     # re-running the broadcast-assign pass.
     assignment = _assign_buckets(ev, cent).persist()
+    return ev, cent, assignment
+
+
+@register(
+    "llm_ann_ivf",
+    tier="T3",
+    doc="IVF-bucketed approximate NN with LEARNED centroids: seeds "
+    "(vec_id < 8) → one distributed Lloyd iteration (assign to nearest "
+    "seed, recompute centroids as bucket means) → final assignment; each "
+    "probe searches only its centroid's bucket → 1/K of the corpus per "
+    "query at scale. No driver collect anywhere: centroid means are a "
+    "grouped aggregate, re-assignment is a broadcast join. Determinism: "
+    "mean components sum as DECIMAL(38,6) (exact, order-independent "
+    "addition) and divide in double, so both engines produce bit-equal "
+    "centroids regardless of aggregation order; assignments rank the "
+    "ROUNDED similarity with cid tie-break.",
+    oracle=_IVF_ORACLE,
+)
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, cent, assignment = _ivf_index(spark, sf_dir)
     probes = (
         assignment.where(F.col("vec_id") < N_PROBES)
         .join(ev, "vec_id")
@@ -292,6 +303,122 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("pe"),
             F.col("vn").alias("pn"),
         )
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(
+            assignment.alias("a"),
+            (F.col("a.bucket") == F.col("pbucket"))
+            & (F.col("a.vec_id") != F.col("probe_id")),
+        )
+        .join(ev.alias("em"), F.col("a.vec_id") == F.col("em.vec_id"))
+        .select(
+            "probe_id",
+            F.col("a.vec_id").alias("neighbor_id"),
+            "pe",
+            "pn",
+            F.col("em.embedding").alias("ce"),
+            F.col("em.vn").alias("cn"),
+        )
+    )
+    scored = cands.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(cosine_with_norms("pe", "ce", "pn", "cn"), 4).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPK)
+        .select("probe_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+#: Multi-probe width: each probe searches its top-2 centroid buckets —
+#: the standard IVF recall knob (nprobe) that trades 2/K of the corpus
+#: scanned for recall lost to quantization boundaries.
+N_PROBE_BUCKETS = 2
+
+#: The multi-probe oracle shares every CTE through `assignment` with the
+#: single-probe oracle, then takes crn <= 2 probe buckets instead of 1.
+_IVF_MP_ORACLE = _IVF_ORACLE.split("), probes AS (")[0] + f"""), probe_buckets AS (
+  SELECT vec_id AS probe_id, cid AS bucket
+  FROM asg_scored WHERE vec_id < {N_PROBES} AND crn <= {N_PROBE_BUCKETS}
+), probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe
+  FROM embeddings WHERE vec_id < {N_PROBES}
+), cands AS (
+  SELECT pb.probe_id, a.vec_id AS neighbor_id, p.pe, e.embedding AS ce
+  FROM probe_buckets pb
+  JOIN probes p ON p.probe_id = pb.probe_id
+  JOIN assignment a ON a.bucket = pb.bucket AND a.vec_id <> pb.probe_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+), expl AS (
+  SELECT probe_id, neighbor_id, unnest(pe) AS x, unnest(ce) AS y FROM cands
+), dots AS (
+  SELECT probe_id, neighbor_id,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na2,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb2
+  FROM expl GROUP BY probe_id, neighbor_id
+), scored AS (
+  SELECT probe_id, neighbor_id,
+         ROUND(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos_sim
+  FROM dots
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {TOPK}
+"""
+
+
+@register(
+    "llm_ann_ivf_mp",
+    tier="T3",
+    doc="Multi-probe IVF search (nprobe=2): same learned index as "
+    "llm_ann_ivf, but each probe searches its TOP-2 centroid buckets — "
+    "the standard recall knob for quantization-boundary misses (a true "
+    "neighbor assigned to the probe's second-closest centroid is "
+    "invisible to single-probe search). Costs 2/K of the corpus per "
+    "query instead of 1/K; everything stays broadcast-join + hash-agg, "
+    "no driver collect. Oracle shares the single-probe CTE chain through "
+    "the final assignment, then widens the probe-bucket set.",
+    oracle=_IVF_MP_ORACLE,
+)
+def llm_ann_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev, cent, assignment = _ivf_index(spark, sf_dir)
+    # Probe-side top-2 centroids: the probe set is tiny (N_PROBES rows),
+    # so a per-probe window over K centroid scores is O(P·K) — nothing.
+    pv = ev.where(F.col("vec_id") < N_PROBES)
+    c_sim = F.round(
+        cosine_with_norms("embedding", "cemb", "vn", "cemb_n"), 4
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid")
+    )
+    probe_buckets = (
+        pv.join(F.broadcast(cent))
+        .select("vec_id", "cid", c_sim.alias("c_sim"))
+        .withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= N_PROBE_BUCKETS)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("cid").alias("pbucket"),
+        )
+    )
+    probes = probe_buckets.join(
+        pv.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("vn").alias("pn"),
+        ),
+        "probe_id",
     )
     cands = (
         F.broadcast(probes)

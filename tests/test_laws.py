@@ -291,6 +291,34 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.7, recall
 
 
+def test_ann_ivf_multiprobe_recall_dominates_single(spark, sf_dir):
+    """nprobe=2 searches a superset of nprobe=1's candidates, and a brute
+    top-10 item present in a candidate set always survives the top-10 cut
+    (only globally-higher items can outrank it) — so multi-probe recall
+    is monotone: recall(mp) >= recall(single)."""
+    from scala_reactivex_spark.operators.llm_similarity import (
+        llm_ann_ivf,
+        llm_ann_ivf_mp,
+        llm_similarity_topk,
+    )
+
+    brute = {
+        (r.probe_id, r.neighbor_id)
+        for r in llm_similarity_topk(spark, sf_dir).collect()
+    }
+    single = {
+        (r.probe_id, r.neighbor_id)
+        for r in llm_ann_ivf(spark, sf_dir).collect()
+    }
+    multi = {
+        (r.probe_id, r.neighbor_id)
+        for r in llm_ann_ivf_mp(spark, sf_dir).collect()
+    }
+    r1 = len(single & brute) / len(brute)
+    r2 = len(multi & brute) / len(brute)
+    assert r2 >= r1, (r1, r2)
+
+
 def test_connected_components_long_chain(spark):
     """Pointer-jumping must resolve a duplicate chain LONGER than the round
     budget (80 links vs 30 rounds — plain min-label propagation would need
