@@ -1,0 +1,95 @@
+"""Corpus-filter composition: the keep/drop decision stage of a training
+-data pipeline, assembled from the graded primitives (SURVEY.md §2.10).
+
+A real 100 TB ingest run does not execute dedup, language ID and quality
+scoring as separate jobs with separate scans — it joins their per-doc
+verdicts into ONE decision table and materializes keep flags with reasons.
+``llm_corpus_filter`` is that stage: exact-dedup survivorship ⋈ language
+prediction ⋈ quality score → (is_dup, keep) per document.
+
+Oracle strategy: the composition's DuckDB oracle embeds the already-green
+oracles of the three primitives as parenthesized sub-selects (DuckDB
+allows a full WITH...SELECT inside a CTE body), so the composed grading
+is exactly the composition of the graded parts — no re-derivation that
+could drift.
+
+Scale shape: three branch pipelines each scan documents once (their own
+graded cost), then join on doc_id / text_hash — at cluster scale the
+branches share the scan via in-memory reuse or run as one multi-output
+pass; the decision join itself shuffles only (doc_id, few columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Importing the modules guarantees their @register blocks ran (and gives
+# direct access to the query fns), regardless of load_all() order.
+from scala_reactivex_spark.operators import llm_dedup, llm_text
+from scala_reactivex_spark.plans.registry import peek, register
+from scala_reactivex_spark.sources.catalog import table
+
+#: Quality keep-threshold: fixture scores span 0.12-0.9 (median ~0.41);
+#: 0.35 drops the bottom quartile. Scores are ROUND(x,4) in BOTH engines
+#: before the comparison, so the threshold test is deterministic.
+QUALITY_KEEP = 0.35
+
+_CORPUS_FILTER_ORACLE = f"""
+WITH q AS (
+{peek("llm_quality_score").oracle}
+), lang AS (
+{peek("llm_lang_id").oracle}
+), dups AS (
+{peek("llm_dedup_exact").oracle}
+), h AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents
+)
+SELECT h.doc_id, lang.lang_pred, q.quality,
+       (dups.keep_id <> h.doc_id) AS is_dup,
+       ((dups.keep_id = h.doc_id) AND q.quality >= {QUALITY_KEEP}) AS keep
+FROM h
+JOIN dups ON dups.text_hash = h.text_hash
+JOIN q ON q.doc_id = h.doc_id
+JOIN lang ON lang.doc_id = h.doc_id
+"""
+
+
+@register(
+    "llm_corpus_filter",
+    tier="T3",
+    doc="Corpus keep/drop decision table — the filter stage of a training"
+    "-data pipeline composed from graded primitives: exact-dedup "
+    "survivorship (md5 keeper), language prediction (llm_lang_id), and "
+    "quality score (llm_quality_score) joined per doc into (is_dup, "
+    "keep). keep = canonical copy AND quality >= 0.35. The oracle embeds "
+    "the three primitives' green oracles as sub-selects, so composed "
+    "grading is exactly the composition of the graded parts.",
+    oracle=_CORPUS_FILTER_ORACLE,
+)
+def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    quality = llm_text.llm_quality_score(spark, sf_dir).select(
+        "doc_id", "quality"
+    )
+    lang = llm_text.llm_lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    keepers = llm_dedup.llm_dedup_exact(spark, sf_dir).select(
+        "text_hash", "keep_id"
+    )
+    hashed = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+    )
+    is_canonical = F.col("keep_id") == F.col("doc_id")
+    return (
+        hashed.join(keepers, "text_hash")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality",
+            (~is_canonical).alias("is_dup"),
+            (is_canonical & (F.col("quality") >= QUALITY_KEEP)).alias(
+                "keep"
+            ),
+        )
+    )

@@ -35,6 +35,9 @@ _OPERATOR_MODULES = (
     "scala_reactivex_spark.operators.llm_multimodal",
     "scala_reactivex_spark.operators.llm_pipeline",
     "scala_reactivex_spark.operators.llm_signals",
+    # llm_compose embeds other modules' registered oracles (peek) — must
+    # stay AFTER every module it composes from.
+    "scala_reactivex_spark.operators.llm_compose",
 )
 
 
@@ -159,6 +162,14 @@ def registry() -> dict[str, QuerySpec]:
 
 def get(name: str) -> QuerySpec:
     load_all()
+    return _REGISTRY[name]
+
+
+def peek(name: str) -> QuerySpec:
+    """Like :func:`get` but WITHOUT triggering load_all — for operator
+    modules that compose another module's registered oracle at import
+    time (importing the dependency module directly, then peeking, avoids
+    the load_all re-entrancy a get() would cause mid-load)."""
     return _REGISTRY[name]
 
 
