@@ -87,6 +87,8 @@ BEYOND_BASELINE = {
     "rel_q10_returns",
     "llm_dedup_minhash_cluster",
     "llm_bigram_lm",
+    "llm_ann_ivf_mp",
+    "llm_corpus_filter",
 }
 
 
