@@ -32,9 +32,11 @@ ALLOWED_NESTED_LOOP = {
     "llm_dedup_embed",  # all-pairs baseline (scale path: llm_dedup_minhash)
     "llm_similarity_topk",  # 5 broadcast probe rows × corpus stream
     "llm_ann_ivf",  # 8 broadcast centroid rows × corpus stream
+    "llm_ann_ivf_mp",  # same centroid cross (5 probes × 8 centroids)
     "op_sequence_equal",  # 1×1 row cross of two count aggregates
     "rel_setops",  # 1-row agg unions
     "llm_lang_id",  # broadcast profile join
+    "llm_corpus_filter",  # embeds llm_lang_id's broadcast profile join
     "llm_vocab_coverage",  # 1 broadcast grand-total row × |V| vocab rows
     "llm_boilerplate",  # 1 broadcast df-threshold row × corpus stream
     "llm_unigram_lm",  # 1 broadcast corpus-total row × token stream
