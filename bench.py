@@ -89,6 +89,8 @@ BEYOND_BASELINE = {
     "llm_bigram_lm",
     "llm_ann_ivf_mp",
     "llm_corpus_filter",
+    "rel_q4_priority",
+    "rel_q14_promo",
 }
 
 

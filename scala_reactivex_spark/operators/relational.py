@@ -1112,3 +1112,97 @@ def rel_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "rel_q4_priority",
+    tier="T2",
+    doc="TPC-H Q4 shape (order priority checking): orders in one quarter "
+    "having at least one late-shipped line (shipdate > orderdate + 60 "
+    "days), counted per priority. The EXISTS compiles to a LEFT SEMI "
+    "join — the fact probe early-outs on first match and never "
+    "duplicates order rows; the order-window filter pushes to the scan.",
+    oracle="""
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+)
+def rel_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+
+
+@register(
+    "rel_q14_promo",
+    tier="T2",
+    doc="TPC-H Q14 shape (promotion effect): promo parts' share of one "
+    "month's revenue. Revenue sums are DECIMAL-exact then cast to DOUBLE "
+    "before the single division, and the percentage is pinned to an "
+    "integer (floor(pct*1e4+0.5)) — identical doubles divide identically "
+    "in both engines, and the integer pin removes the 4-dp rounding-tie "
+    "hazard of emitted quotients. Scale shape: ship-window filter pushed "
+    "to the lineitem scan, part joined on its key (AQE picks broadcast "
+    "at fixture scale), one scalar aggregate.",
+    oracle="""
+SELECT CAST(floor(
+         100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6)) ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) * 10000 + 0.5)
+       AS BIGINT) AS promo_pct_1e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def rel_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.expr("l_extendedprice * (1 - l_discount)").cast(DEC)
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo_rev).alias("ps"),
+            F.sum(rev).alias("ts"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+        .select(
+            F.floor(
+                F.lit(100.0)
+                * F.col("ps").cast("double")
+                / F.col("ts").cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("promo_pct_1e4"),
+            "n_lines",
+        )
+    )
