@@ -91,6 +91,8 @@ BEYOND_BASELINE = {
     "llm_corpus_filter",
     "rel_q4_priority",
     "rel_q14_promo",
+    "rel_q15_top_supplier",
+    "rel_q19_brackets",
 }
 
 

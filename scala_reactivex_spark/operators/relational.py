@@ -1206,3 +1206,99 @@ def rel_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines",
         )
     )
+
+
+@register(
+    "rel_q15_top_supplier",
+    tier="T2",
+    doc="TPC-H Q15 shape (top supplier): per-supplier revenue for one "
+    "quarter, returning every supplier that attains the maximum — the "
+    "scalar-subquery-max + join-back pattern (distinct from rel_topk's "
+    "ORDER BY+LIMIT: ties are NOT cut). The max rides a 1-row broadcast "
+    "cross join (declared scalar pattern); revenue is decimal-exact then "
+    "rounded before the equality, so the tie test is engine-stable.",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+)
+def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "rel_q19_brackets",
+    tier="T2",
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive brackets): "
+    "lineitem ⋈ part on the part key with an OR-of-ANDs residual over "
+    "(brand, size, quantity) brackets — the disjunction can't push into "
+    "either scan whole, but each conjunct's column set is pruned and the "
+    "equi key still drives a hash join (never a cartesian). One scalar "
+    "decimal-exact aggregate.",
+    oracle="""
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 25)
+   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 10 AND 40
+       AND l.l_quantity BETWEEN 10 AND 40)
+""",
+)
+def rel_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bracket1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 25)
+    )
+    bracket2 = (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(10, 40)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(bracket1 | bracket2)
+        .agg(
+            dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )

@@ -35,6 +35,7 @@ ALLOWED_NESTED_LOOP = {
     "llm_ann_ivf_mp",  # same centroid cross (5 probes × 8 centroids)
     "op_sequence_equal",  # 1×1 row cross of two count aggregates
     "rel_setops",  # 1-row agg unions
+    "rel_q15_top_supplier",  # 1-row broadcast max × per-supplier revenue
     "llm_lang_id",  # broadcast profile join
     "llm_corpus_filter",  # embeds llm_lang_id's broadcast profile join
     "llm_vocab_coverage",  # 1 broadcast grand-total row × |V| vocab rows
