@@ -345,6 +345,40 @@ def twin_dedup_exact(sdf: DataFrame) -> DataFrame:
     ).dropDuplicates(["text_hash"])
 
 
+def twin_corpus_filter(
+    sdf: DataFrame, quality: DataFrame, lang: DataFrame
+) -> DataFrame:
+    """Streaming keep/drop decision via STREAM-STATIC join [T3 compose —
+    twin of llm_corpus_filter's keep side]: the document stream dedups
+    on content hash in-stream (first arrival survives, the
+    twin_dedup_exact contract), then joins BATCH-computed quality and
+    language frames — the standard pattern for enriching a stream with
+    offline-computed per-key state: the static side is planned as an
+    ordinary batch relation each micro-batch, no streaming shuffle, no
+    watermark needed on it.
+
+    Emits one row per canonical (first-arrival) document with its
+    quality/lang verdicts and the keep flag; duplicate arrivals are
+    dropped by the stateful dedup, matching the batch operator's
+    is_dup=false slice under doc_id-ordered arrival."""
+    from scala_reactivex_spark.operators.llm_compose import QUALITY_KEEP
+
+    hashed = sdf.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
+    )
+    canonical = hashed.dropDuplicates(["text_hash"])
+    return (
+        canonical.join(quality.select("doc_id", "quality"), "doc_id")
+        .join(lang.select("doc_id", "lang_pred"), "doc_id")
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality",
+            (F.col("quality") >= QUALITY_KEEP).alias("keep"),
+        )
+    )
+
+
 def twin_pack_sequences(sdf: DataFrame) -> DataFrame:
     return sdf.groupBy("lang").applyInPandasWithState(
         _pack_fn,

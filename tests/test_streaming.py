@@ -228,6 +228,40 @@ def test_twin_dedup_exact_equals_batch(spark, sf_dir, docs_stream_src, ckpt):
     assert got == want
 
 
+def test_twin_corpus_filter_equals_batch(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """Stream-static corpus filter == the batch decision table's
+    is_dup=false slice: same canonical docs, same quality/lang verdicts,
+    same keep flags (first-arrival == min doc_id under the ordered docs
+    source)."""
+    from scala_reactivex_spark.operators.llm_compose import (
+        llm_corpus_filter,
+    )
+    from scala_reactivex_spark.operators.llm_text import (
+        llm_lang_id,
+        llm_quality_score,
+    )
+
+    quality = llm_quality_score(spark, sf_dir)
+    lang = llm_lang_id(spark, sf_dir)
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_corpus_filter(sdf, quality, lang), "t_cfilter", ckpt
+    )
+    got = {
+        (r["doc_id"], r["lang_pred"], r["quality"], r["keep"])
+        for r in out.collect()
+    }
+    want = {
+        (r["doc_id"], r["lang_pred"], r["quality"], r["keep"])
+        for r in llm_corpus_filter(spark, sf_dir)
+        .where("NOT is_dup")
+        .collect()
+    }
+    assert got == want
+
+
 def test_twin_cdc_upsert_equals_batch(spark, sf_dir, stream_src, ckpt):
     """The last emission per key equals the batch MERGE compaction exactly
     (n_changes is monotone, so max picks the final state)."""
