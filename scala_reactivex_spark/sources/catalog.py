@@ -52,6 +52,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _normalize_events(df)
+    elif name in _DATE_COLS:
+        df = _normalize_dates(df, _DATE_COLS[name])
+    return df
+
+
+#: Date-valued columns whose parquet type has changed between fixture
+#: generations (events.ts did in round 6) — pin them to timestamp_ntz so
+#: every operator and oracle comparison sees one type regardless of
+#: whether the driver ships DATE, TIMESTAMP or TIMESTAMP_NTZ.
+_DATE_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def _normalize_dates(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Cast each date-ish column to timestamp_ntz (midnight for DATE,
+    same wall clock for TIMESTAMP under the UTC session timezone)."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) != "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
     return df
 
 

@@ -201,3 +201,44 @@ def test_events_ts_contract_across_fixture_generations(spark, tmp_path):
         )
     assert gens["ns"] == gens["us"]
     assert [g[1] for g in gens["us"]] == ns_vals
+
+
+def test_orderdate_contract_across_parquet_types(spark, tmp_path):
+    """catalog.table('orders') pins o_orderdate to timestamp_ntz whether
+    the parquet stores DATE, TIMESTAMP(MICROS, NTZ) or an instant
+    TIMESTAMP — insurance against the next fixture-generation change
+    (events.ts changed type in round 6)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from scala_reactivex_spark.sources.catalog import table as cat_table
+
+    days = [datetime.date(1996, 1, 1), datetime.date(1997, 6, 15)]
+    base = {
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 20], pa.int64()),
+        "o_orderstatus": pa.array(["O", "F"]),
+        "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+        "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+    }
+    variants = {
+        "date": pa.array(days, pa.date32()),
+        "ts_ntz": pa.array(
+            [datetime.datetime.combine(d, datetime.time()) for d in days],
+            pa.timestamp("us"),
+        ),
+    }
+    results = {}
+    for tag, arr in variants.items():
+        d = tmp_path / f"orders_{tag}"
+        d.mkdir()
+        t = pa.table({**base, "o_orderdate": arr})
+        pq.write_table(t, str(d / "orders.parquet"))
+        df = cat_table(spark, str(d), "orders")
+        assert dict(df.dtypes)["o_orderdate"] == "timestamp_ntz"
+        results[tag] = sorted(
+            (r.o_orderkey, r.o_orderdate) for r in df.collect()
+        )
+    assert results["date"] == results["ts_ntz"]
