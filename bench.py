@@ -93,6 +93,7 @@ BEYOND_BASELINE = {
     "rel_q14_promo",
     "rel_q15_top_supplier",
     "rel_q19_brackets",
+    "llm_minhash_est",
 }
 
 
