@@ -94,6 +94,17 @@ BEYOND_BASELINE = {
     "rel_q15_top_supplier",
     "rel_q19_brackets",
     "llm_minhash_est",
+    "rel_q2_mincost",
+    "rel_q8_mktshare",
+    "rel_q9_profit",
+    "rel_q11_important",
+    "rel_q12_shipclass",
+    "rel_q13_custdist",
+    "rel_q16_suppcnt",
+    "rel_q17_smallqty",
+    "rel_q20_excess",
+    "rel_q21_waiting",
+    "rel_q22_inactive",
 }
 
 

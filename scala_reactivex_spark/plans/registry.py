@@ -28,6 +28,7 @@ _OPERATOR_MODULES = (
     "scala_reactivex_spark.operators.combinators",
     "scala_reactivex_spark.operators.aggregates",
     "scala_reactivex_spark.operators.relational",
+    "scala_reactivex_spark.operators.tpch_suite",
     "scala_reactivex_spark.operators.timeseries",
     "scala_reactivex_spark.operators.llm_dedup",
     "scala_reactivex_spark.operators.llm_similarity",
@@ -101,6 +102,24 @@ _R2_GREEN = (
     "llm_decontaminate",
 )
 
+#: Keys first hash-green in rounds 3–5 (CORRECTNESS_r03..r05.json).  Banked
+#: behind the never-green front group but ahead of the older banks, so they
+#: re-confirm while window slots remain.  Round 6: moves 30 keys out of the
+#: front group, leaving the 14 never-externally-graded keys + the round-6
+#: additions comfortably inside the 50-slot window.
+_R345_GREEN = (
+    "rel_topk_window", "rel_grouping_sets", "rel_q6_forecast",
+    "rel_window_funcs", "rel_percentiles", "rel_q3_shipping",
+    "rel_q18_large_orders", "rel_q5_volume", "rel_join_asof",
+    "rel_cdc_upsert", "rel_scd2", "rel_funnel", "rel_skew_agg",
+    "llm_dedup_minhash", "llm_dedup_simhash", "llm_dedup_embed_lsh",
+    "llm_dedup_containment", "llm_lang_id", "llm_pii_scrub",
+    "llm_seq_len_hist", "llm_embed_quantize", "llm_repetition_score",
+    "llm_token_entropy", "llm_unigram_lm", "llm_cdc_chunks",
+    "llm_embed_norm_stats", "llm_tfidf", "llm_embed_centroid",
+    "llm_domain_mix", "llm_winnowing",
+)
+
 #: Keys graded at their declared rows-only maximum (no oracle by design,
 #: reasons in each @register doc) — a window slot cannot improve their grade.
 #: Round 6: empty — rel_agg_approx (the last oracle-less entry) now pins its
@@ -113,6 +132,7 @@ def _grade_order(names):
     """Never-green-first ordering (stable within each group)."""
     rank = {}
     for group, base in (
+        (_R345_GREEN, 500_000),
         (_R2_GREEN, 1_000_000),
         (_ROWS_ONLY_GRADED, 2_000_000),
         (_R1_GREEN_ROTATE_LAST, 3_000_000),
