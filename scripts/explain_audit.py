@@ -36,6 +36,8 @@ ALLOWED_NESTED_LOOP = {
     "op_sequence_equal",  # 1×1 row cross of two count aggregates
     "rel_setops",  # 1-row agg unions
     "rel_q15_top_supplier",  # 1-row broadcast max × per-supplier revenue
+    "rel_q11_important",  # 1-row broadcast global-total threshold (Q11 HAVING)
+    "rel_q22_inactive",  # 1-row broadcast scalar-AVG threshold (Q22)
     "llm_lang_id",  # broadcast profile join
     "llm_corpus_filter",  # embeds llm_lang_id's broadcast profile join
     "llm_vocab_coverage",  # 1 broadcast grand-total row × |V| vocab rows
