@@ -105,6 +105,8 @@ BEYOND_BASELINE = {
     "rel_q20_excess",
     "rel_q21_waiting",
     "rel_q22_inactive",
+    "llm_kmeans",
+    "llm_semdedup",
 }
 
 

@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "scala_reactivex_spark.operators.llm_multimodal",
     "scala_reactivex_spark.operators.llm_pipeline",
     "scala_reactivex_spark.operators.llm_signals",
+    "scala_reactivex_spark.operators.llm_cluster",
     # llm_compose embeds other modules' registered oracles (peek) — must
     # stay AFTER every module it composes from.
     "scala_reactivex_spark.operators.llm_compose",

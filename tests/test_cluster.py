@@ -1,0 +1,65 @@
+"""Semantics of the clustering ops (llm_cluster.py) at sf0.001."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from scala_reactivex_spark.operators import llm_cluster as C
+from scala_reactivex_spark.sources.catalog import table
+
+
+def test_kmeans_assigns_every_vector_once(spark, sf_dir):
+    asg = C.llm_kmeans(spark, sf_dir)
+    n_vec = table(spark, sf_dir, "embeddings").count()
+    assert asg.count() == n_vec
+    assert asg.select("vec_id").distinct().count() == n_vec
+
+
+def test_kmeans_uses_multiple_clusters(spark, sf_dir):
+    asg = C.llm_kmeans(spark, sf_dir)
+    k = asg.select("cluster_id").distinct().count()
+    assert 1 < k <= C.KMEANS_K
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark, sf_dir):
+    """Lloyd monotonicity: total squared distance after the full loop must
+    be ≤ the first-assignment inertia (exact integers, so comparable)."""
+    x = C._pinned(spark, sf_dir)
+    cent0 = x.where(F.col("vec_id") < C.KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"), "pos", F.col("v").alias("c")
+    )
+    first = (
+        C._assign(x, cent0).agg(F.sum("dist2")).collect()[0][0]
+    )
+    final = (
+        C.llm_kmeans(spark, sf_dir).agg(F.sum("dist2")).collect()[0][0]
+    )
+    assert final <= first
+
+
+def test_semdedup_one_keeper_per_cluster_and_keepers_never_dropped(
+    spark, sf_dir
+):
+    out = C.llm_semdedup(spark, sf_dir).collect()
+    by_cluster: dict[int, int] = {}
+    for r in out:
+        if r.is_keeper:
+            by_cluster[r.cluster_id] = by_cluster.get(r.cluster_id, 0) + 1
+            assert r.is_dropped == 0
+    clusters = {r.cluster_id for r in out}
+    assert set(by_cluster) == clusters
+    assert all(v == 1 for v in by_cluster.values())
+
+
+def test_semdedup_dropped_are_nearer_centroid_than_cluster_mean(
+    spark, sf_dir
+):
+    out = C.llm_semdedup(spark, sf_dir).collect()
+    sums: dict[int, list[int]] = {}
+    for r in out:
+        sums.setdefault(r.cluster_id, []).append(r.dist2)
+    for r in out:
+        if r.is_dropped:
+            d2s = sums[r.cluster_id]
+            mean = sum(d2s) / len(d2s)
+            assert r.dist2 < mean * C.SEMDEDUP_TAU_1E4 / 10_000
