@@ -107,6 +107,7 @@ BEYOND_BASELINE = {
     "rel_q22_inactive",
     "llm_kmeans",
     "llm_semdedup",
+    "llm_pipeline_e2e",
 }
 
 

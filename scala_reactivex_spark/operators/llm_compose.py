@@ -93,3 +93,67 @@ def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PIPELINE_E2E_ORACLE = f"""
+WITH cf AS (
+{_CORPUS_FILTER_ORACLE}
+), kept AS (
+  SELECT cf.doc_id, cf.lang_pred,
+         CASE
+           WHEN substr(md5(d.text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+           WHEN substr(md5(d.text), 1, 1) IN ('c', 'd') THEN 'val'
+           ELSE 'test'
+         END AS split,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM cf JOIN documents d ON cf.doc_id = d.doc_id
+  WHERE cf.keep
+)
+SELECT split, lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM kept GROUP BY split, lang_pred
+"""
+
+
+@register(
+    "llm_pipeline_e2e",
+    tier="T3",
+    doc="End-to-end curation data card — the full pipeline chained as ONE "
+    "declarative plan: exact-dedup survivorship + language ID + quality "
+    "filter (llm_corpus_filter), then the deterministic content-hash "
+    "train/val/test assignment (llm_doc_split's rule) and whitespace "
+    "token counts, aggregated per (split, predicted language). This is "
+    "the table a training run is provisioned from. The oracle nests the "
+    "corpus-filter composition (itself built from green primitive "
+    "oracles) one level deeper — grading stays the composition of "
+    "graded parts. Scale: everything rides the primitives' own shapes; "
+    "the final aggregate is over a bounded (split, lang) domain.",
+    oracle=_PIPELINE_E2E_ORACLE,
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = llm_corpus_filter(spark, sf_dir).where(F.col("keep")).select(
+        "doc_id", "lang_pred"
+    )
+    nib = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        split.alias("split"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    return (
+        kept.join(docs, "doc_id")
+        .groupBy("split", "lang_pred")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tok_sum"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
