@@ -282,10 +282,12 @@ def rel_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "suppliers, keeping parts whose value exceeds a fraction of the "
     "global total — the groupBy + global-scalar-threshold HAVING "
     "pattern. No partsupp: value is sum(l_extendedprice*(1-l_discount)) "
-    "from lineitem. The global total is a second-level aggregate of the "
-    "SAME decimal-exact per-part sums (no re-scan), joined back as a "
-    "1-row broadcast. Scale: one shuffle on partkey; the threshold side "
-    "is O(1).",
+    "from lineitem. The global threshold is 2.5× the MEAN per-part value "
+    "— a second-level aggregate of the SAME decimal-exact per-part sums "
+    "(no re-scan), joined back as a 1-row broadcast; expressing it "
+    "relative to the mean (not a fixed corpus fraction) keeps the "
+    "selectivity scale-free, exactly as TPC-H scales Q11's fraction by "
+    "1/SF. Scale: one shuffle on partkey; the threshold side is O(1).",
     oracle="""
 WITH v AS (
   SELECT l.l_partkey,
@@ -302,7 +304,7 @@ SELECT v.l_partkey AS p_partkey,
        ROUND(CAST(v.val AS DOUBLE), 4) AS part_value
 FROM v
 WHERE CAST(v.val AS DOUBLE)
-      > (SELECT CAST(SUM(val) AS DOUBLE) * 0.00085 FROM v)
+      > (SELECT CAST(SUM(val) AS DOUBLE) * 2.5 / COUNT(*) FROM v)
 """,
 )
 def rel_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +322,9 @@ def rel_q11_important(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = val.agg(
-        (F.sum("val").cast("double") * F.lit(0.00085)).alias("threshold")
+        (F.sum("val").cast("double") * F.lit(2.5) / F.count("*")).alias(
+            "threshold"
+        )
     )
     return (
         val.join(F.broadcast(total))

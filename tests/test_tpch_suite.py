@@ -26,24 +26,28 @@ def test_q2_rows_attain_their_parts_minimum(spark, sf_dir):
     assert all(len(costs) == 1 for costs in by_part.values())
 
 
-def test_q11_threshold_is_strict_global_fraction(spark, sf_dir):
+def test_q11_threshold_is_2p5x_mean_part_value(spark, sf_dir):
     df = T.rel_q11_important(spark, sf_dir)
     rows = df.collect()
-    # recompute the global total from the unfiltered aggregate
+    # recompute total and part count from the unfiltered aggregate
     li = table(spark, sf_dir, "lineitem")
     asia = T._in_region(spark, sf_dir, "ASIA").select("s_suppkey")
-    total = (
+    per_part = (
         li.join(asia, li.l_suppkey == asia.s_suppkey)
+        .groupBy("l_partkey")
         .agg(
             F.sum(
                 F.expr("l_extendedprice * (1 - l_discount)").cast(
                     "decimal(38,6)"
                 )
-            ).cast("double")
+            )
+            .cast("double")
+            .alias("val")
         )
-        .collect()[0][0]
+        .agg(F.sum("val").alias("total"), F.count("*").alias("n"))
+        .collect()[0]
     )
-    threshold = total * 0.00085
+    threshold = per_part.total * 2.5 / per_part.n
     assert all(r.part_value > threshold * 0.999 for r in rows)
 
 
