@@ -76,7 +76,12 @@ def _assign(x: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_loop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Run the Lloyd loop; return (final assignment, the centroid frame
+    that assignment was scored against) — the centroids are what a
+    serving/streaming scorer needs (see streaming/twins.twin_kmeans)."""
     x = _pinned(spark, sf_dir).persist()
     cent = x.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster_id"), "pos", F.col("v").alias("c")
@@ -95,7 +100,11 @@ def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("c")
                 )
             )
-    return asg
+    return asg, cent
+
+
+def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kmeans_loop(spark, sf_dir)[0]
 
 
 def _kmeans_oracle() -> str:

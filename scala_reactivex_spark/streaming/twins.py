@@ -294,6 +294,71 @@ def docs_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+EMBED_DDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def embeddings_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source streaming read of the embeddings table."""
+    configure_session(spark)
+    return (
+        spark.readStream.schema(EMBED_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def twin_kmeans(sdf: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Streaming k-means scoring [T3 — live twin of llm_kmeans's final
+    assignment]: classify arriving vectors against BATCH-trained
+    centroids — the model-serving shape (stream scoring against broadcast
+    state). The (cluster_id, pos, c) centroid frame packs into ONE static
+    row of array<struct<cluster_id, cvec>>; the stream cross-joins that
+    broadcast row and picks argmin squared-L2 per arriving vector with
+    array higher-order functions — completely STATELESS per row: append
+    mode, no watermark, no streaming shuffle, so throughput scales with
+    source parallelism alone. Same 1e6 integer pinning as the batch op,
+    ties to the lowest cluster id via struct array_sort."""
+    packed = (
+        centroids.groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "cluster_id",
+            F.transform("pc", lambda x: x["c"]).alias("cvec"),
+        )
+        .agg(F.collect_list(F.struct("cluster_id", "cvec")).alias("cents"))
+    )
+    pinned = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    d2 = lambda cvec: F.aggregate(  # noqa: E731 — reads best inline
+        F.zip_with("vvec", cvec, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = F.array_sort(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                d2(c["cvec"]).alias("d2"),
+                c["cluster_id"].alias("cluster_id"),
+            ),
+        )
+    )
+    return (
+        sdf.select("vec_id", pinned.alias("vvec"))
+        .crossJoin(F.broadcast(packed))
+        .select("vec_id", scored[0].alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cluster_id").alias("cluster_id"),
+            F.col("best.d2").cast("bigint").alias("dist2"),
+        )
+    )
+
+
 def _pack_fn(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],

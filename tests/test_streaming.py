@@ -424,3 +424,37 @@ def test_twin_topk_window_equals_batch(spark, sf_dir, stream_src, ckpt):
         for r in rel_topk_window(spark, sf_dir).collect()
     }
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def embeddings_stream_src(spark, sf_dir, tmp_path_factory):
+    src = tmp_path_factory.mktemp("embed_src")
+    shutil.copy(f"{sf_dir}/embeddings.parquet", src / "part-0.parquet")
+    return str(src)
+
+
+def test_twin_kmeans_equals_batch_assignment(
+    spark, sf_dir, embeddings_stream_src, ckpt
+):
+    """Streaming scoring against the batch-trained centroids emits the
+    exact (vec_id, cluster_id, dist2) triples of llm_kmeans' final
+    assignment — the broadcast-state serving path and the batch Lloyd
+    loop agree bit-for-bit (integer distances)."""
+    from scala_reactivex_spark.operators.llm_cluster import (
+        _kmeans_loop,
+        llm_kmeans,
+    )
+
+    _, centroids = _kmeans_loop(spark, sf_dir)
+    sdf = twins.embeddings_stream(spark, embeddings_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_kmeans(sdf, centroids), "t_kmeans", ckpt
+    )
+    got = {
+        (r["vec_id"], r["cluster_id"], r["dist2"]) for r in out.collect()
+    }
+    want = {
+        (r["vec_id"], r["cluster_id"], r["dist2"])
+        for r in llm_kmeans(spark, sf_dir).collect()
+    }
+    assert got == want
