@@ -40,6 +40,7 @@ ALLOWED_NESTED_LOOP = {
     "rel_q22_inactive",  # 1-row broadcast scalar-AVG threshold (Q22)
     "llm_lang_id",  # broadcast profile join
     "llm_corpus_filter",  # embeds llm_lang_id's broadcast profile join
+    "llm_pipeline_e2e",  # composes llm_corpus_filter (same inherited cross)
     "llm_vocab_coverage",  # 1 broadcast grand-total row × |V| vocab rows
     "llm_boilerplate",  # 1 broadcast df-threshold row × corpus stream
     "llm_unigram_lm",  # 1 broadcast corpus-total row × token stream
