@@ -108,6 +108,7 @@ BEYOND_BASELINE = {
     "llm_kmeans",
     "llm_semdedup",
     "llm_pipeline_e2e",
+    "rel_agg_approx_pct",
 }
 
 

@@ -383,6 +383,57 @@ def rel_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_agg_approx_pct",
+    tier="T2",
+    doc="Quantile-sketch aggregate: approx_percentile (KLL-family sketch, "
+    "accuracy 10000) of line price per return flag — the 100 TB path "
+    "where exact per-group sorted mass is too expensive. Like "
+    "rel_agg_approx, the engine-specific sketch values are pinned to a "
+    "deterministic accuracy contract: approx p50/p95 must land within "
+    "±3% of the exact percentile_disc values (rank error ≤ n/10000 "
+    "makes the value band loose by construction), which DuckDB replays "
+    "as a constant. Exact branch exists only to grade the sketch.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       quantile_disc(l_extendedprice, 0.50) AS exact_p50,
+       quantile_disc(l_extendedprice, 0.95) AS exact_p95,
+       TRUE AS approx_within_3pct
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def rel_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pd_ = lambda q: F.expr(  # noqa: E731
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        pd_(0.50).alias("exact_p50"),
+        pd_(0.95).alias("exact_p95"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("ap")
+    )
+    within = (
+        F.abs(F.col("ap")[0] - F.col("exact_p50")) / F.col("exact_p50")
+        <= 0.03
+    ) & (
+        F.abs(F.col("ap")[1] - F.col("exact_p95")) / F.col("exact_p95")
+        <= 0.03
+    )
+    return exact.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        "n_lines",
+        "exact_p50",
+        "exact_p95",
+        within.alias("approx_within_3pct"),
+    )
+
+
+@register(
     "rel_scalar_battery",
     tier="T2",
     doc="Scalar function battery in one projection: string (upper/substr/"
