@@ -109,6 +109,7 @@ BEYOND_BASELINE = {
     "llm_semdedup",
     "llm_pipeline_e2e",
     "rel_agg_approx_pct",
+    "llm_decontaminate_bloom",
 }
 
 

@@ -348,3 +348,176 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hit_1e4"
         ),
     )
+
+
+BLOOM_M = 65_536  # Bloom bit-space (positions mod M); load ~0.15 at sf0.01
+BLOOM_K = 3  # probe positions per n-gram
+
+
+def _bloom_oracle() -> str:
+    from scala_reactivex_spark.functions.portable_hash import (
+        P31,
+        affine_seeds,
+        kr31_duck_expr,
+    )
+
+    seeds = affine_seeds(BLOOM_K)
+    kr = kr31_duck_expr("s")
+    pos_list = ", ".join(
+        f"((({a} * h) + {b}) % {P31}) % {BLOOM_M}" for a, b in seeds
+    )
+    return f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+              WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+              ELSE 'test' END AS split,
+         string_split(text, ' ') AS words
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, split,
+         unnest(list_transform(generate_series(1, len(words) - {DECON_W - 1}),
+                i -> array_to_string(words[i:i+{DECON_W - 1}], ' '))) AS s,
+         unnest(generate_series(1, len(words) - {DECON_W - 1})) AS gram_idx
+  FROM split WHERE len(words) >= {DECON_W}
+), sh AS (
+  SELECT doc_id, split, gram_idx, s, {kr} AS h FROM sh0
+), shp AS (
+  SELECT doc_id, split, gram_idx, s, unnest([{pos_list}]) AS pos FROM sh
+), bloom AS (
+  SELECT DISTINCT pos FROM shp WHERE split = 'test'
+), flagged AS (
+  SELECT shp.doc_id, shp.gram_idx, shp.s
+  FROM shp JOIN bloom USING (pos)
+  WHERE shp.split = 'train'
+  GROUP BY shp.doc_id, shp.gram_idx, shp.s
+  HAVING count(*) = {BLOOM_K}
+), probes AS (
+  SELECT DISTINCT s FROM sh WHERE split = 'test'
+), exact AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM flagged f JOIN probes USING (s) GROUP BY f.doc_id
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+  FROM flagged GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_bloom_hits,
+       CAST(COALESCE(e.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN COALESCE(e.n_hits, 0) = 0 THEN 1 ELSE 0 END AS INT)
+           AS all_fp,
+       CAST(CASE WHEN p.n_bloom_hits >= COALESCE(e.n_hits, 0)
+            THEN 1 ELSE 0 END AS INT) AS no_false_neg
+FROM per_doc p LEFT JOIN exact e ON p.doc_id = e.doc_id
+"""
+
+
+
+@register(
+    "llm_decontaminate_bloom",
+    tier="T3",
+    doc="Bloom-cascade decontamination — the 100 TB shape of "
+    "llm_decontaminate: the eval probe set compresses to a set of "
+    f"integer Bloom positions ({BLOOM_K} portable Karp-Rabin affine "
+    f"hashes mod {BLOOM_M}) that broadcasts as a few hundred KB of "
+    "BIGINTs instead of the full n-gram string set; train grams probe "
+    "the broadcast set and only Bloom-flagged docs pay the exact string "
+    "join (the cascade). The Bloom is DETERMINISTIC integer math "
+    "(functions/portable_hash.py), so the oracle replays it exactly: "
+    "per flagged doc, Bloom hit count, exact hit count, and the "
+    "false-positive flag are all hash-graded — including the "
+    "no-false-negative invariant (bloom ≥ exact always).",
+    oracle=_bloom_oracle(),
+)
+def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.functions.portable_hash import (
+        P31,
+        affine_seeds,
+        kr31_spark_expr,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    w = docs.select(
+        "doc_id", split.alias("split"), F.split("text", " ").alias("words")
+    ).where(F.size("words") >= DECON_W)
+    sh = w.select(
+        "doc_id",
+        "split",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (DECON_W - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("words"), i, DECON_W)
+                ),
+            )
+        ).alias("gram_idx", "s"),
+    ).withColumn("h", F.expr(kr31_spark_expr("s")))
+    seeds = affine_seeds(BLOOM_K)
+    pos_cols = [
+        (((F.lit(a) * F.col("h") + F.lit(b)) % P31) % BLOOM_M).alias(
+            f"p{i}"
+        )
+        for i, (a, b) in enumerate(seeds)
+    ]
+    # Bloom build: distinct positions of the eval grams (integer set).
+    bloom = (
+        sh.where(F.col("split") == "test")
+        .select(*pos_cols)
+        .select(
+            F.explode(
+                F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    # Probe: a train gram is Bloom-flagged iff ALL K positions are set.
+    train = sh.where(F.col("split") == "train").select(
+        "doc_id", "gram_idx", "s", *pos_cols
+    )
+    probed = train.select(
+        "doc_id",
+        "gram_idx",
+        "s",
+        F.explode(
+            F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    flagged = (
+        probed.join(F.broadcast(bloom), "pos")
+        .groupBy("doc_id", "gram_idx", "s")
+        .agg(F.count("*").alias("k_hit"))
+        .where(F.col("k_hit") == BLOOM_K)
+    )
+    # Cascade: exact string check ONLY for Bloom-flagged grams.
+    probes = sh.where(F.col("split") == "test").select("s").distinct()
+    exact = (
+        flagged.join(probes, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bloom_hits")
+    )
+    return (
+        per_doc.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bloom_hits",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+        )
+        .withColumn(
+            "all_fp", (F.col("n_hits") == 0).cast("int")
+        )
+        .withColumn(
+            "no_false_neg",
+            (F.col("n_bloom_hits") >= F.col("n_hits")).cast("int"),
+        )
+    )
+
