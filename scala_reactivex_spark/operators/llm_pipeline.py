@@ -412,6 +412,68 @@ FROM per_doc p LEFT JOIN exact e ON p.doc_id = e.doc_id
 
 
 
+def _decon_shingles_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, gram_idx, s, h): the split-tagged probe shingles
+    with their portable Karp-Rabin hash — shared by the batch Bloom op
+    and the streaming twin's Bloom build."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        kr31_spark_expr,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    w = docs.select(
+        "doc_id", split.alias("split"), F.split("text", " ").alias("words")
+    ).where(F.size("words") >= DECON_W)
+    return w.select(
+        "doc_id",
+        "split",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (DECON_W - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("words"), i, DECON_W)
+                ),
+            )
+        ).alias("gram_idx", "s"),
+    ).withColumn("h", F.expr(kr31_spark_expr("s")))
+
+
+def _bloom_pos_cols(prefix: str = "p") -> list:
+    from scala_reactivex_spark.functions.portable_hash import (
+        P31,
+        affine_seeds,
+    )
+
+    return [
+        (((F.lit(a) * F.col("h") + F.lit(b)) % P31) % BLOOM_M).alias(
+            f"{prefix}{i}"
+        )
+        for i, (a, b) in enumerate(affine_seeds(BLOOM_K))
+    ]
+
+
+def decon_bloom_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom as data: distinct integer positions set by the eval
+    grams — the frame a serving/streaming probe broadcasts."""
+    sh = _decon_shingles_hashed(spark, sf_dir)
+    return (
+        sh.where(F.col("split") == "test")
+        .select(*_bloom_pos_cols())
+        .select(
+            F.explode(
+                F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
 @register(
     "llm_decontaminate_bloom",
     tier="T3",
@@ -429,52 +491,10 @@ FROM per_doc p LEFT JOIN exact e ON p.doc_id = e.doc_id
     oracle=_bloom_oracle(),
 )
 def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scala_reactivex_spark.functions.portable_hash import (
-        P31,
-        affine_seeds,
-        kr31_spark_expr,
-    )
-
-    docs = table(spark, sf_dir, "documents")
-    nib = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
-    split = (
-        F.when(nib.between("0", "b"), "train")
-        .when(nib.isin("c", "d"), "val")
-        .otherwise("test")
-    )
-    w = docs.select(
-        "doc_id", split.alias("split"), F.split("text", " ").alias("words")
-    ).where(F.size("words") >= DECON_W)
-    sh = w.select(
-        "doc_id",
-        "split",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("words") - (DECON_W - 1)),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("words"), i, DECON_W)
-                ),
-            )
-        ).alias("gram_idx", "s"),
-    ).withColumn("h", F.expr(kr31_spark_expr("s")))
-    seeds = affine_seeds(BLOOM_K)
-    pos_cols = [
-        (((F.lit(a) * F.col("h") + F.lit(b)) % P31) % BLOOM_M).alias(
-            f"p{i}"
-        )
-        for i, (a, b) in enumerate(seeds)
-    ]
+    sh = _decon_shingles_hashed(spark, sf_dir)
+    pos_cols = _bloom_pos_cols()
     # Bloom build: distinct positions of the eval grams (integer set).
-    bloom = (
-        sh.where(F.col("split") == "test")
-        .select(*pos_cols)
-        .select(
-            F.explode(
-                F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])
-            ).alias("pos")
-        )
-        .distinct()
-    )
+    bloom = decon_bloom_positions(spark, sf_dir)
     # Probe: a train gram is Bloom-flagged iff ALL K positions are set.
     train = sh.where(F.col("split") == "train").select(
         "doc_id", "gram_idx", "s", *pos_cols

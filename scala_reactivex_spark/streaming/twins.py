@@ -359,6 +359,64 @@ def twin_kmeans(sdf: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def twin_decontaminate_bloom(sdf: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Streaming Bloom probe [T3 — live twin of llm_decontaminate_bloom's
+    flagging stage]: arriving train documents explode to n-grams and test
+    their portable-hash Bloom positions against the BATCH-built position
+    set, packed into one broadcast MAP for O(1) membership — the
+    stream-side of the decontamination cascade (flagged grams go on to
+    the exact check / quarantine). Explode + column math only: stateless
+    append, no watermark, no streaming shuffle."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        P31,
+        affine_seeds,
+        kr31_spark_expr,
+    )
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        BLOOM_K,
+        BLOOM_M,
+        DECON_W,
+    )
+
+    packed = bloom.agg(F.collect_list("pos").alias("ps")).select(
+        F.expr("map_from_arrays(ps, array_repeat(true, size(ps)))").alias(
+            "bits"
+        )
+    )
+    grams = sdf.select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).where(F.size("words") >= DECON_W).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("words") - (DECON_W - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("words"), i, DECON_W)
+                ),
+            )
+        ).alias("gram_idx", "s"),
+    ).withColumn("h", F.expr(kr31_spark_expr("s")))
+    positions = F.array(
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % P31) % BLOOM_M
+            for a, b in affine_seeds(BLOOM_K)
+        ]
+    )
+    return (
+        grams.crossJoin(F.broadcast(packed))
+        .withColumn("pos_arr", positions)
+        .where(
+            F.forall(
+                F.col("pos_arr"),
+                lambda p: F.coalesce(
+                    F.element_at(F.col("bits"), p), F.lit(False)
+                ),
+            )
+        )
+        .select("doc_id", "gram_idx", "s")
+    )
+
+
 def _pack_fn(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],

@@ -458,3 +458,43 @@ def test_twin_kmeans_equals_batch_assignment(
         for r in llm_kmeans(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_twin_decontaminate_bloom_equals_batch_flagging(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """Streaming Bloom probe flags exactly the grams whose per-doc counts
+    the batch op reports: restricting the streamed flags to train docs
+    reproduces every (doc_id, n_bloom_hits) pair."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        decon_bloom_positions,
+        llm_decontaminate_bloom,
+    )
+
+    bloom = decon_bloom_positions(spark, sf_dir)
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_decontaminate_bloom(sdf, bloom), "t_bloom", ckpt
+    )
+    # train split membership via the same md5-nibble rule
+    train_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.substring(
+                F.md5(F.col("text").cast("binary")), 1, 1
+            ).alias("nib"),
+        )
+        .where(F.col("nib").between("0", "b"))
+        .collect()
+    }
+    got: dict[int, int] = {}
+    for r in out.collect():
+        if r.doc_id in train_ids:
+            got[r.doc_id] = got.get(r.doc_id, 0) + 1
+    want = {
+        r.doc_id: r.n_bloom_hits
+        for r in llm_decontaminate_bloom(spark, sf_dir).collect()
+    }
+    assert got == want
