@@ -541,3 +541,152 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+N_SHARDS = 16  # output shards for the training-data write
+
+
+@register(
+    "llm_shard_assign",
+    tier="T3",
+    doc=f"Deterministic output sharding: each doc routes to one of "
+    f"{N_SHARDS} shards by content hash (md5 first-byte mod — the same "
+    "hex-nibble bucketing as llm_stratified_sample, so membership is a "
+    "pure function of content and survives any repartitioning); emits "
+    "per-shard doc count, byte volume, doc_id range and load share "
+    "(1e4).  The balance profile is what a 100 TB write checks before "
+    "committing a shard layout — a skewed shard here is a straggler "
+    "executor there.  Scale shape: one hash aggregate to "
+    f"{N_SHARDS} rows; the share window runs over those {N_SHARDS} "
+    "rows, never the corpus.",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+          + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+         % {N_SHARDS} AS shard
+  FROM documents
+), s AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+         CAST(min(doc_id) AS BIGINT) AS min_doc,
+         CAST(max(doc_id) AS BIGINT) AS max_doc
+  FROM b GROUP BY shard
+)
+SELECT shard, n_docs, n_bytes, min_doc, max_doc,
+       CAST(n_docs * 10000 // (sum(n_docs) OVER ()) AS BIGINT)
+         AS share_1e4
+FROM s
+""",
+)
+def llm_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hexpos = (
+        "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
+    )
+    shard = F.expr(
+        f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
+        f" % {N_SHARDS}"
+    )
+    s = (
+        table(spark, sf_dir, "documents")
+        .select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_bytes"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+    share = F.expr(
+        "CAST(n_docs * 10000 DIV (sum(n_docs) OVER ()) AS BIGINT)"
+    )
+    return s.select(
+        "shard", "n_docs", "n_bytes", "min_doc", "max_doc",
+        share.alias("share_1e4"),
+    )
+
+
+@register(
+    "llm_curriculum",
+    tier="T3",
+    doc="Length-curriculum phase assignment: docs are bucketed into 4 "
+    "training phases at the exact token-count quartiles (discrete "
+    "percentile — smallest length whose cumulative count reaches "
+    "i*N/4, integer-exact in both engines); emits per-phase doc count, "
+    "token volume and length range.  Scale shape: the quartile scan is "
+    "a window over the LENGTH HISTOGRAM (distinct lengths — bounded, "
+    "Heaps-style, never corpus rows), thresholds ride a 1-row "
+    "broadcast back onto the corpus, and the phase rollup is one hash "
+    "aggregate.",
+    oracle="""
+WITH lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), hist AS (
+  SELECT n_tok, count(*) AS c FROM lens GROUP BY n_tok
+), cum AS (
+  SELECT n_tok,
+         sum(c) OVER (ORDER BY n_tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cc,
+         sum(c) OVER () AS n
+  FROM hist
+), thr AS (
+  SELECT CAST(min(CASE WHEN cc * 4 >= n THEN n_tok END) AS BIGINT) AS q1,
+         CAST(min(CASE WHEN cc * 2 >= n THEN n_tok END) AS BIGINT) AS q2,
+         CAST(min(CASE WHEN cc * 4 >= 3 * n THEN n_tok END) AS BIGINT) AS q3
+  FROM cum
+)
+SELECT CAST(1 + CAST(l.n_tok > t.q1 AS INT) + CAST(l.n_tok > t.q2 AS INT)
+            + CAST(l.n_tok > t.q3 AS INT) AS BIGINT) AS phase,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(l.n_tok) AS BIGINT) AS n_tokens,
+       CAST(min(l.n_tok) AS BIGINT) AS min_tok,
+       CAST(max(l.n_tok) AS BIGINT) AS max_tok
+FROM lens l CROSS JOIN thr t
+GROUP BY 1
+""",
+)
+def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lens = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    hist = lens.groupBy("n_tok").agg(F.count("*").alias("c"))
+    win = Window.orderBy("n_tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n_tok",
+        F.sum("c").over(win).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    thr = cum.agg(
+        F.min(F.when(F.col("cc") * 4 >= F.col("n"), F.col("n_tok")))
+        .cast("bigint")
+        .alias("q1"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("n_tok")))
+        .cast("bigint")
+        .alias("q2"),
+        F.min(F.when(F.col("cc") * 4 >= 3 * F.col("n"), F.col("n_tok")))
+        .cast("bigint")
+        .alias("q3"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("n_tok") > F.col("q1")).cast("int")
+        + (F.col("n_tok") > F.col("q2")).cast("int")
+        + (F.col("n_tok") > F.col("q3")).cast("int")
+    ).cast("bigint")
+    return (
+        lens.crossJoin(F.broadcast(thr))
+        .groupBy(phase.alias("phase"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("n_tok").cast("bigint").alias("min_tok"),
+            F.max("n_tok").cast("bigint").alias("max_tok"),
+        )
+    )

@@ -1,0 +1,211 @@
+"""Lexical retrieval over the document corpus (round 6, §2.10 family).
+
+A pretraining-data pipeline needs lexical retrieval twice: as the
+recall-oriented complement to embedding ANN (``llm_ann_ivf``) and as the
+workhorse of overlap tooling (find the corpus documents most similar to an
+eval item before a manual contamination review).  Two operators:
+
+- ``llm_bm25``: Okapi BM25 top-k retrieval.  The held-out 'test' split
+  (the same content-hash routing as ``llm_doc_split`` /
+  ``llm_decontaminate``) supplies the probe queries — each test doc's
+  leading ``QUERY_W`` distinct words form one query — and every 'train'
+  doc is scored with the standard k1/b-damped term-frequency × idf sum.
+- ``llm_index_stats``: the inverted-index health sweep that precedes any
+  retrieval deployment — per-term document frequency, collection
+  frequency, and max within-doc tf (the posting-list length / skew
+  profile that decides compression and stop-listing).
+
+Determinism (§2.11): BM25 is floating-point by construction, so each
+per-term contribution is pinned to integer micro units with the repo's
+``floor(x * 1e6 + 0.5)`` rule before the per-(query, doc) sum — both
+engines evaluate the IDENTICAL arithmetic expression text (same literal
+constants, same operation order) on identical integer inputs, so the
+doubles agree bitwise, exactly as llm_unigram_lm / llm_lang_id established
+across rounds.  Ranking ties break on doc_id — a total order.
+
+Scale shape: document frequencies and lengths are map-side-combined
+aggregates; the query set is an eval corpus (bounded — broadcasts; AQE
+falls back to a hash join on the term key if it ever doesn't); scoring is
+one equi-join on the term key followed by a per-(query, doc) hash
+aggregate; the only window partitions by q_id (per-query top-k, never
+corpus-wide).  No driver collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import table
+
+QUERY_W = 4  # leading words per probe query
+BM25_TOPK = 5  # results returned per query
+
+#: The BM25 damping expression, written ONCE and reused verbatim by both
+#: engines (identical literal constants and operation order ⇒ identical
+#: IEEE doubles).  {n}/{df}/{tf}/{dl}/{tot} are integer columns.
+_BM25_CONTRIB = (
+    "CAST(floor("
+    "log10(1 + (CAST({n} - {df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+    " * ((CAST({tf} AS DOUBLE) * 2.2) / (CAST({tf} AS DOUBLE)"
+    "     + 1.2 * (0.25 + 0.75 * (CAST({dl} AS DOUBLE)"
+    "                             / (CAST({tot} AS DOUBLE) / CAST({n} AS DOUBLE))))))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def _split_expr(engine: str) -> str:
+    """The doc_split content-hash routing nibble (train/val/test)."""
+    if engine == "spark":
+        return "substring(md5(cast(text as binary)), 1, 1)"
+    return "substr(md5(text), 1, 1)"
+
+
+@register(
+    "llm_bm25",
+    tier="T3",
+    doc="Okapi BM25 top-5 retrieval: each 'test'-split doc's leading "
+    f"{QUERY_W} distinct words form a query; every 'train'-split doc is "
+    "scored sum_t idf(t)*tfnorm(t) (k1=1.2, b=0.75, BM25+ style "
+    "log10(1+...) idf so scores stay positive), pinned per-term to integer "
+    "micro units.  Scale shape: df/dl are map-side aggregates; queries "
+    "are a bounded eval set (broadcast); one equi-join on the term key, "
+    "one (q_id, doc_id) hash aggregate, and a per-query top-k window — "
+    "nothing corpus-global.",
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id,
+         CASE WHEN {_split_expr('duck')} BETWEEN '0' AND 'b' THEN 'train'
+              WHEN {_split_expr('duck')} IN ('c', 'd') THEN 'val'
+              ELSE 'test' END AS split,
+         string_split(text, ' ') AS words
+  FROM documents
+), train_tok AS (
+  SELECT doc_id, unnest(words) AS tok FROM split WHERE split = 'train'
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM train_tok GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS tot
+  FROM dl
+), queries AS (
+  SELECT DISTINCT doc_id AS q_id, unnest(words[1:{QUERY_W}]) AS tok
+  FROM split WHERE split = 'test'
+), scored AS (
+  SELECT q.q_id, tf.doc_id,
+         CAST(sum({_BM25_CONTRIB.format(n='c.n', df='df.df', tf='tf.tf',
+                                        dl='dl.dl', tot='c.tot')})
+              AS BIGINT) AS score_micro
+  FROM queries q
+  JOIN tf ON tf.tok = q.tok
+  JOIN df ON df.tok = q.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN corpus c
+  GROUP BY q.q_id, tf.doc_id
+)
+SELECT q_id, CAST(rnk AS BIGINT) AS rank, doc_id, score_micro
+FROM (
+  SELECT q_id, doc_id, score_micro,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY score_micro DESC, doc_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {BM25_TOPK}
+""",
+)
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    nib = F.expr(_split_expr("spark"))
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    w = docs.select(
+        "doc_id", split.alias("split"), F.split("text", " ").alias("words")
+    )
+    train_tok = w.where(F.col("split") == "train").select(
+        "doc_id", F.explode("words").alias("tok")
+    )
+    tf = (
+        train_tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("tot"),
+    )
+    queries = (
+        w.where(F.col("split") == "test")
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.slice("words", 1, QUERY_W)).alias("tok"),
+        )
+        .distinct()
+    )
+    contrib = _BM25_CONTRIB.format(
+        n="n", df="df", tf="tf", dl="dl", tot="tot"
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(tf, "tok")
+        .join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.expr(contrib)).cast("bigint").alias("score_micro"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(
+            F.col("score_micro").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        scored.withColumn("rank", rnk.cast("bigint"))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("q_id", "rank", "doc_id", "score_micro")
+    )
+
+
+@register(
+    "llm_index_stats",
+    tier="T3",
+    doc="Inverted-index posting-list profile over the full corpus: per "
+    "term, the document frequency, collection frequency, and max "
+    "within-doc tf — the length/skew sweep that sizes posting compression "
+    "and stop-lists before retrieval goes live.  Scale shape: one "
+    "explode → (doc, tok) hash aggregate → per-tok hash aggregate, all "
+    "map-side-combined; output is |V| rows (Heaps-sublinear), never "
+    "corpus-scale.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+)
+SELECT tok,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       CAST(max(tf) AS BIGINT) AS max_tf
+FROM tf GROUP BY tok
+""",
+)
+def llm_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+    )

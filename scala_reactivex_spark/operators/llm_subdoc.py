@@ -1,0 +1,271 @@
+"""Sub-document curation operators (round 6, §2.10 family).
+
+Document-level dedup (``llm_dedup_*``) misses duplication BELOW the
+document boundary — boilerplate paragraphs shared across pages, long
+copied passages inside otherwise-distinct documents, and the
+byte/character statistics a tokenizer is trained on.  Three operators:
+
+- ``llm_line_dedup``: RefinedWeb/CCNet-style duplicated-paragraph
+  profile.  The fixture corpus has no newlines, so the documented
+  paragraph stand-in is consecutive non-overlapping ``SEG_W``-word
+  segments (tail included); a segment is duplicated when its exact text
+  occurs in ≥ 2 distinct documents.  Output: per-doc segment counts and
+  duplicated-segment density.
+- ``llm_dedup_substring``: exact repeated-passage detection in the shape
+  of Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  Better") — every overlapping ``SUB_W``-word gram, a position is
+  duplicated when its gram occurs in ≥ 2 distinct docs, and consecutive
+  duplicated positions merge into runs (gaps-and-islands) so the longest
+  copied passage per document is reported, not just a count.
+- ``llm_bpe_pairs``: the first step of BPE tokenizer training — corpus
+  frequencies of adjacent character pairs WITHIN words (word-boundary
+  merges excluded, as in classic BPE), ranked; the top pair is the first
+  merge rule a tokenizer trained on this corpus would learn.
+
+Determinism (§2.11): everything here is integer (counts, positions,
+``DIV``-scaled densities on non-negative operands); ranking ties pin on
+the pair string — a total order.
+
+Scale shape: all three are explode → hash-aggregate → equi-join-back
+pipelines (the inverted-index shape of llm_boilerplate/llm_decontaminate
+— heavy-hitter segment/gram keys are exactly what AQE skew-join splits).
+The only windows partition by doc_id (run detection is doc-bounded) or
+run over the pair alphabet (bounded, not corpus-scale).  No driver
+collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import table
+
+SEG_W = 8  # words per pseudo-paragraph segment (non-overlapping)
+SUB_W = 8  # words per overlapping substring gram
+BPE_TOPK = 40  # merge candidates reported
+
+
+@register(
+    "llm_line_dedup",
+    tier="T3",
+    doc=f"Duplicated-paragraph profile: non-overlapping {SEG_W}-word "
+    "segments (tail kept), a segment is duplicated when its exact text "
+    "appears in ≥ 2 distinct docs; per doc emits segment count, "
+    "duplicated-segment count and density (1e4, integer DIV).  Scale "
+    "shape: explode → distinct-doc count per segment key → join back on "
+    "the segment key → per-doc aggregate; inverted-index shape, AQE "
+    "splits heavy-hitter segments.",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), seg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, (len(words) + {SEG_W - 1}) // {SEG_W} - 1),
+           i -> array_to_string(words[i * {SEG_W} + 1 : i * {SEG_W} + {SEG_W}], ' ')
+         )) AS s
+  FROM w
+), segdocs AS (
+  SELECT s, count(DISTINCT doc_id) AS nd FROM seg GROUP BY s
+)
+SELECT seg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE sd.nd >= 2) AS BIGINT) AS n_dup_segs,
+       CAST(count(*) FILTER (WHERE sd.nd >= 2) * 10000 // count(*)
+            AS BIGINT) AS dup_1e4
+FROM seg JOIN segdocs sd USING (s)
+GROUP BY seg.doc_id
+""",
+)
+def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    seg = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(
+                        f"(size(words) + {SEG_W - 1}) DIV {SEG_W} - 1"
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("words"), i * SEG_W + 1, SEG_W)
+                ),
+            )
+        ).alias("s"),
+    )
+    segdocs = seg.groupBy("s").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") >= 2, 1)
+    return (
+        seg.join(segdocs, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segs"),
+            F.count(dup).cast("bigint").alias("n_dup_segs"),
+            F.expr(
+                "CAST(count(CASE WHEN nd >= 2 THEN 1 END) * 10000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("dup_1e4"),
+        )
+    )
+
+
+@register(
+    "llm_dedup_substring",
+    tier="T3",
+    doc=f"Repeated-passage detection (Lee et al. shape): overlapping "
+    f"{SUB_W}-word grams with positions; a position is duplicated when "
+    "its gram occurs in ≥ 2 distinct docs; consecutive duplicated "
+    "positions merge into runs (gaps-and-islands per doc).  Emits per-doc "
+    "gram count, duplicated-position count, density (1e4) and the longest "
+    "run — the copied-passage length that drives span-removal decisions.  "
+    "Scale shape: inverted-index join on the gram key; the run window "
+    "partitions BY DOC (never corpus-wide).",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[i : i + {SUB_W - 1}], ' ') AS s
+  FROM w, unnest(generate_series(1, len(words) - {SUB_W - 1})) AS t(i)
+  WHERE len(words) >= {SUB_W}
+), gd AS (
+  SELECT s, count(DISTINCT doc_id) AS nd FROM g GROUP BY s
+), marked AS (
+  SELECT g.doc_id, g.pos, gd.nd >= 2 AS dup FROM g JOIN gd USING (s)
+), runs AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM marked WHERE dup
+), run_len AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_run
+  FROM (SELECT doc_id, island, count(*) AS c
+        FROM runs GROUP BY doc_id, island)
+  GROUP BY doc_id
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dup
+  FROM marked GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_grams, p.n_dup,
+       CAST(p.n_dup * 10000 // p.n_grams AS BIGINT) AS dup_1e4,
+       CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_run
+FROM per_doc p LEFT JOIN run_len r USING (doc_id)
+""",
+)
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    g = (
+        w.where(F.size("words") >= SUB_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - (SUB_W - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("words"), i, SUB_W)
+                    ),
+                )
+            ).alias("pos0", "s"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
+    )
+    gd = g.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
+    marked = g.join(gd, "s").select(
+        "doc_id", "pos", (F.col("nd") >= 2).alias("dup")
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.count(F.when(F.col("dup"), 1)).cast("bigint").alias("n_dup"),
+    )
+    dup_rows = marked.where("dup")
+    island = (
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        )
+    ).alias("island")
+    run_len = (
+        dup_rows.select("doc_id", island)
+        .groupBy("doc_id", "island")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("max_run"))
+    )
+    return (
+        per_doc.join(run_len, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            F.expr("CAST(n_dup * 10000 DIV n_grams AS BIGINT)").alias(
+                "dup_1e4"
+            ),
+            F.coalesce("max_run", F.lit(0)).cast("bigint").alias("max_run"),
+        )
+    )
+
+
+@register(
+    "llm_bpe_pairs",
+    tier="T3",
+    doc="BPE tokenizer-training step 1: corpus frequencies of adjacent "
+    "character pairs within words (word boundaries never merge, as in "
+    f"classic BPE); top {BPE_TOPK} merge candidates ranked by count with "
+    "the pair string as the deterministic tie-break.  Scale shape: "
+    "explode words → explode in-word positions → one hash aggregate over "
+    "a key space bounded by the alphabet squared; the final rank window "
+    "runs over that bounded pair table, never over the corpus.",
+    oracle=f"""
+WITH wrd AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM wrd, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+), cnt AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+)
+SELECT CAST(rnk AS BIGINT) AS rank, pair, cnt
+FROM (
+  SELECT pair, cnt,
+         row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+  FROM cnt
+)
+WHERE rnk <= {BPE_TOPK}
+""",
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wrd = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    pairs = wrd.where(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    cnt = pairs.groupBy("pair").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    )
+    return (
+        cnt.withColumn("rank", rnk.cast("bigint"))
+        .where(F.col("rank") <= BPE_TOPK)
+        .select("rank", "pair", "cnt")
+    )

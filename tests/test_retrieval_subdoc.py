@@ -1,0 +1,120 @@
+"""Law tests for the round-6 retrieval / sub-document curation operators.
+
+The DuckDB oracle gate pins exact values; these pin scale-independent
+invariants so a fixture change can't silently degrade the operators into
+degenerate output.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from scala_reactivex_spark.operators.llm_pipeline import (
+    N_SHARDS,
+    llm_curriculum,
+    llm_shard_assign,
+)
+from scala_reactivex_spark.operators.llm_retrieval import (
+    BM25_TOPK,
+    llm_bm25,
+    llm_index_stats,
+)
+from scala_reactivex_spark.operators.llm_subdoc import (
+    BPE_TOPK,
+    llm_bpe_pairs,
+    llm_dedup_substring,
+    llm_line_dedup,
+)
+from scala_reactivex_spark.sources.catalog import table
+
+
+def _n_docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents").count()
+
+
+def test_bm25_ranks_contiguous_scores_monotone(spark, sf_dir):
+    rows = llm_bm25(spark, sf_dir).collect()
+    assert rows, "no BM25 results"
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["q_id"]].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOPK
+        for a, b in zip(rs, rs[1:]):
+            # total order: score desc, then doc_id asc on ties
+            assert a["score_micro"] > b["score_micro"] or (
+                a["score_micro"] == b["score_micro"]
+                and a["doc_id"] < b["doc_id"]
+            )
+        for r in rs:
+            assert r["score_micro"] > 0  # BM25+ idf is strictly positive
+            assert r["doc_id"] != q  # queries come from the held-out split
+
+
+def test_index_stats_bounds(spark, sf_dir):
+    n = _n_docs(spark, sf_dir)
+    rows = llm_index_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["df"] <= n
+        assert r["cf"] >= r["df"]  # every posting holds >= 1 occurrence
+        assert 1 <= r["max_tf"] <= r["cf"]
+
+
+def test_line_dedup_density_bounds(spark, sf_dir):
+    rows = llm_line_dedup(spark, sf_dir).collect()
+    assert len(rows) == _n_docs(spark, sf_dir)  # every doc profiled
+    for r in rows:
+        assert 0 <= r["n_dup_segs"] <= r["n_segs"]
+        assert 0 <= r["dup_1e4"] <= 10000
+        assert (r["dup_1e4"] == 0) == (r["n_dup_segs"] == 0)
+
+
+def test_substring_runs_within_dup_counts(spark, sf_dir):
+    rows = llm_dedup_substring(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup"] <= r["n_grams"]
+        assert 0 <= r["max_run"] <= r["n_dup"]
+        assert (r["max_run"] == 0) == (r["n_dup"] == 0)
+    # the fixture contains deliberate near-duplicates: at least one doc
+    # must show a copied passage longer than a single gram position
+    assert any(r["max_run"] > 1 for r in rows)
+
+
+def test_bpe_pairs_ranked_and_in_word(spark, sf_dir):
+    rows = sorted(llm_bpe_pairs(spark, sf_dir).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= BPE_TOPK
+    for a, b in zip(rows, rows[1:]):
+        assert a["cnt"] > b["cnt"] or (
+            a["cnt"] == b["cnt"] and a["pair"] < b["pair"]
+        )
+    for r in rows:
+        assert len(r["pair"]) == 2
+        assert " " not in r["pair"]  # word boundaries never merge
+
+
+def test_shard_assign_partitions_corpus(spark, sf_dir):
+    rows = llm_shard_assign(spark, sf_dir).collect()
+    assert {r["shard"] for r in rows} <= set(range(N_SHARDS))
+    assert sum(r["n_docs"] for r in rows) == _n_docs(spark, sf_dir)
+    assert sum(r["share_1e4"] for r in rows) <= 10000  # floor-DIV shares
+    for r in rows:
+        assert r["n_docs"] >= 1
+        assert r["min_doc"] <= r["max_doc"]
+
+
+def test_curriculum_phases_partition_and_order(spark, sf_dir):
+    rows = sorted(llm_curriculum(spark, sf_dir).collect(),
+                  key=lambda r: r["phase"])
+    assert [r["phase"] for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(r["n_docs"] for r in rows) == _n_docs(spark, sf_dir)
+    for r in rows:
+        assert r["min_tok"] <= r["max_tok"]
+    # quartile phases are disjoint, strictly increasing length bands
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_tok"] < b["min_tok"]
