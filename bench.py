@@ -110,6 +110,14 @@ BEYOND_BASELINE = {
     "llm_pipeline_e2e",
     "rel_agg_approx_pct",
     "llm_decontaminate_bloom",
+    # round 6: retrieval / sub-document curation / data layout
+    "llm_bm25",
+    "llm_index_stats",
+    "llm_line_dedup",
+    "llm_dedup_substring",
+    "llm_bpe_pairs",
+    "llm_shard_assign",
+    "llm_curriculum",
 }
 
 

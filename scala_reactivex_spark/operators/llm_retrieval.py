@@ -29,6 +29,15 @@ falls back to a hash join on the term key if it ever doesn't); scoring is
 one equi-join on the term key followed by a per-(query, doc) hash
 aggregate; the only window partitions by q_id (per-query top-k, never
 corpus-wide).  No driver collection anywhere.
+
+Fixture-pathology note (same class as llm_dedup_minhash, BASELINE.md):
+the 31-token fixture vocabulary makes every query term match nearly
+every document, so the term join produces |queries|×|corpus| candidate
+rows (~5.5 s warm at sf0.1, WARM_r06.json).  On a realistic vocabulary
+document frequency is Zipf-distributed and the candidate set per term is
+a small corpus fraction; production deployments additionally stop-list
+near-universal terms (their BM25+ idf ≈ 0), which this fixture cannot
+demonstrate without zeroing every score.
 """
 
 from __future__ import annotations
@@ -60,6 +69,73 @@ def _split_expr(engine: str) -> str:
     if engine == "spark":
         return "substring(md5(cast(text as binary)), 1, 1)"
     return "substr(md5(text), 1, 1)"
+
+
+def _split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, split, words) with the content-hash split routing."""
+    nib = F.expr(_split_expr("spark"))
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split"), F.split("text", " ").alias("words")
+    )
+
+
+def bm25_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static BM25 index: per (tok, doc_id) the pinned micro-unit
+    score contribution a query term adds when it matches.  The query
+    never enters the damping math (query term frequency = 1), so the
+    whole index precomputes once — this is the frame the streaming
+    serving twin joins arriving queries against."""
+    w = _split_docs(spark, sf_dir)
+    train_tok = w.where(F.col("split") == "train").select(
+        "doc_id", F.explode("words").alias("tok")
+    )
+    tf = (
+        train_tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("tot"),
+    )
+    contrib = _BM25_CONTRIB.format(
+        n="n", df="df", tf="tf", dl="dl", tot="tot"
+    )
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("tok", "doc_id", F.expr(contrib).alias("contrib"))
+    )
+
+
+def bm25_queries(w: DataFrame) -> DataFrame:
+    """(q_id, tok) probe terms: each test doc's leading QUERY_W distinct
+    words.  ``array_distinct`` dedups WITHIN the row, so this is a pure
+    projection — usable unchanged on a stream (no stateful distinct)."""
+    return w.where(F.col("split") == "test").select(
+        F.col("doc_id").alias("q_id"),
+        F.explode(
+            F.array_distinct(F.slice("words", 1, QUERY_W))
+        ).alias("tok"),
+    )
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (q_id, doc_id, score_micro) scoring table (pre-top-k)."""
+    queries = bm25_queries(_split_docs(spark, sf_dir))
+    return (
+        F.broadcast(queries)
+        .join(bm25_contrib(spark, sf_dir), "tok")
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score_micro"))
+    )
 
 
 @register(
@@ -119,56 +195,14 @@ WHERE rnk <= {BM25_TOPK}
 """,
 )
 def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    nib = F.expr(_split_expr("spark"))
-    split = (
-        F.when(nib.between("0", "b"), "train")
-        .when(nib.isin("c", "d"), "val")
-        .otherwise("test")
-    )
-    w = docs.select(
-        "doc_id", split.alias("split"), F.split("text", " ").alias("words")
-    )
-    train_tok = w.where(F.col("split") == "train").select(
-        "doc_id", F.explode("words").alias("tok")
-    )
-    tf = (
-        train_tok.groupBy("doc_id", "tok")
-        .agg(F.count("*").cast("bigint").alias("tf"))
-    )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
-    corpus = dl.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("dl").cast("bigint").alias("tot"),
-    )
-    queries = (
-        w.where(F.col("split") == "test")
-        .select(
-            F.col("doc_id").alias("q_id"),
-            F.explode(F.slice("words", 1, QUERY_W)).alias("tok"),
-        )
-        .distinct()
-    )
-    contrib = _BM25_CONTRIB.format(
-        n="n", df="df", tf="tf", dl="dl", tot="tot"
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(tf, "tok")
-        .join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("q_id", "doc_id")
-        .agg(F.sum(F.expr(contrib)).cast("bigint").alias("score_micro"))
-    )
     rnk = F.row_number().over(
         Window.partitionBy("q_id").orderBy(
             F.col("score_micro").desc(), F.col("doc_id")
         )
     )
     return (
-        scored.withColumn("rank", rnk.cast("bigint"))
+        bm25_scored(spark, sf_dir)
+        .withColumn("rank", rnk.cast("bigint"))
         .where(F.col("rank") <= BM25_TOPK)
         .select("q_id", "rank", "doc_id", "score_micro")
     )

@@ -107,9 +107,13 @@ _R2_GREEN = (
 
 #: Keys first hash-green in rounds 3–5 (CORRECTNESS_r03..r05.json).  Banked
 #: behind the never-green front group but ahead of the older banks, so they
-#: re-confirm while window slots remain.  Round 6: moves 30 keys out of the
-#: front group, leaving the 14 never-externally-graded keys + the round-6
-#: additions comfortably inside the 50-slot window.
+#: re-confirm while window slots remain.  Round 6: the front group is the
+#: 29 round-5 keys never externally graded + rel_agg_approx (re-pinned
+#: error-band oracle) + the 7 round-6 retrieval/subdoc/layout additions =
+#: 37 keys, all inside the 50-slot window; 13 of these banked keys fill
+#: the remainder.  Keys outside the window stay covered by
+#: scripts/verify_local.py (all 148, same hash protocol) per the
+#: rotation policy above.
 _R345_GREEN = (
     "rel_topk_window", "rel_grouping_sets", "rel_q6_forecast",
     "rel_window_funcs", "rel_percentiles", "rel_q3_shipping",

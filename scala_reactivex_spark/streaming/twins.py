@@ -1068,3 +1068,48 @@ def topk_view(materialized: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("bucket_ms", "user_id", "spend", "n", "rnk")
     )
+
+
+def twin_bm25(sdf: DataFrame, contrib: DataFrame) -> DataFrame:
+    """Streaming BM25 serving [T3 retrieval — live twin of llm_bm25's
+    scoring stage]: probe queries ARRIVE (the test-split document
+    stream), the index STANDS (the batch-built per-(term, doc)
+    contribution frame from ``bm25_contrib`` — df/dl/idf damping all
+    precomputed, so the static side is a plain relation each
+    micro-batch).  Each arriving query projects to its leading distinct
+    terms (``array_distinct`` — per-row, no stateful distinct), equi-joins
+    the static index on the term key, and a streaming (q_id, doc_id)
+    aggregate accumulates the score — run in complete mode, the live
+    scoring table converges to the batch ``bm25_scored`` exactly (integer
+    micro-unit contributions sum order-independently).  Top-k stays a
+    rank view over the materialized table, as in twin_topk_window."""
+    from scala_reactivex_spark.operators.llm_retrieval import (
+        QUERY_W,
+        _split_expr,
+    )
+
+    nib = F.expr(_split_expr("spark"))
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    queries = (
+        sdf.select(
+            "doc_id",
+            split.alias("split"),
+            F.split("text", " ").alias("words"),
+        )
+        .where(F.col("split") == "test")
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(
+                F.array_distinct(F.slice("words", 1, QUERY_W))
+            ).alias("tok"),
+        )
+    )
+    return (
+        queries.join(contrib, "tok")
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score_micro"))
+    )

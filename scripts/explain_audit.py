@@ -46,6 +46,8 @@ ALLOWED_NESTED_LOOP = {
     "llm_unigram_lm",  # 1 broadcast corpus-total row × token stream
     "llm_tfidf",  # 1 broadcast doc-count row × (doc, term) stream
     "llm_domain_mix",  # 1 broadcast corpus-totals row × (source, lang) cells
+    "llm_bm25",  # 1 broadcast (N, total-dl) corpus row × scored stream
+    "llm_curriculum",  # 1 broadcast quartile-thresholds row × corpus stream
 }
 
 

@@ -118,3 +118,33 @@ def test_curriculum_phases_partition_and_order(spark, sf_dir):
     # quartile phases are disjoint, strictly increasing length bands
     for a, b in zip(rows, rows[1:]):
         assert a["max_tok"] < b["min_tok"]
+
+
+def test_twin_bm25_equals_batch_scoring(spark, sf_dir, tmp_path):
+    """Streaming queries scored against the static BM25 index converge
+    to the batch scoring table exactly (integer micro-unit sums are
+    order-independent, so micro-batch arrival order cannot matter)."""
+    from scala_reactivex_spark.operators.llm_retrieval import (
+        bm25_contrib,
+        bm25_scored,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "docs_src")
+    table(spark, sf_dir, "documents").repartition(4).write.parquet(src)
+    contrib = bm25_contrib(spark, sf_dir)
+    sdf = twins.docs_stream(spark, src)
+    out = twins.run_stream_to_table(
+        twins.twin_bm25(sdf, contrib),
+        "t_bm25",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    got = {
+        (r["q_id"], r["doc_id"], r["score_micro"]) for r in out.collect()
+    }
+    want = {
+        (r["q_id"], r["doc_id"], r["score_micro"])
+        for r in bm25_scored(spark, sf_dir).collect()
+    }
+    assert got == want
