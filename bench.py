@@ -118,6 +118,7 @@ BEYOND_BASELINE = {
     "llm_bpe_pairs",
     "llm_shard_assign",
     "llm_curriculum",
+    "llm_bpe_merge",
 }
 
 

@@ -21,6 +21,11 @@ byte/character statistics a tokenizer is trained on.  Three operators:
   frequencies of adjacent character pairs WITHIN words (word-boundary
   merges excluded, as in classic BPE), ranked; the top pair is the first
   merge rule a tokenizer trained on this corpus would learn.
+- ``llm_bpe_merge``: the iterative continuation — three unrolled merge
+  rounds where each round's top pair rewrites the corpus (merged pair →
+  sentinel symbol) before the next round counts, so later merges can
+  contain earlier ones: real BPE training dynamics with zero driver
+  state (the argmax rides a 1-row broadcast).
 
 Determinism (§2.11): everything here is integer (counts, positions,
 ``DIV``-scaled densities on non-negative operands); ranking ties pin on
@@ -269,3 +274,140 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= BPE_TOPK)
         .select("rank", "pair", "cnt")
     )
+
+
+BPE_ROUNDS = 3  # unrolled merge iterations
+#: Sentinel symbols for merged pairs — outside the corpus alphabet.
+BPE_SENTINELS = ("①", "②", "③")
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair, c) adjacent-symbol counts of a (w: string) symbol stream."""
+    return (
+        words.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+@register(
+    "llm_bpe_merge",
+    tier="T3",
+    doc=f"Iterative BPE training, {BPE_ROUNDS} unrolled merge rounds: "
+    "each round counts adjacent symbol pairs, takes the top pair "
+    "(count desc, pair asc — a total order), and rewrites every word "
+    "with the merged pair as a single sentinel symbol (left-to-right "
+    "non-overlapping `replace`, verified identical in both engines); "
+    "the next round counts over the REWRITTEN corpus, so merge 2 can "
+    "contain merge 1 — real tokenizer-training dynamics, not three "
+    "independent top-pair picks.  Emits (round, merge rule with "
+    "sentinels resolved to readable text, count).  Scale shape: each "
+    "round is one explode→hash aggregate; the argmax is an ordered "
+    "LIMIT 1 (TakeOrderedAndProject) riding back as a 1-row broadcast — "
+    "the driver never holds the merge table, so the same plan runs on "
+    "any cluster size.",
+    oracle=f"""
+WITH w0 AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), p1 AS (
+  SELECT substr(w, i, 2) AS pair, CAST(count(*) AS BIGINT) AS c
+  FROM w0, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2 GROUP BY 1
+), t1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+w1 AS (
+  SELECT replace(w, (SELECT pair FROM t1), chr(9312)) AS w FROM w0
+), p2 AS (
+  SELECT substr(w, i, 2) AS pair, CAST(count(*) AS BIGINT) AS c
+  FROM w1, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2 GROUP BY 1
+), t2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+w2 AS (
+  SELECT replace(w, (SELECT pair FROM t2), chr(9313)) AS w FROM w1
+), p3 AS (
+  SELECT substr(w, i, 2) AS pair, CAST(count(*) AS BIGINT) AS c
+  FROM w2, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2 GROUP BY 1
+), t3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS round, pair AS merge, c AS cnt FROM t1
+UNION ALL
+SELECT CAST(2 AS BIGINT), replace(pair, chr(9312), (SELECT pair FROM t1)), c
+FROM t2
+UNION ALL
+SELECT CAST(3 AS BIGINT),
+       replace(replace(pair, chr(9313),
+                       (SELECT replace(pair, chr(9312),
+                                       (SELECT pair FROM t1)) FROM t2)),
+               chr(9312), (SELECT pair FROM t1)),
+       c
+FROM t3
+""",
+)
+def llm_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1, s2, s3 = BPE_SENTINELS
+    w0 = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    # The 1-row top frames are referenced up to 4 times (rewrite + output
+    # + sentinel resolution) — persist so each round's corpus-wide pair
+    # aggregate executes exactly once, not once per reference.
+    t1 = (
+        _pair_counts(w0)
+        .orderBy(F.col("c").desc(), "pair")
+        .limit(1)
+        .persist()
+    )
+    w1 = w0.crossJoin(F.broadcast(t1.select(F.col("pair").alias("p1")))).select(
+        F.expr(f"replace(w, p1, '{s1}')").alias("w")
+    )
+    t2 = (
+        _pair_counts(w1)
+        .orderBy(F.col("c").desc(), "pair")
+        .limit(1)
+        .persist()
+    )
+    w2 = w1.crossJoin(F.broadcast(t2.select(F.col("pair").alias("p2")))).select(
+        F.expr(f"replace(w, p2, '{s2}')").alias("w")
+    )
+    t3 = _pair_counts(w2).orderBy(F.col("c").desc(), "pair").limit(1)
+
+    r1 = t1.select(
+        F.lit(1).cast("bigint").alias("round"),
+        F.col("pair").alias("merge"),
+        F.col("c").alias("cnt"),
+    )
+    # Resolve sentinels back to readable merge rules: round 2's pair may
+    # embed sentinel 1; round 3's may embed sentinels 1 and 2.
+    p1row = F.broadcast(t1.select(F.col("pair").alias("p1")))
+    r2 = (
+        t2.crossJoin(p1row)
+        .select(
+            F.lit(2).cast("bigint").alias("round"),
+            F.expr(f"replace(pair, '{s1}', p1)").alias("merge"),
+            F.col("c").alias("cnt"),
+        )
+    )
+    p2res = F.broadcast(
+        t2.crossJoin(p1row).select(
+            F.expr(f"replace(pair, '{s1}', p1)").alias("p2r")
+        )
+    )
+    r3 = (
+        t3.crossJoin(p2res)
+        .crossJoin(p1row)
+        .select(
+            F.lit(3).cast("bigint").alias("round"),
+            F.expr(
+                f"replace(replace(pair, '{s2}', p2r), '{s1}', p1)"
+            ).alias("merge"),
+            F.col("c").alias("cnt"),
+        )
+    )
+    return r1.unionByName(r2).unionByName(r3)

@@ -148,3 +148,26 @@ def test_twin_bm25_equals_batch_scoring(spark, sf_dir, tmp_path):
         for r in bm25_scored(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bpe_merge_rounds_resolve_sentinels(spark, sf_dir):
+    """Three merge rules, one per round; every rule resolves to readable
+    corpus characters (no sentinel leaks), and round 1's rule is exactly
+    the global top adjacent pair from llm_bpe_pairs."""
+    from scala_reactivex_spark.operators.llm_subdoc import (
+        BPE_SENTINELS,
+        llm_bpe_merge,
+    )
+
+    rows = sorted(llm_bpe_merge(spark, sf_dir).collect(),
+                  key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["cnt"] >= 1
+        assert len(r["merge"]) >= 2
+        for s in BPE_SENTINELS:
+            assert s not in r["merge"]
+    top = sorted(llm_bpe_pairs(spark, sf_dir).collect(),
+                 key=lambda r: r["rank"])[0]
+    assert rows[0]["merge"] == top["pair"]
+    assert rows[0]["cnt"] == top["cnt"]
