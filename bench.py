@@ -119,6 +119,7 @@ BEYOND_BASELINE = {
     "llm_shard_assign",
     "llm_curriculum",
     "llm_bpe_merge",
+    "llm_containment_lsh",
 }
 
 

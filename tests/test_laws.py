@@ -452,3 +452,24 @@ def test_embed_lsh_rejects_wrong_dimension(spark):
     )
     with _pytest.raises(Exception, match="64-dim"):
         embed_lsh_pairs(e, 0.4).count()
+
+
+def test_containment_lsh_subset_of_all_pairs(spark, sf_dir):
+    """The capped-LSH containment scale path may only MISS pairs relative
+    to the all-pairs baseline (band recall + hot-bucket cap), never
+    invent them — and where both report a pair, the exact containment
+    verify must agree to the digit."""
+    from scala_reactivex_spark.operators import llm_dedup
+
+    base = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in llm_dedup.llm_dedup_containment(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in llm_dedup.llm_containment_lsh(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(base)
+    assert lsh, "LSH containment found nothing on the near-dup fixture"
+    for pair, c in lsh.items():
+        assert base[pair] == c
