@@ -120,6 +120,8 @@ BEYOND_BASELINE = {
     "llm_curriculum",
     "llm_bpe_merge",
     "llm_containment_lsh",
+    "llm_ppl_filter",
+    "llm_mix_budget",
 }
 
 

@@ -690,3 +690,174 @@ def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").cast("bigint").alias("max_tok"),
         )
     )
+
+
+PPL_BAND_W = 10_000  # per-token micro-log10 cost units per histogram band
+PPL_TAIL = 20  # drop the 1/20 (5%) tails on each side
+
+
+@register(
+    "llm_ppl_filter",
+    tier="T3",
+    doc="CCNet-style perplexity-band filter: each doc's unigram-LM cost "
+    "per token (positive micro-log10 units, integer DIV on non-negative "
+    "operands only) buckets into fixed-width bands; the band histogram "
+    "(BOUNDED domain — never corpus rows) yields discrete 5%/95% "
+    "thresholds, and docs outside the [p05, p95] band range are dropped "
+    "— the standard 'middle perplexity' keep rule that removes both "
+    "gibberish (high cost) and degenerate/boilerplate text (low cost).  "
+    "Scale shape: one token join + per-doc aggregate (the llm_unigram_lm "
+    "plan), a cum window over the BAND histogram, thresholds ride a "
+    "1-row broadcast back over the doc-score frame.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), t AS (
+  SELECT CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS t FROM freq
+), score AS (
+  SELECT toks.doc_id, count(*) AS n_tok,
+         CAST(-sum(CAST(floor(log10(CAST(f.c AS DOUBLE) / t.t) * 1000000
+                              + 0.5) AS BIGINT)) AS BIGINT) AS cost
+  FROM toks JOIN freq f USING (tok) CROSS JOIN t
+  GROUP BY toks.doc_id
+), banded AS (
+  SELECT doc_id, CAST(cost // n_tok AS BIGINT) AS cost_per_tok,
+         CAST((cost // n_tok) // {PPL_BAND_W} AS BIGINT) AS band
+  FROM score
+), hist AS (
+  SELECT band, count(*) AS c FROM banded GROUP BY band
+), cum AS (
+  SELECT band,
+         sum(c) OVER (ORDER BY band
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cc,
+         sum(c) OVER () AS n
+  FROM hist
+), thr AS (
+  SELECT CAST(min(CASE WHEN cc * {PPL_TAIL} >= n THEN band END)
+              AS BIGINT) AS lo,
+         CAST(min(CASE WHEN cc * {PPL_TAIL} >= {PPL_TAIL - 1} * n
+                       THEN band END) AS BIGINT) AS hi
+  FROM cum
+)
+SELECT b.doc_id, b.cost_per_tok, b.band,
+       CAST(b.band >= t.lo AND b.band <= t.hi AS INT) AS keep
+FROM banded b CROSS JOIN thr t
+""",
+)
+def llm_ppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(
+        F.sum("c").cast("bigint").cast("double").alias("t")
+    )
+    lp = F.floor(
+        F.log10(F.col("c").cast("double") / F.col("t")) * 1000000 + 0.5
+    ).cast("bigint")
+    score = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (-F.sum(lp)).cast("bigint").alias("cost"),
+        )
+    )
+    banded = score.select(
+        "doc_id",
+        F.expr("CAST(cost DIV n_tok AS BIGINT)").alias("cost_per_tok"),
+        F.expr(
+            f"CAST((cost DIV n_tok) DIV {PPL_BAND_W} AS BIGINT)"
+        ).alias("band"),
+    )
+    hist = banded.groupBy("band").agg(F.count("*").alias("c"))
+    win = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "band",
+        F.sum("c").over(win).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    thr = cum.agg(
+        F.min(
+            F.when(F.col("cc") * PPL_TAIL >= F.col("n"), F.col("band"))
+        )
+        .cast("bigint")
+        .alias("lo"),
+        F.min(
+            F.when(
+                F.col("cc") * PPL_TAIL >= (PPL_TAIL - 1) * F.col("n"),
+                F.col("band"),
+            )
+        )
+        .cast("bigint")
+        .alias("hi"),
+    )
+    return banded.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "cost_per_tok",
+        "band",
+        (
+            (F.col("band") >= F.col("lo")) & (F.col("band") <= F.col("hi"))
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+MIX_BUDGET = 1_000_000  # target training tokens for the mixing plan
+
+
+@register(
+    "llm_mix_budget",
+    tier="T3",
+    doc=f"Data-mixing budget plan: a {MIX_BUDGET:,}-token training run "
+    "with equal per-source shares — for every source, the available "
+    "token supply, its target allocation (budget DIV n_sources), and "
+    "the epoch factor (target*1e4 DIV available; > 1e4 means the "
+    "source must repeat — the up-sampling signal every mixing study "
+    "tracks).  Scale shape: one hash aggregate to |sources| rows; the "
+    "share window runs over those bounded rows.",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, tokens_avail,
+       CAST({MIX_BUDGET} // (count(*) OVER ()) AS BIGINT) AS target_tokens,
+       CAST(({MIX_BUDGET} // (count(*) OVER ())) * 10000 // tokens_avail
+            AS BIGINT) AS epochs_1e4
+FROM s
+""",
+)
+def llm_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens_avail"),
+        )
+    )
+    target = F.expr(
+        f"CAST({MIX_BUDGET} DIV (count(*) OVER ()) AS BIGINT)"
+    )
+    epochs = F.expr(
+        f"CAST(({MIX_BUDGET} DIV (count(*) OVER ())) * 10000"
+        " DIV tokens_avail AS BIGINT)"
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "tokens_avail",
+        target.alias("target_tokens"),
+        epochs.alias("epochs_1e4"),
+    )

@@ -1113,3 +1113,24 @@ def twin_bm25(sdf: DataFrame, contrib: DataFrame) -> DataFrame:
         .groupBy("q_id", "doc_id")
         .agg(F.sum("contrib").cast("bigint").alias("score_micro"))
     )
+
+
+def twin_shard_assign(sdf: DataFrame) -> DataFrame:
+    """Streaming shard routing [T3 layout — live twin of llm_shard_assign's
+    assignment]: every arriving document routes to its output shard by
+    content hash — a PURE stateless projection (append mode, no
+    watermark, no shuffle), which is exactly why content-hash sharding is
+    the right layout at 100 TB: the streaming writer's foreachBatch can
+    ``partitionBy(shard)`` and land files deterministically no matter how
+    micro-batches slice the corpus.  Grouping this twin's output by shard
+    reproduces the batch operator's per-shard counts."""
+    from scala_reactivex_spark.operators.llm_pipeline import N_SHARDS
+
+    hexpos = (
+        "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
+    )
+    shard = F.expr(
+        f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
+        f" % {N_SHARDS}"
+    )
+    return sdf.select("doc_id", shard.alias("shard"))

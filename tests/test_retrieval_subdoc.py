@@ -171,3 +171,68 @@ def test_bpe_merge_rounds_resolve_sentinels(spark, sf_dir):
                  key=lambda r: r["rank"])[0]
     assert rows[0]["merge"] == top["pair"]
     assert rows[0]["cnt"] == top["cnt"]
+
+
+def test_ppl_filter_keeps_middle_band(spark, sf_dir):
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        PPL_BAND_W,
+        llm_ppl_filter,
+    )
+
+    rows = llm_ppl_filter(spark, sf_dir).collect()
+    assert len(rows) == _n_docs(spark, sf_dir)  # every doc gets a verdict
+    kept = [r for r in rows if r["keep"] == 1]
+    assert len(kept) >= 0.9 * len(rows)  # [p05, p95] inclusive band range
+    for r in rows:
+        assert r["keep"] in (0, 1)
+        assert r["band"] == r["cost_per_tok"] // PPL_BAND_W
+    # dropped docs (if any) sit strictly outside the kept band range
+    if len(kept) < len(rows):
+        lo = min(r["band"] for r in kept)
+        hi = max(r["band"] for r in kept)
+        for r in rows:
+            if r["keep"] == 0:
+                assert r["band"] < lo or r["band"] > hi
+
+
+def test_mix_budget_allocation_arithmetic(spark, sf_dir):
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        MIX_BUDGET,
+        llm_mix_budget,
+    )
+
+    rows = llm_mix_budget(spark, sf_dir).collect()
+    n = len(rows)
+    assert n >= 2
+    for r in rows:
+        assert r["target_tokens"] == MIX_BUDGET // n
+        assert (
+            r["epochs_1e4"]
+            == (MIX_BUDGET // n) * 10000 // r["tokens_avail"]
+        )
+        assert r["tokens_avail"] > 0
+
+
+def test_twin_shard_assign_matches_batch_counts(spark, sf_dir, tmp_path):
+    """Streaming shard routing grouped by shard reproduces the batch
+    operator's per-shard doc counts (pure content hash — arrival order
+    and micro-batch slicing cannot matter)."""
+    from collections import Counter
+
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        llm_shard_assign,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "docs_src")
+    table(spark, sf_dir, "documents").repartition(4).write.parquet(src)
+    sdf = twins.docs_stream(spark, src)
+    out = twins.run_stream_to_table(
+        twins.twin_shard_assign(sdf), "t_shard", str(tmp_path / "ckpt")
+    )
+    got = Counter(r["shard"] for r in out.collect())
+    want = {
+        r["shard"]: r["n_docs"]
+        for r in llm_shard_assign(spark, sf_dir).collect()
+    }
+    assert dict(got) == want
