@@ -48,6 +48,8 @@ ALLOWED_NESTED_LOOP = {
     "llm_domain_mix",  # 1 broadcast corpus-totals row × (source, lang) cells
     "llm_bm25",  # 1 broadcast (N, total-dl) corpus row × scored stream
     "llm_curriculum",  # 1 broadcast quartile-thresholds row × corpus stream
+    "llm_bpe_merge",  # 1-row top-pair broadcasts chain the merge rounds
+    "llm_ppl_filter",  # 1 broadcast (lo, hi) band-thresholds row × scores
 }
 
 
