@@ -122,6 +122,8 @@ BEYOND_BASELINE = {
     "llm_containment_lsh",
     "llm_ppl_filter",
     "llm_mix_budget",
+    "llm_ann_recall",
+    "llm_winnowing_match",
 }
 
 

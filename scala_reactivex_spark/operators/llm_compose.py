@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 # Importing the modules guarantees their @register blocks ran (and gives
 # direct access to the query fns), regardless of load_all() order.
-from scala_reactivex_spark.operators import llm_dedup, llm_text
+from scala_reactivex_spark.operators import llm_dedup, llm_similarity, llm_text
 from scala_reactivex_spark.plans.registry import peek, register
 from scala_reactivex_spark.sources.catalog import table
 
@@ -155,5 +155,82 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("tok_sum"),
             F.min("doc_id").cast("bigint").alias("min_doc"),
             F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
+
+
+def _ann_recall_oracle() -> str:
+    """Embed the three green similarity oracles (brute-force ground truth,
+    single-probe IVF, multi-probe IVF) as sub-selects — composed grading
+    is exactly the composition of the graded parts."""
+    bf = peek("llm_similarity_topk").oracle
+    ivf = peek("llm_ann_ivf").oracle
+    mp = peek("llm_ann_ivf_mp").oracle
+    return f"""
+WITH bf AS (
+{bf}
+), ivf AS (
+{ivf}
+), mp AS (
+{mp}
+)
+SELECT bf.probe_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(ivf.neighbor_id) AS BIGINT) AS hits_ivf,
+       CAST(count(mp.neighbor_id) AS BIGINT) AS hits_mp,
+       CAST(count(ivf.neighbor_id) * 10000 // count(*) AS BIGINT)
+         AS recall_ivf_1e4,
+       CAST(count(mp.neighbor_id) * 10000 // count(*) AS BIGINT)
+         AS recall_mp_1e4
+FROM bf
+LEFT JOIN ivf ON ivf.probe_id = bf.probe_id
+             AND ivf.neighbor_id = bf.neighbor_id
+LEFT JOIN mp ON mp.probe_id = bf.probe_id
+            AND mp.neighbor_id = bf.neighbor_id
+GROUP BY bf.probe_id
+"""
+
+
+@register(
+    "llm_ann_recall",
+    tier="T3",
+    doc="ANN recall evaluation — the acceptance gate every approximate "
+    "index must pass before it replaces brute force: per probe, "
+    "recall@10 of single-probe IVF and multi-probe (nprobe=2) IVF "
+    "against the brute-force ground truth (1e4 integer units).  The "
+    "oracle embeds the three primitives' green oracles, so the diagnostic "
+    "is graded as exactly the composition of graded parts.  Scale shape: "
+    "the ground-truth side is the bounded probe set's top-k (never "
+    "corpus-scale); two left equi-joins + one per-probe aggregate.",
+    oracle=_ann_recall_oracle(),
+)
+def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = llm_similarity.llm_similarity_topk(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    ivf = (
+        llm_similarity.llm_ann_ivf(spark, sf_dir)
+        .select("probe_id", "neighbor_id")
+        .withColumn("hit_ivf", F.lit(1))
+    )
+    mp = (
+        llm_similarity.llm_ann_ivf_mp(spark, sf_dir)
+        .select("probe_id", "neighbor_id")
+        .withColumn("hit_mp", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["probe_id", "neighbor_id"], "left")
+        .join(mp, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.count("hit_ivf").cast("bigint").alias("hits_ivf"),
+            F.count("hit_mp").cast("bigint").alias("hits_mp"),
+            F.expr(
+                "CAST(count(hit_ivf) * 10000 DIV count(*) AS BIGINT)"
+            ).alias("recall_ivf_1e4"),
+            F.expr(
+                "CAST(count(hit_mp) * 10000 DIV count(*) AS BIGINT)"
+            ).alias("recall_mp_1e4"),
         )
     )

@@ -645,3 +645,139 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(lp).cast("bigint").alias("logp_sum_1e6"),
         )
     )
+
+
+WINNOW_FP_CAP = 64  # skip fingerprints shared by more than this many docs
+WINNOW_MATCH_MIN = 2  # report pairs sharing at least this many fingerprints
+
+#: Shared winnowing-selection CTE — identical to llm_winnowing's chain
+#: through the per-doc selected-fingerprint set.
+_WINNOW_SEL_CTE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), f AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(words) - {WINNOW_K - 1}),
+             i -> substr(md5(array_to_string(words[i:i+{WINNOW_K - 1}], ' ')),
+                         1, 16)) AS fps
+  FROM w WHERE len(words) >= {WINNOW_K + WINNOW_W - 1}
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, len(fps) - {WINNOW_W - 1}),
+             j -> list_min(fps[j:j+{WINNOW_W - 1}]))) AS sel
+  FROM f
+), inv AS (
+  SELECT doc_id, unnest(sel) AS fp FROM s
+), fpc AS (
+  SELECT fp, count(*) AS nd FROM inv GROUP BY fp
+), kept AS (
+  SELECT inv.doc_id, inv.fp
+  FROM inv JOIN fpc USING (fp) WHERE fpc.nd <= {WINNOW_FP_CAP}
+), sizes AS (
+  SELECT doc_id, count(*) AS n_fp FROM inv GROUP BY doc_id
+)"""
+
+
+@register(
+    "llm_winnowing_match",
+    tier="T3",
+    doc="Fingerprint match detection (the MOSS report stage): documents "
+    "sharing winnowing fingerprints pair up via an inverted index on the "
+    f"fingerprint key; pairs sharing >= {WINNOW_MATCH_MIN} fingerprints "
+    "are reported with the shared count and the overlap ratio against "
+    "the smaller selected set (1e4).  Fingerprints shared by more than "
+    f"{WINNOW_FP_CAP} docs are skipped before the self-join — the same "
+    "hot-key guard as the MinHash bucket cap (boilerplate fingerprints "
+    "pair everything with everything and carry no match signal).  Scale "
+    "shape: per-row selection (zero shuffle) → inverted-index self-join "
+    "on the fingerprint key → pair aggregate; the winnowing guarantee "
+    "(any >= w+k-1-token match shares a fingerprint) bounds recall "
+    "analytically, not empirically.",
+    oracle=f"""{_WINNOW_SEL_CTE}, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM kept a JOIN kept b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared * 10000 // least(sa.n_fp, sb.n_fp) AS BIGINT)
+         AS overlap_1e4
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_shared >= {WINNOW_MATCH_MIN}
+""",
+)
+def llm_winnowing_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("words") - (WINNOW_K - 1)),
+        lambda i: F.substring(
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("words"), i, WINNOW_K)).cast(
+                    "binary"
+                )
+            ),
+            1,
+            16,
+        ),
+    )
+    # PERSIST the shingle-fingerprint frame: a bare column alias is NOT
+    # enough — CollapseProject re-inlines the md5 chain into the
+    # per-window lambda (O(windows x shingles) md5 evaluations per doc,
+    # measured 20x slower), and the frame feeds four consumers (fp
+    # counts, both self-join sides, sizes).  Same "materialize the index
+    # once" pattern as llm_ann_ivf's vector frame.
+    d = (
+        docs.where(F.size("words") >= WINNOW_K + WINNOW_W - 1)
+        .select("doc_id", fps.alias("fps"))
+        .persist()
+    )
+    sel = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("fps") - (WINNOW_W - 1)),
+                lambda j: F.array_min(F.slice(F.col("fps"), j, WINNOW_W)),
+            )
+        ).alias("sel"),
+    )
+    inv = sel.select("doc_id", F.explode("sel").alias("fp"))
+    fpc = inv.groupBy("fp").agg(F.count("*").alias("nd"))
+    kept = inv.join(fpc, "fp").where(
+        F.col("nd") <= WINNOW_FP_CAP
+    ).select("doc_id", "fp")
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MATCH_MIN)
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr(
+                "CAST(n_shared * 10000 DIV least(sa.n_fp, sb.n_fp)"
+                " AS BIGINT)"
+            ).alias("overlap_1e4"),
+        )
+    )

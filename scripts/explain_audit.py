@@ -50,6 +50,7 @@ ALLOWED_NESTED_LOOP = {
     "llm_curriculum",  # 1 broadcast quartile-thresholds row × corpus stream
     "llm_bpe_merge",  # 1-row top-pair broadcasts chain the merge rounds
     "llm_ppl_filter",  # 1 broadcast (lo, hi) band-thresholds row × scores
+    "llm_ann_recall",  # composes llm_ann_ivf/mp (their centroid crosses)
 }
 
 

@@ -236,3 +236,35 @@ def test_twin_shard_assign_matches_batch_counts(spark, sf_dir, tmp_path):
         for r in llm_shard_assign(spark, sf_dir).collect()
     }
     assert dict(got) == want
+
+
+def test_ann_recall_mp_dominates_single_probe(spark, sf_dir):
+    """Multi-probe search can only add candidates, so per-probe recall@k
+    must dominate single-probe recall; both are bounded by k."""
+    from scala_reactivex_spark.operators.llm_compose import llm_ann_recall
+
+    rows = llm_ann_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hits_ivf"] <= r["hits_mp"] <= r["k"]
+        assert r["recall_mp_1e4"] >= r["recall_ivf_1e4"]
+        assert r["recall_mp_1e4"] <= 10000
+
+
+def test_winnowing_match_overlap_bounds(spark, sf_dir):
+    """Shared-fingerprint counts are bounded by the smaller selected set;
+    the fixture's near-duplicate docs must surface at least one
+    high-overlap pair (winnowing guarantees shared fingerprints for any
+    sufficiently long exact match)."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        WINNOW_MATCH_MIN,
+        llm_winnowing_match,
+    )
+
+    rows = llm_winnowing_match(spark, sf_dir).collect()
+    assert rows, "no fingerprint matches on the near-dup fixture"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["n_shared"] >= WINNOW_MATCH_MIN
+        assert 0 < r["overlap_1e4"] <= 10000
+    assert any(r["overlap_1e4"] >= 5000 for r in rows)
