@@ -124,6 +124,9 @@ BEYOND_BASELINE = {
     "llm_mix_budget",
     "llm_ann_recall",
     "llm_winnowing_match",
+    "llm_bpe_apply",
+    "llm_quality_rules",
+    "llm_embed_pca",
 }
 
 

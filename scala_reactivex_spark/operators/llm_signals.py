@@ -781,3 +781,137 @@ def llm_winnowing_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_1e4"),
         )
     )
+
+
+PCA_ROUNDS = 2  # unrolled power-iteration rounds
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTE chain (same style as llm_kmeans):
+    pin → center → 2 × (project, reduce, renormalize), all in exact
+    integer / HUGEINT arithmetic with double ops only on identical
+    integers."""
+    rounds = []
+    prev_w = None
+    for r in range(1, PCA_ROUNDS + 1):
+        proj = (
+            f"sum(cv * 1000000)" if prev_w is None
+            else f"sum(c.cv * {prev_w}.w)"
+        )
+        join = "" if prev_w is None else f" JOIN {prev_w} ON c.i = {prev_w}.i"
+        rounds.append(f"""s{r} AS (
+  SELECT vec_id, {proj} AS s FROM c{join} GROUP BY vec_id
+), r{r} AS (
+  SELECT vec_id,
+         CAST(floor(CAST(s AS DOUBLE) / 1000000 + 0.5) AS BIGINT) AS sr
+  FROM s{r}
+), raw{r} AS (
+  SELECT c.i, sum(r{r}.sr * c.cv) AS raw
+  FROM c JOIN r{r} USING (vec_id) GROUP BY c.i
+), mx{r} AS (
+  SELECT max(abs(raw)) AS mx FROM raw{r}
+), w{r} AS (
+  SELECT i, CAST(floor(CAST(raw AS DOUBLE) / CAST(mx AS DOUBLE)
+                       * 1000000 + 0.5) AS BIGINT) AS w
+  FROM raw{r} CROSS JOIN mx{r}
+)""")
+        prev_w = f"w{r}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH v AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings)
+), m AS (
+  SELECT i, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5)
+                 AS BIGINT) AS m
+  FROM v GROUP BY i
+), c AS (
+  SELECT vec_id, v.i, v.v - m.m AS cv FROM v JOIN m ON v.i = m.i
+),
+{chain}
+SELECT CAST(i - 1 AS BIGINT) AS pos, w AS comp_1e6 FROM {prev_w}
+"""
+
+
+@register(
+    "llm_embed_pca",
+    tier="T3",
+    doc=f"Top principal direction of the (centered) embedding cloud by "
+    f"{PCA_ROUNDS} unrolled power-iteration rounds — the spectral "
+    "health check (and whitening/compression seed) run before ANN "
+    "indexing.  Every step is exact integer math: components pin to "
+    "1e6, the mean centers in pinned space, per-vector projections sum "
+    "as exact BIGINTs, the dimension reduction sums as DECIMAL/HUGEINT "
+    "(order-independent), and each round renormalizes by the max "
+    "component so magnitudes stay bounded at ANY corpus size; doubles "
+    "touch only identical integers (floor(x+0.5) is engine-identical, "
+    "including negatives).  Scale shape: one posexplode + persisted "
+    "centered frame; each round is a vec_id aggregate + a dim aggregate "
+    "(64 cells) + a 1-row max broadcast — the driver holds nothing.",
+    oracle=_pca_oracle(),
+)
+def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        (F.col("j") + 1).alias("pos"),
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("v"),
+    )
+    m = v.groupBy("pos").agg(
+        F.expr(
+            "CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) + 0.5)"
+            " AS BIGINT)"
+        ).alias("m")
+    )
+    c = (
+        v.join(F.broadcast(m), "pos")
+        .select("vec_id", "pos", (F.col("v") - F.col("m")).alias("cv"))
+        .persist()
+    )
+    w = None  # round 1 uses the implicit all-1e6 seed
+    for _ in range(PCA_ROUNDS):
+        if w is None:
+            s = c.groupBy("vec_id").agg(
+                F.sum(F.col("cv") * 1_000_000).alias("s")
+            )
+        else:
+            s = (
+                c.join(F.broadcast(w), "pos")
+                .groupBy("vec_id")
+                .agg(F.sum(F.col("cv") * F.col("w")).alias("s"))
+            )
+        sr = s.select(
+            "vec_id",
+            F.expr(
+                "CAST(floor(CAST(s AS DOUBLE) / 1000000 + 0.5) AS BIGINT)"
+            ).alias("sr"),
+        )
+        raw = (
+            c.join(sr, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    (F.col("sr") * F.col("cv")).cast("decimal(38,0)")
+                ).alias("raw")
+            )
+        )
+        mx = raw.agg(F.max(F.abs(F.col("raw"))).alias("mx"))
+        w = raw.crossJoin(F.broadcast(mx)).select(
+            "pos",
+            F.expr(
+                "CAST(floor(CAST(raw AS DOUBLE) / CAST(mx AS DOUBLE)"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ).alias("w"),
+        )
+    return w.select(
+        (F.col("pos") - 1).cast("bigint").alias("pos"),
+        F.col("w").alias("comp_1e6"),
+    )

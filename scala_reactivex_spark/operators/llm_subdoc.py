@@ -411,3 +411,111 @@ def llm_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r1.unionByName(r2).unionByName(r3)
+
+
+@register(
+    "llm_bpe_apply",
+    tier="T3",
+    doc="Tokenizer-effect report: apply the three learned BPE merges "
+    "(llm_bpe_merge's rules, re-derived in-plan via the same 1-row "
+    "broadcasts) to every document and emit per-doc symbol counts before "
+    "and after plus the compression ratio (1e4) — the 'how much does "
+    "this tokenizer actually shrink my corpus' table a tokenizer "
+    "training run ends with.  Scale shape: the merge rules re-derive "
+    "exactly as in llm_bpe_merge (three linear aggregates + ordered "
+    "LIMIT-1 broadcasts); application is a stateless per-doc projection.",
+    oracle=f"""
+WITH d0 AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), w0 AS (
+  SELECT unnest(ws) AS w FROM d0
+), p1 AS (
+  SELECT substr(w, i, 2) AS pair, count(*) AS c
+  FROM w0, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2 GROUP BY 1
+), t1 AS (SELECT pair FROM p1 ORDER BY c DESC, pair LIMIT 1),
+w1 AS (
+  SELECT replace(w, (SELECT pair FROM t1), chr(9312)) AS w FROM w0
+), p2 AS (
+  SELECT substr(w, i, 2) AS pair, count(*) AS c
+  FROM w1, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2 GROUP BY 1
+), t2 AS (SELECT pair FROM p2 ORDER BY c DESC, pair LIMIT 1),
+w2 AS (
+  SELECT replace(w, (SELECT pair FROM t2), chr(9313)) AS w FROM w1
+), p3 AS (
+  SELECT substr(w, i, 2) AS pair, count(*) AS c
+  FROM w2, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2 GROUP BY 1
+), t3 AS (SELECT pair FROM p3 ORDER BY c DESC, pair LIMIT 1),
+docsym AS (
+  SELECT doc_id,
+         CAST(sum(len(w)) AS BIGINT) AS syms_before,
+         CAST(sum(len(
+           replace(replace(replace(w,
+             (SELECT pair FROM t1), chr(9312)),
+             (SELECT pair FROM t2), chr(9313)),
+             (SELECT pair FROM t3), chr(9314))
+         )) AS BIGINT) AS syms_after
+  FROM (SELECT doc_id, unnest(ws) AS w FROM d0) dw
+  GROUP BY doc_id
+)
+SELECT doc_id, syms_before, syms_after,
+       CAST(syms_after * 10000 // syms_before AS BIGINT) AS ratio_1e4
+FROM docsym
+""",
+)
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s1, s2, s3 = BPE_SENTINELS
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    w0 = docs.select("w")
+    t1 = (
+        _pair_counts(w0)
+        .orderBy(F.col("c").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("p1"))
+        .persist()
+    )
+    w1 = w0.crossJoin(F.broadcast(t1)).select(
+        F.expr(f"replace(w, p1, '{s1}')").alias("w")
+    )
+    t2 = (
+        _pair_counts(w1)
+        .orderBy(F.col("c").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("p2"))
+        .persist()
+    )
+    w2 = w1.crossJoin(F.broadcast(t2)).select(
+        F.expr(f"replace(w, p2, '{s2}')").alias("w")
+    )
+    t3 = (
+        _pair_counts(w2)
+        .orderBy(F.col("c").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("p3"))
+        .persist()
+    )
+    merged = F.expr(
+        f"replace(replace(replace(w, p1, '{s1}'), p2, '{s2}'), p3, '{s3}')"
+    )
+    return (
+        docs.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(t3))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("w")).cast("bigint").alias("syms_before"),
+            F.sum(F.length(merged)).cast("bigint").alias("syms_after"),
+        )
+        .select(
+            "doc_id",
+            "syms_before",
+            "syms_after",
+            F.expr(
+                "CAST(syms_after * 10000 DIV syms_before AS BIGINT)"
+            ).alias("ratio_1e4"),
+        )
+    )

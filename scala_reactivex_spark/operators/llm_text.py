@@ -564,3 +564,123 @@ def llm_seq_len_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").cast("bigint").alias("max_tok"),
         )
     )
+
+
+#: Gopher-style rule bounds (integer units; mean word length is 1e4).
+QR_MIN_TOK, QR_MAX_TOK = 20, 200
+QR_MIN_MWL, QR_MAX_MWL = 3_0000, 10_0000  # mean word length x 1e4
+QR_TOP_MASS_MAX = 3000  # top-token mass <= 30% (1e4)
+QR_DISTINCT_MIN = 2000  # distinct-token ratio >= 20% (1e4)
+
+
+@register(
+    "llm_quality_rules",
+    tier="T3",
+    doc="Gopher-style rule battery — the per-rule diagnosis table that "
+    "complements the composite llm_quality_score: five independent "
+    "boolean rules per doc (token-count band, mean-word-length band, "
+    "top-token mass cap, distinct-ratio floor, stopword presence), the "
+    "pass count, and keep = all rules pass.  Per-rule columns tell a "
+    "corpus owner WHICH filter is biting — the first question when a "
+    "filter drops too much.  All ratios are integer 1e4 with DIV on "
+    "non-negative operands.  Scale shape: one explode → two-level hash "
+    "aggregate (token stats) joined to a per-doc projection — "
+    "map-side combine throughout, no windows.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), st AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_cnt,
+         CAST(sum(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END)
+              AS BIGINT) AS n_stop,
+         CAST(sum(len(tok) * c) AS BIGINT) AS n_chars_tok
+  FROM c GROUP BY doc_id
+), r AS (
+  SELECT doc_id, n_tok,
+         CAST(n_tok BETWEEN {QR_MIN_TOK} AND {QR_MAX_TOK} AS INT)
+           AS r_len,
+         CAST(n_chars_tok * 10000 // n_tok
+              BETWEEN {QR_MIN_MWL} AND {QR_MAX_MWL} AS INT) AS r_mwl,
+         CAST(top_cnt * 10000 // n_tok <= {QR_TOP_MASS_MAX} AS INT)
+           AS r_rep,
+         CAST(n_distinct * 10000 // n_tok >= {QR_DISTINCT_MIN} AS INT)
+           AS r_div,
+         CAST(n_stop >= 1 AS INT) AS r_stop
+  FROM st
+)
+SELECT doc_id, n_tok, r_len, r_mwl, r_rep, r_div, r_stop,
+       CAST(r_len + r_mwl + r_rep + r_div + r_stop AS BIGINT)
+         AS n_passed,
+       CAST(r_len * r_mwl * r_rep * r_div * r_stop AS INT) AS keep
+FROM r
+""",
+)
+def llm_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    st = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_cnt"),
+        F.sum(
+            F.when(F.col("tok").isin(*STOPWORDS), F.col("c")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_stop"),
+        F.sum(F.length("tok") * F.col("c")).cast("bigint").alias(
+            "n_chars_tok"
+        ),
+    )
+    r_len = (
+        F.col("n_tok").between(QR_MIN_TOK, QR_MAX_TOK)
+    ).cast("int")
+    r_mwl = F.expr(
+        f"CAST(n_chars_tok * 10000 DIV n_tok"
+        f" BETWEEN {QR_MIN_MWL} AND {QR_MAX_MWL} AS INT)"
+    )
+    r_rep = F.expr(
+        f"CAST(top_cnt * 10000 DIV n_tok <= {QR_TOP_MASS_MAX} AS INT)"
+    )
+    r_div = F.expr(
+        f"CAST(n_distinct * 10000 DIV n_tok >= {QR_DISTINCT_MIN} AS INT)"
+    )
+    r_stop = (F.col("n_stop") >= 1).cast("int")
+    r = st.select(
+        "doc_id",
+        "n_tok",
+        r_len.alias("r_len"),
+        r_mwl.alias("r_mwl"),
+        r_rep.alias("r_rep"),
+        r_div.alias("r_div"),
+        r_stop.alias("r_stop"),
+    )
+    return r.select(
+        "*",
+        (
+            F.col("r_len")
+            + F.col("r_mwl")
+            + F.col("r_rep")
+            + F.col("r_div")
+            + F.col("r_stop")
+        )
+        .cast("bigint")
+        .alias("n_passed"),
+        (
+            F.col("r_len")
+            * F.col("r_mwl")
+            * F.col("r_rep")
+            * F.col("r_div")
+            * F.col("r_stop")
+        )
+        .cast("int")
+        .alias("keep"),
+    )

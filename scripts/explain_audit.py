@@ -51,6 +51,8 @@ ALLOWED_NESTED_LOOP = {
     "llm_bpe_merge",  # 1-row top-pair broadcasts chain the merge rounds
     "llm_ppl_filter",  # 1 broadcast (lo, hi) band-thresholds row × scores
     "llm_ann_recall",  # composes llm_ann_ivf/mp (their centroid crosses)
+    "llm_bpe_apply",  # 1-row learned-merge-rule broadcasts (as bpe_merge)
+    "llm_embed_pca",  # 1-row max-renormalization broadcast per round
 }
 
 

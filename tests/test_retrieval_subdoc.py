@@ -268,3 +268,45 @@ def test_winnowing_match_overlap_bounds(spark, sf_dir):
         assert r["n_shared"] >= WINNOW_MATCH_MIN
         assert 0 < r["overlap_1e4"] <= 10000
     assert any(r["overlap_1e4"] >= 5000 for r in rows)
+
+
+def test_bpe_apply_compression_bounds(spark, sf_dir):
+    """Applying merges can only shrink symbol counts, and the corpus-wide
+    shrink from merge 1 must be at least its reported pair count (every
+    replaced occurrence removes one symbol)."""
+    from scala_reactivex_spark.operators.llm_subdoc import llm_bpe_apply
+
+    rows = llm_bpe_apply(spark, sf_dir).collect()
+    assert len(rows) == _n_docs(spark, sf_dir)
+    for r in rows:
+        assert 0 < r["syms_after"] <= r["syms_before"]
+        assert r["ratio_1e4"] == r["syms_after"] * 10000 // r["syms_before"]
+    assert any(r["syms_after"] < r["syms_before"] for r in rows)
+
+
+def test_quality_rules_consistency(spark, sf_dir):
+    from scala_reactivex_spark.operators.llm_text import llm_quality_rules
+
+    rows = llm_quality_rules(spark, sf_dir).collect()
+    assert len(rows) == _n_docs(spark, sf_dir)
+    flags = ("r_len", "r_mwl", "r_rep", "r_div", "r_stop")
+    for r in rows:
+        for f in flags:
+            assert r[f] in (0, 1)
+        assert r["n_passed"] == sum(r[f] for f in flags)
+        assert r["keep"] == int(all(r[f] for f in flags))
+    assert any(r["keep"] == 1 for r in rows)  # battery keeps something
+
+
+def test_embed_pca_direction_is_unit_scaled(spark, sf_dir):
+    """The dominant component pins to exactly ±1e6 (renormalized by the
+    max), every component is bounded by it, and the direction has real
+    spread (not a degenerate one-hot)."""
+    from scala_reactivex_spark.operators.llm_signals import llm_embed_pca
+
+    rows = llm_embed_pca(spark, sf_dir).collect()
+    assert len(rows) == 64
+    comps = [r["comp_1e6"] for r in rows]
+    assert max(abs(c) for c in comps) == 1_000_000
+    assert all(abs(c) <= 1_000_000 for c in comps)
+    assert sum(1 for c in comps if c != 0) > 8
