@@ -1134,3 +1134,56 @@ def twin_shard_assign(sdf: DataFrame) -> DataFrame:
         f" % {N_SHARDS}"
     )
     return sdf.select("doc_id", shard.alias("shard"))
+
+
+def twin_unigram_lm(sdf: DataFrame, freq: DataFrame) -> DataFrame:
+    """Streaming LM scoring [T3 signals — live twin of llm_unigram_lm]:
+    arriving documents are scored against the BATCH-trained corpus
+    unigram model — the model-serving shape again (twin_kmeans for
+    centroids, twin_bm25 for the retrieval index, here for a language
+    model).  The (tok, logp micro-units) frame packs into one broadcast
+    MAP; each arriving doc explodes to tokens, looks its terms up O(1),
+    and a per-doc streaming aggregate sums the EXACT integer
+    contributions — so the live scores converge to the batch operator's
+    (order of arrival cannot drift an integer sum).  Tokens unseen at
+    training time contribute NULL and drop out of count+sum, surfacing
+    as n_scored < n_tok — the OOV signal a serving deployment monitors."""
+    packed = freq.agg(
+        F.map_from_arrays(
+            F.collect_list("tok"), F.collect_list("lp")
+        ).alias("lm")
+    )
+    toks = sdf.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    return (
+        toks.crossJoin(F.broadcast(packed))
+        .select(
+            "doc_id",
+            F.element_at(F.col("lm"), F.col("tok")).alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.count("lp").cast("bigint").alias("n_scored"),
+            F.sum("lp").cast("bigint").alias("logp_sum_1e6"),
+        )
+    )
+
+
+def unigram_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, lp) — the batch-trained unigram model in the exact integer
+    micro-log10 units of llm_unigram_lm (shared pinning expression)."""
+    from scala_reactivex_spark.sources.catalog import table as _table
+
+    toks = _table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(
+        F.sum("c").cast("bigint").cast("double").alias("t")
+    )
+    lp = F.floor(
+        F.log10(F.col("c").cast("double") / F.col("t")) * 1000000 + 0.5
+    ).cast("bigint")
+    return freq.crossJoin(F.broadcast(total)).select("tok", lp.alias("lp"))

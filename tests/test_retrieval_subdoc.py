@@ -310,3 +310,32 @@ def test_embed_pca_direction_is_unit_scaled(spark, sf_dir):
     assert max(abs(c) for c in comps) == 1_000_000
     assert all(abs(c) <= 1_000_000 for c in comps)
     assert sum(1 for c in comps if c != 0) > 8
+
+
+def test_twin_unigram_lm_equals_batch_scores(spark, sf_dir, tmp_path):
+    """Stream-served LM scores equal the batch operator's per-doc sums
+    (exact integer contributions — arrival order cannot drift them), and
+    the fixture vocabulary is fully covered (no OOV on same-corpus
+    scoring)."""
+    from scala_reactivex_spark.operators.llm_signals import llm_unigram_lm
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "docs_src")
+    table(spark, sf_dir, "documents").repartition(4).write.parquet(src)
+    model = twins.unigram_lm_model(spark, sf_dir)
+    sdf = twins.docs_stream(spark, src)
+    out = twins.run_stream_to_table(
+        twins.twin_unigram_lm(sdf, model),
+        "t_ulm",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    got = {
+        (r["doc_id"], r["n_tok"], r["logp_sum_1e6"]) for r in out.collect()
+    }
+    want = {
+        (r["doc_id"], r["n_tok"], r["logp_sum_1e6"])
+        for r in llm_unigram_lm(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(r["n_scored"] == r["n_tok"] for r in out.collect())
