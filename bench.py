@@ -127,6 +127,7 @@ BEYOND_BASELINE = {
     "llm_bpe_apply",
     "llm_quality_rules",
     "llm_embed_pca",
+    "llm_dedup_impact",
 }
 
 

@@ -339,3 +339,19 @@ def test_twin_unigram_lm_equals_batch_scores(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert all(r["n_scored"] == r["n_tok"] for r in out.collect())
+
+
+def test_dedup_impact_conserves_corpus(spark, sf_dir):
+    """Before-counts must total the corpus; after <= before everywhere;
+    and the fixture's planted near-dups mean SOMETHING is dropped."""
+    from scala_reactivex_spark.operators.llm_dedup import llm_dedup_impact
+
+    rows = llm_dedup_impact(spark, sf_dir).collect()
+    assert sum(r["docs_before"] for r in rows) == _n_docs(spark, sf_dir)
+    for r in rows:
+        assert 0 <= r["docs_after"] <= r["docs_before"]
+        assert 0 <= r["tokens_after"] <= r["tokens_before"]
+        assert r["kept_1e4"] == r["docs_after"] * 10000 // r["docs_before"]
+    assert sum(r["docs_after"] for r in rows) < sum(
+        r["docs_before"] for r in rows
+    )
