@@ -355,3 +355,65 @@ def test_dedup_impact_conserves_corpus(spark, sf_dir):
     assert sum(r["docs_after"] for r in rows) < sum(
         r["docs_before"] for r in rows
     )
+
+
+def test_round6_family_survives_empty_corpus(spark, tmp_path):
+    """Every round-6 corpus operator must return an empty result (not
+    raise) on an empty documents table — at 100 TB a filtered partition
+    or a fresh tenant IS empty, and a pipeline stage that throws on it
+    takes the whole DAG down."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from scala_reactivex_spark.operators.llm_compose import llm_ann_recall
+    from scala_reactivex_spark.operators.llm_dedup import (
+        llm_containment_lsh,
+        llm_dedup_impact,
+    )
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        llm_curriculum,
+        llm_mix_budget,
+        llm_ppl_filter,
+        llm_shard_assign,
+    )
+    from scala_reactivex_spark.operators.llm_retrieval import (
+        llm_bm25,
+        llm_index_stats,
+    )
+    from scala_reactivex_spark.operators.llm_signals import (
+        llm_winnowing_match,
+    )
+    from scala_reactivex_spark.operators.llm_subdoc import (
+        llm_bpe_apply,
+        llm_bpe_merge,
+        llm_bpe_pairs,
+        llm_dedup_substring,
+        llm_line_dedup,
+    )
+    from scala_reactivex_spark.operators.llm_text import llm_quality_rules
+
+    d = str(tmp_path / "empty_sf")
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    ops = [
+        llm_bm25, llm_index_stats, llm_line_dedup, llm_dedup_substring,
+        llm_bpe_pairs, llm_bpe_merge, llm_bpe_apply, llm_quality_rules,
+        llm_shard_assign, llm_curriculum, llm_ppl_filter, llm_mix_budget,
+        llm_containment_lsh, llm_dedup_impact, llm_winnowing_match,
+    ]
+    for op in ops:
+        assert op(spark, d).count() == 0, op.__name__
+
+
+def test_embed_family_survives_empty_embeddings(spark, tmp_path):
+    from scala_reactivex_spark.operators.llm_compose import llm_ann_recall
+    from scala_reactivex_spark.operators.llm_signals import llm_embed_pca
+
+    d = str(tmp_path / "empty_emb")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    assert llm_embed_pca(spark, d).count() == 0
+    assert llm_ann_recall(spark, d).count() == 0
