@@ -1187,3 +1187,68 @@ def unigram_lm_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log10(F.col("c").cast("double") / F.col("t")) * 1000000 + 0.5
     ).cast("bigint")
     return freq.crossJoin(F.broadcast(total)).select("tok", lp.alias("lp"))
+
+
+def twin_ppl_filter(
+    sdf: DataFrame, freq: DataFrame, thresholds: DataFrame
+) -> DataFrame:
+    """Streaming perplexity-filter serving [T3 pipeline — live twin of
+    llm_ppl_filter's keep decision]: the unigram LM (broadcast map, as
+    twin_unigram_lm) and the trained [lo, hi] band thresholds (1-row
+    static frame) both come from the BATCH corpus; arriving documents
+    are scored, banded and flagged on the fly.  The thresholds attach
+    BEFORE the aggregate (constant columns carried through ``max``), so
+    the whole query is one stream-static pre-join + one complete-mode
+    aggregate — no post-aggregation join, which streaming disallows.
+    Exact integer contributions ⇒ the live decision table converges to
+    the batch operator's."""
+    from scala_reactivex_spark.operators.llm_pipeline import PPL_BAND_W
+
+    packed = freq.agg(
+        F.map_from_arrays(
+            F.collect_list("tok"), F.collect_list("lp")
+        ).alias("lm")
+    )
+    toks = sdf.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    scored = (
+        toks.crossJoin(F.broadcast(packed))
+        .crossJoin(F.broadcast(thresholds))
+        .select(
+            "doc_id",
+            F.element_at(F.col("lm"), F.col("tok")).alias("lp"),
+            "lo",
+            "hi",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            (-F.sum("lp")).cast("bigint").alias("cost"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    band = F.expr(f"CAST((cost DIV n_tok) DIV {PPL_BAND_W} AS BIGINT)")
+    return scored.select(
+        "doc_id",
+        F.expr("CAST(cost DIV n_tok AS BIGINT)").alias("cost_per_tok"),
+        band.alias("band"),
+        (
+            (band >= F.col("lo")) & (band <= F.col("hi"))
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def ppl_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lo, hi) — the batch-trained keep-band range, recovered from the
+    graded operator's own output (kept bands are exactly [lo, hi])."""
+    from scala_reactivex_spark.operators.llm_pipeline import llm_ppl_filter
+
+    return (
+        llm_ppl_filter(spark, sf_dir)
+        .where(F.col("keep") == 1)
+        .agg(F.min("band").alias("lo"), F.max("band").alias("hi"))
+    )

@@ -417,3 +417,31 @@ def test_embed_family_survives_empty_embeddings(spark, tmp_path):
     ).write.parquet(f"{d}/embeddings.parquet")
     assert llm_embed_pca(spark, d).count() == 0
     assert llm_ann_recall(spark, d).count() == 0
+
+
+def test_twin_ppl_filter_equals_batch_decisions(spark, sf_dir, tmp_path):
+    """Stream-served perplexity filtering reproduces the batch keep
+    decisions exactly (integer scoring + batch-trained thresholds)."""
+    from scala_reactivex_spark.operators.llm_pipeline import llm_ppl_filter
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "docs_src")
+    table(spark, sf_dir, "documents").repartition(4).write.parquet(src)
+    model = twins.unigram_lm_model(spark, sf_dir)
+    thr = twins.ppl_thresholds(spark, sf_dir)
+    sdf = twins.docs_stream(spark, src)
+    out = twins.run_stream_to_table(
+        twins.twin_ppl_filter(sdf, model, thr),
+        "t_ppl",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    got = {
+        (r["doc_id"], r["cost_per_tok"], r["band"], r["keep"])
+        for r in out.collect()
+    }
+    want = {
+        (r["doc_id"], r["cost_per_tok"], r["band"], r["keep"])
+        for r in llm_ppl_filter(spark, sf_dir).collect()
+    }
+    assert got == want
