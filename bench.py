@@ -128,6 +128,7 @@ BEYOND_BASELINE = {
     "llm_quality_rules",
     "llm_embed_pca",
     "llm_dedup_impact",
+    "llm_index_gaps",
 }
 
 

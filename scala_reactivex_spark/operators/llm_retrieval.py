@@ -243,3 +243,58 @@ def llm_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("bigint").alias("cf"),
         F.max("tf").cast("bigint").alias("max_tf"),
     )
+
+
+@register(
+    "llm_index_gaps",
+    tier="T3",
+    doc="Posting-list delta-gap profile — the number that sizes an "
+    "inverted index on disk: per term, the document-id gaps of its "
+    "sorted posting list (first delta from -1, then successive "
+    "differences), the max gap, mean gap (1e4) and the total bits a "
+    "plain binary delta encoding needs (bit length via "
+    "length(bin(gap)) — integer-side, never float log2, the "
+    "llm_seq_len_hist idiom).  Scale shape: one (doc, term) aggregate, "
+    "then a lag window PARTITIONED BY TERM — each partition is one "
+    "posting list, the exact parallelism unit of index construction; "
+    "output is |V| rows.",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), g AS (
+  SELECT tok,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY tok
+                                             ORDER BY doc_id), -1)
+           AS gap
+  FROM tok
+)
+SELECT tok,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(max(gap) AS BIGINT) AS max_gap,
+       CAST(sum(gap) * 10000 // count(*) AS BIGINT) AS avg_gap_1e4,
+       CAST(sum(length(bin(gap))) AS BIGINT) AS delta_bits
+FROM g GROUP BY tok
+""",
+)
+def llm_index_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    gap = F.col("doc_id") - F.coalesce(
+        F.lag("doc_id").over(
+            Window.partitionBy("tok").orderBy("doc_id")
+        ),
+        F.lit(-1),
+    )
+    g = tok.select("tok", gap.alias("gap"))
+    return g.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+        F.expr("CAST(sum(gap) * 10000 DIV count(*) AS BIGINT)").alias(
+            "avg_gap_1e4"
+        ),
+        F.sum(F.length(F.bin("gap"))).cast("bigint").alias("delta_bits"),
+    )

@@ -445,3 +445,22 @@ def test_twin_ppl_filter_equals_batch_decisions(spark, sf_dir, tmp_path):
         for r in llm_ppl_filter(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_index_gaps_delta_encoding_laws(spark, sf_dir):
+    """Gaps telescope: sum of gaps equals last_doc_id + 1 per term, so
+    avg_gap * df recovers it (up to the 1e4 floor); delta bits are at
+    least df (every gap needs >= 1 bit) and bounded by df * 64."""
+    from scala_reactivex_spark.operators.llm_retrieval import (
+        llm_index_gaps,
+        llm_index_stats,
+    )
+
+    gaps = {r["tok"]: r for r in llm_index_gaps(spark, sf_dir).collect()}
+    stats = {r["tok"]: r for r in llm_index_stats(spark, sf_dir).collect()}
+    assert set(gaps) == set(stats)
+    for t, g in gaps.items():
+        assert g["df"] == stats[t]["df"]
+        assert 1 <= g["max_gap"]
+        assert g["df"] <= g["delta_bits"] <= g["df"] * 64
+        assert g["avg_gap_1e4"] >= 10000  # mean gap is at least 1
