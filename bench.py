@@ -129,6 +129,7 @@ BEYOND_BASELINE = {
     "llm_embed_pca",
     "llm_dedup_impact",
     "llm_index_gaps",
+    "llm_line_dedup_purge",
 }
 
 

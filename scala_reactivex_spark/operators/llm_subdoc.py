@@ -519,3 +519,83 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ratio_1e4"),
         )
     )
+
+
+@register(
+    "llm_line_dedup_purge",
+    tier="T3",
+    doc="Duplicated-paragraph REMOVAL effect (what RefinedWeb/CCNet "
+    "actually do — cut the repeated lines, keep the document): per doc, "
+    "token counts before and after dropping every segment whose exact "
+    "text occurs in ≥ 2 distinct docs, with the removed share (1e4).  "
+    "Pairs with llm_line_dedup the way llm_dedup_impact pairs with the "
+    "cluster pipeline: the profile says WHERE duplication lives, the "
+    "purge says what the corpus looks like after acting on it.  Scale "
+    "shape: the same segment inverted-index join, then one per-doc "
+    "aggregate over exact segment word-counts — no second corpus scan "
+    "beyond the shared explode.",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), seg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, (len(words) + {SEG_W - 1}) // {SEG_W} - 1),
+           i -> array_to_string(words[i * {SEG_W} + 1 : i * {SEG_W} + {SEG_W}], ' ')
+         )) AS s
+  FROM w
+), segdocs AS (
+  SELECT s, count(DISTINCT doc_id) AS nd FROM seg GROUP BY s
+), sized AS (
+  SELECT seg.doc_id,
+         len(string_split(seg.s, ' ')) AS n_w,
+         sd.nd >= 2 AS dup
+  FROM seg JOIN segdocs sd USING (s)
+)
+SELECT doc_id,
+       CAST(sum(n_w) AS BIGINT) AS n_tok_before,
+       CAST(sum(CASE WHEN dup THEN 0 ELSE n_w END) AS BIGINT)
+         AS n_tok_after,
+       CAST(sum(CASE WHEN dup THEN n_w ELSE 0 END) * 10000 // sum(n_w)
+            AS BIGINT) AS removed_1e4
+FROM sized GROUP BY doc_id
+""",
+)
+def llm_line_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    seg = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(
+                        f"(size(words) + {SEG_W - 1}) DIV {SEG_W} - 1"
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("words"), i * SEG_W + 1, SEG_W)
+                ),
+            )
+        ).alias("s"),
+    )
+    segdocs = seg.groupBy("s").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    sized = seg.join(segdocs, "s").select(
+        "doc_id",
+        F.size(F.split("s", " ")).alias("n_w"),
+        (F.col("nd") >= 2).alias("dup"),
+    )
+    return sized.groupBy("doc_id").agg(
+        F.sum("n_w").cast("bigint").alias("n_tok_before"),
+        F.sum(F.when(F.col("dup"), 0).otherwise(F.col("n_w")))
+        .cast("bigint")
+        .alias("n_tok_after"),
+        F.expr(
+            "CAST(sum(CASE WHEN dup THEN n_w ELSE 0 END) * 10000"
+            " DIV sum(n_w) AS BIGINT)"
+        ).alias("removed_1e4"),
+    )

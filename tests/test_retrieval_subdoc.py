@@ -464,3 +464,30 @@ def test_index_gaps_delta_encoding_laws(spark, sf_dir):
         assert 1 <= g["max_gap"]
         assert g["df"] <= g["delta_bits"] <= g["df"] * 64
         assert g["avg_gap_1e4"] >= 10000  # mean gap is at least 1
+
+
+def test_line_purge_consistent_with_profile(spark, sf_dir):
+    """The purge's removed token share must agree with the profile's
+    duplicated-segment counts: removal happens exactly on the dup
+    segments, and token totals reconcile with raw document lengths."""
+    from scala_reactivex_spark.operators.llm_subdoc import (
+        llm_line_dedup,
+        llm_line_dedup_purge,
+    )
+
+    prof = {r["doc_id"]: r for r in llm_line_dedup(spark, sf_dir).collect()}
+    purge = {
+        r["doc_id"]: r for r in llm_line_dedup_purge(spark, sf_dir).collect()
+    }
+    assert set(prof) == set(purge)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    for i, p in purge.items():
+        assert p["n_tok_before"] == len(texts[i].split(" "))
+        assert 0 <= p["n_tok_after"] <= p["n_tok_before"]
+        # zero dup segments <=> nothing removed
+        assert (prof[i]["n_dup_segs"] == 0) == (
+            p["n_tok_after"] == p["n_tok_before"]
+        )
