@@ -130,6 +130,7 @@ BEYOND_BASELINE = {
     "llm_dedup_impact",
     "llm_index_gaps",
     "llm_line_dedup_purge",
+    "llm_dedup_incremental",
 }
 
 

@@ -94,3 +94,49 @@ def test_decontaminate_flags_only_train_docs(spark, sf_dir):
     for r in rows:
         assert r["n_hits"] >= 1
         assert 0 < r["hit_1e4"] <= 10000
+
+
+def test_dedup_incremental_laws(spark, sf_dir):
+    """Incremental dedup must (a) cover exactly the incoming slice,
+    (b) derive keep from the two dup flags, and (c) emit near matches
+    that are a subset of the full MinHash pair set (same bands, same
+    cap, restricted to cross-side pairs)."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        INCR_MOD,
+        llm_dedup_incremental,
+        llm_dedup_minhash,
+    )
+
+    out = llm_dedup_incremental(spark, sf_dir).collect()
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.sources.catalog import table
+
+    hexpos = (
+        "instr('0123456789abcdef', "
+        "substr(md5(cast(text as binary)), {}, 1))"
+    )
+    n_in = (
+        table(spark, sf_dir, "documents")
+        .where(
+            F.expr(
+                f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
+                f" % {INCR_MOD} = 0"
+            )
+        )
+        .count()
+    )
+    assert len(out) == n_in > 0
+    for r in out:
+        assert r["keep"] == int(r["is_exact_dup"] == 0 and r["n_near"] == 0)
+        assert (r["n_near"] == 0) == (r["best_near"] == -1)
+    # Near matches ⊆ full MinHash pair set (order-normalized).
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm_dedup_minhash(spark, sf_dir).collect()
+    }
+    matched = [r for r in out if r["n_near"] > 0]
+    assert matched, "fixture must exercise the near path"
+    for r in matched:
+        pair = tuple(sorted((r["doc_id"], r["best_near"])))
+        assert pair in full
