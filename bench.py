@@ -131,6 +131,7 @@ BEYOND_BASELINE = {
     "llm_index_gaps",
     "llm_line_dedup_purge",
     "llm_dedup_incremental",
+    "llm_textrank",
 }
 
 

@@ -1,0 +1,152 @@
+"""Graph operators for corpus analysis (SURVEY.md §2.10 family).
+
+``llm_textrank``: TextRank keyword scoring (Mihalcea & Tarau 2004, public
+paper) — PageRank over the token co-occurrence graph.  Nodes are vocabulary
+tokens, edges are distinct adjacent-token pairs (both directions), and the
+rank iteration r' = (1-d)/N + d·Σ r(u)/deg(u) runs for ``TEXTRANK_ITERS``
+unrolled rounds with d = 17/20.
+
+Determinism: ranks live in integer 1e12 units; every division is integer
+floor division on non-negative values (Spark ``DIV`` ≡ DuckDB ``//`` there),
+so both engines produce bit-identical ranks — fully hash-graded, like the
+k-means / BPE / PCA iterative precedents.
+
+Scale shape: the edge list is built per-row from the token array (a
+``transform`` over adjacent positions — ZERO joins against the corpus), then
+aggregated once to the DISTINCT edge set, which is vocabulary-bounded
+(≤ |V|², Heaps-law small, nothing like corpus size); the per-iteration joins
+run on that bounded frame.  The edge frame is persisted so the corpus is
+scanned exactly once across all iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.plans.registry import register
+from scala_reactivex_spark.sources.catalog import table
+
+TEXTRANK_ITERS = 3
+RANK_UNIT = 1_000_000_000_000  # 1e12 integer rank units
+
+_EDGE_CTE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+), pos AS (
+  SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS i FROM t
+), adj AS (
+  SELECT p1.w AS src, p2.w AS dst
+  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+  WHERE p1.w <> p2.w
+), edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM adj UNION ALL SELECT dst, src FROM adj
+  )
+), deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), scal AS (
+  SELECT CAST({unit} // count(*) AS BIGINT) AS r0,
+         CAST((3 * ({unit} // count(*))) // 20 AS BIGINT) AS base
+  FROM deg
+)""".format(unit=RANK_UNIT)
+
+_ITER_TEMPLATE = """, {next} AS (
+  SELECT n.src AS token,
+         CAST((SELECT base FROM scal)
+              + (17 * coalesce(s.m, 0)) // 20 AS BIGINT) AS r
+  FROM deg n
+  LEFT JOIN (
+    SELECT e.dst AS token, sum(r.r // dg.d) AS m
+    FROM edges e
+    JOIN {prev} r ON e.src = r.token
+    JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) s ON n.src = s.token
+)"""
+
+
+def _textrank_oracle() -> str:
+    sql = _EDGE_CTE
+    sql += """, r0s AS (
+  SELECT src AS token, (SELECT r0 FROM scal) AS r FROM deg
+)"""
+    prev = "r0s"
+    for i in range(TEXTRANK_ITERS):
+        nxt = f"r{i + 1}"
+        sql += _ITER_TEMPLATE.format(next=nxt, prev=prev)
+        prev = nxt
+    sql += f"""
+SELECT r.token, r.r AS rank_1e12, CAST(deg.d AS BIGINT) AS out_deg
+FROM {prev} r JOIN deg ON r.token = deg.src
+"""
+    return sql
+
+
+@register(
+    "llm_textrank",
+    tier="T3",
+    doc="TextRank keyword scoring: PageRank (d=0.85, 3 unrolled rounds) "
+    "over the distinct adjacent-token graph.  Integer 1e12 rank units "
+    "with floor divisions make every iteration bit-identical across "
+    "engines and partition orders — the oracle unrolls the same rounds "
+    "as CTEs.  Scale shape: edges come from a per-row transform over "
+    "the token array (no corpus self-join), the distinct edge set is "
+    "vocabulary-bounded and persisted, and each iteration joins only "
+    "vocab-sized frames.",
+    oracle=_textrank_oracle(),
+)
+def llm_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = F.split("text", " ")
+    adj = (
+        table(spark, sf_dir, "documents")
+        .where(F.size(arr) >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> struct("
+                    "element_at(split(text, ' '), i) AS src, "
+                    "element_at(split(text, ' '), i + 1) AS dst))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .where(F.col("src") != F.col("dst"))
+    )
+    edges = (
+        adj.union(
+            adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    scal = deg.agg(
+        F.expr(f"CAST({RANK_UNIT} DIV count(*) AS BIGINT)").alias("r0"),
+        F.expr(
+            f"CAST((3 * ({RANK_UNIT} DIV count(*))) DIV 20 AS BIGINT)"
+        ).alias("base"),
+    )
+    nodes = deg.select(F.col("src").alias("token"), "d").crossJoin(
+        F.broadcast(scal)
+    )
+    r = nodes.select("token", F.col("r0").alias("r"))
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("token", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r DIV d")).alias("m"))
+        )
+        r = nodes.join(contrib, nodes.token == contrib.dst, "left").select(
+            "token",
+            F.expr(
+                "CAST(base + (17 * coalesce(m, 0)) DIV 20 AS BIGINT)"
+            ).alias("r"),
+        )
+    return r.join(deg, r.token == deg.src).select(
+        "token",
+        F.col("r").alias("rank_1e12"),
+        F.col("d").cast("bigint").alias("out_deg"),
+    )

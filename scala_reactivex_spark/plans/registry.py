@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "scala_reactivex_spark.operators.llm_cluster",
     "scala_reactivex_spark.operators.llm_retrieval",
     "scala_reactivex_spark.operators.llm_subdoc",
+    "scala_reactivex_spark.operators.llm_graph",
     # llm_compose embeds other modules' registered oracles (peek) — must
     # stay AFTER every module it composes from.
     "scala_reactivex_spark.operators.llm_compose",

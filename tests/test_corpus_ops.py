@@ -140,3 +140,26 @@ def test_dedup_incremental_laws(spark, sf_dir):
     for r in matched:
         pair = tuple(sorted((r["doc_id"], r["best_near"])))
         assert pair in full
+
+
+def test_textrank_mass_and_bounds(spark, sf_dir):
+    """PageRank laws under floor arithmetic: every node holds at least the
+    teleport base share, total mass never exceeds the initial unit (floor
+    division only loses mass), and the node set is the edge vocabulary."""
+    from scala_reactivex_spark.operators.llm_graph import (
+        RANK_UNIT,
+        llm_textrank,
+    )
+
+    rows = llm_textrank(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 1
+    base = (3 * (RANK_UNIT // n)) // 20
+    total = sum(r["rank_1e12"] for r in rows)
+    assert total <= RANK_UNIT
+    # Mass lost to flooring is at most ~1 unit per edge per round — the
+    # bulk of the unit mass must survive three rounds.
+    assert total > RANK_UNIT * 9 // 10
+    for r in rows:
+        assert r["rank_1e12"] >= base
+        assert r["out_deg"] >= 1
