@@ -132,6 +132,7 @@ BEYOND_BASELINE = {
     "llm_line_dedup_purge",
     "llm_dedup_incremental",
     "llm_textrank",
+    "llm_zipf",
 }
 
 

@@ -684,3 +684,103 @@ def llm_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+ZIPF_LOG_PIN = 100_000  # micro-log10 pin for the rank/frequency fit
+
+
+@register(
+    "llm_zipf",
+    tier="T3",
+    doc="Zipf's-law corpus diagnostic: least-squares slope of "
+    "log10(freq) against log10(rank) over the term-frequency table, "
+    "plus vocabulary size, token volume and top-term mass share — the "
+    "one-row health check that catches a template-flooded or "
+    "truncated crawl (a natural-language corpus fits slope ~ -1).  "
+    "Determinism: rank/freq logs pin to integer 1e5 units, the "
+    "closed-form slope is a ratio of exact integer sums, emitted as "
+    "floor((1e4*num)/den) with both sides non-negative (slope is "
+    "emitted negated; a pytest law asserts the sign), so no "
+    "float-division drift can split the engines.  Scale shape: one "
+    "explode + hash aggregate to |V| rows; the rank window and the "
+    "fit sums run over the VOCABULARY, never the corpus.  At a 1e6+ "
+    "vocabulary the fit sums should route through DECIMAL(38,0) — at "
+    "the graded vocabulary bound they sit far inside BIGINT.",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT token, count(*) AS f FROM tok GROUP BY token
+), rk AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r FROM tf
+), pins AS (
+  SELECT CAST(floor(log10(CAST(r AS DOUBLE)) * {ZIPF_LOG_PIN} + 0.5)
+              AS BIGINT) AS x,
+         CAST(floor(log10(CAST(f AS DOUBLE)) * {ZIPF_LOG_PIN} + 0.5)
+              AS BIGINT) AS y
+  FROM rk
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pins
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(max(f) * 10000 // sum(f) AS BIGINT) AS top_share_1e4
+  FROM tf
+)
+SELECT m.n_terms, m.n_tokens, m.top_share_1e4,
+       CAST((10000 * (s.sx * s.sy - s.n * s.sxy))
+            // (s.n * s.sxx - s.sx * s.sx) AS BIGINT)
+         AS neg_slope_1e4
+FROM m CROSS JOIN s
+""",
+)
+def llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+    )
+    # Rank window + fit sums run over |V| rows (vocab-bounded, like
+    # llm_vocab_coverage) — never the corpus.
+    rk = tf.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), "token"))
+        .alias("r"),
+    )
+    pins = rk.select(
+        F.floor(F.log10(F.col("r").cast("double")) * ZIPF_LOG_PIN + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log10(F.col("f").cast("double")) * ZIPF_LOG_PIN + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pins.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    m = tf.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(max(f) * 10000 DIV sum(f) AS BIGINT)").alias(
+            "top_share_1e4"
+        ),
+    )
+    return m.crossJoin(F.broadcast(s)).select(
+        "n_terms",
+        "n_tokens",
+        "top_share_1e4",
+        F.expr(
+            "CAST((10000 * (sx * sy - n * sxy))"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("neg_slope_1e4"),
+    )

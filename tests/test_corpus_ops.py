@@ -163,3 +163,23 @@ def test_textrank_mass_and_bounds(spark, sf_dir):
     for r in rows:
         assert r["rank_1e12"] >= base
         assert r["out_deg"] >= 1
+
+
+def test_zipf_sign_and_consistency(spark, sf_dir):
+    """The emitted slope is negated by construction — assert the fit is
+    genuinely decreasing (neg_slope > 0) and the scalar columns agree
+    with direct corpus counts."""
+    from scala_reactivex_spark.operators.llm_text import llm_zipf
+
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.sources.catalog import table
+
+    row = llm_zipf(spark, sf_dir).collect()[0]
+    assert row["neg_slope_1e4"] > 0
+    assert 0 < row["top_share_1e4"] <= 10000
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("t")
+    )
+    assert row["n_tokens"] == tok.count()
+    assert row["n_terms"] == tok.distinct().count()
