@@ -133,6 +133,7 @@ BEYOND_BASELINE = {
     "llm_dedup_incremental",
     "llm_textrank",
     "llm_zipf",
+    "llm_dsir",
 }
 
 

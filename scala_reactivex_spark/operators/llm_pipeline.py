@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from scala_reactivex_spark.functions.portable_hash import (
+    kr31_duck_expr,
+    kr31_spark_expr,
+)
 from scala_reactivex_spark.plans.registry import register
 from scala_reactivex_spark.sources.catalog import table
 
@@ -860,4 +864,136 @@ def llm_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_avail",
         target.alias("target_tokens"),
         epochs.alias("epochs_1e4"),
+    )
+
+
+DSIR_BUCKETS = 256  # hashed bigram feature space (paper uses 10k; vocab²-bounded here)
+DSIR_TARGET_LANG = "en"  # the target distribution: English docs play "Wikipedia"
+
+_DSIR_FEAT_CTE = f"""
+WITH big AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' '
+                || string_split(text, ' ')[i + 1])) AS f
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, {{kr}} % {DSIR_BUCKETS} AS b FROM big
+), tgt AS (
+  SELECT b, count(*) AS c FROM feats
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), rawc AS (
+  SELECT b, count(*) AS c FROM feats GROUP BY b
+), tots AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM tgt) AS tt,
+         (SELECT sum(c) FROM rawc) AS tr
+), delta AS (
+  SELECT r.b,
+         CAST(floor(log10(CAST(coalesce(t.c, 0) + 1 AS DOUBLE)
+                          / CAST(tots.tt + {DSIR_BUCKETS} AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(log10(CAST(r.c + 1 AS DOUBLE)
+                            / CAST(tots.tr + {DSIR_BUCKETS} AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS d
+  FROM rawc r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tots
+)"""
+
+
+@register(
+    "llm_dsir",
+    tier="T3",
+    doc="DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169 — "
+    "public paper): per-doc log importance weight "
+    "log p_target(x) - log p_raw(x) under hashed-bigram bag models, "
+    f"where the target distribution is the lang='{DSIR_TARGET_LANG}' "
+    "slice (playing the curated corpus) and raw is the whole crawl.  "
+    "Laplace-smoothed bucket probabilities pin to integer micro-log10 "
+    "units PER BUCKET (bounded table), so every per-doc score is an "
+    "exact integer sum — order-proof and bit-identical in the DuckDB "
+    "replay.  Emits n_feat, the weight, and the keep flag (weight>0 ⇒ "
+    "more target-like).  Scale shape: features hash per row into "
+    f"{DSIR_BUCKETS} buckets; both LMs are {DSIR_BUCKETS}-row broadcast "
+    "tables; the corpus is touched by exactly one explode + one "
+    "aggregate — no pair joins, no driver state.",
+    oracle=_DSIR_FEAT_CTE.format(kr=kr31_duck_expr("f"))
+    + f"""
+SELECT d.doc_id,
+       CAST(coalesce(count(x.d), 0) AS BIGINT) AS n_feat,
+       CAST(coalesce(sum(x.d), 0) AS BIGINT) AS dsir_1e6,
+       CAST(coalesce(sum(x.d), 0) > 0 AS INT) AS keep
+FROM documents d
+LEFT JOIN (
+  SELECT f.doc_id, dl.d
+  FROM feats f JOIN delta dl ON f.b = dl.b
+) x ON d.doc_id = x.doc_id
+GROUP BY d.doc_id
+""",
+)
+def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    feats = (
+        docs.where(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(element_at(split(text, ' '), i), ' ', "
+                    "element_at(split(text, ' '), i + 1)))"
+                )
+            ).alias("f"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (F.expr(kr31_spark_expr("f")) % DSIR_BUCKETS).alias("b"),
+        )
+    )
+    tgt = (
+        feats.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    rawc = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    tots = rawc.join(tgt, "b", "left").agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
+        F.sum("cr").alias("tr"),
+    )
+    pin = (
+        "CAST(floor(log10(CAST({c} + 1 AS DOUBLE)"
+        f" / CAST({{t}} + {DSIR_BUCKETS} AS DOUBLE))"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    delta = (
+        rawc.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.expr(pin.format(c="coalesce(ct, 0)", t="tt"))
+                - F.expr(pin.format(c="cr", t="tr"))
+            ).alias("d"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(delta), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_feat"),
+            F.sum("d").cast("bigint").alias("dsir_1e6"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feat", F.lit(0)).cast("bigint").alias("n_feat"),
+            F.coalesce("dsir_1e6", F.lit(0))
+            .cast("bigint")
+            .alias("dsir_1e6"),
+            (F.coalesce("dsir_1e6", F.lit(0)) > 0).cast("int").alias("keep"),
+        )
     )

@@ -183,3 +183,28 @@ def test_zipf_sign_and_consistency(spark, sf_dir):
     )
     assert row["n_tokens"] == tok.count()
     assert row["n_terms"] == tok.distinct().count()
+
+
+def test_dsir_directional_and_feature_count(spark, sf_dir):
+    """DSIR must rate target-language docs above the rest on average
+    (the whole point of importance weighting), and per-doc feature
+    count equals token count minus one."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        DSIR_TARGET_LANG,
+        llm_dsir,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    j = llm_dsir(spark, sf_dir).join(docs, "doc_id").collect()
+    assert all(r["n_feat"] == r["n_tok"] - 1 for r in j if r["n_tok"] >= 2)
+    tgt = [r["dsir_1e6"] / max(r["n_feat"], 1) for r in j
+           if r["lang"] == DSIR_TARGET_LANG]
+    rest = [r["dsir_1e6"] / max(r["n_feat"], 1) for r in j
+           if r["lang"] != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
