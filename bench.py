@@ -134,6 +134,7 @@ BEYOND_BASELINE = {
     "llm_textrank",
     "llm_zipf",
     "llm_dsir",
+    "llm_backoff_lm",
 }
 
 

@@ -915,3 +915,89 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") - 1).cast("bigint").alias("pos"),
         F.col("w").alias("comp_1e6"),
     )
+
+
+@register(
+    "llm_backoff_lm",
+    tier="T3",
+    doc="Interpolated (Jelinek-Mercer, λ=1/2) bigram+unigram LM score — "
+    "the smoothing step that turns llm_bigram_lm into a usable "
+    "perplexity proxy on held-out text: each adjacent pair contributes "
+    "log10((P_bi(w2|w1) + P_uni(w2)) / 2).  Per-pair values pin to "
+    "integer 1e6 micro-log10 units on identical double arithmetic "
+    "(operand order matches the oracle text exactly), so per-doc sums "
+    "are exact integer accumulation — order-proof.  Scale shape: three "
+    "map-side-combined frequency aggregates (bigram, prefix, unigram) "
+    "joined back on their keys, the corpus-total scalar rides a 1-row "
+    "broadcast, one final per-doc aggregate — no corpus windows, no "
+    "driver state.",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i])) AS b1,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i + 1])) AS b2
+  FROM w
+), bgfreq AS (
+  SELECT b1, b2, count(*) AS c2 FROM bg GROUP BY b1, b2
+), prefix AS (
+  SELECT b1, count(*) AS c1 FROM bg GROUP BY b1
+), tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), uni AS (
+  SELECT t, count(*) AS cu FROM tok GROUP BY t
+), tot AS (
+  SELECT count(*) AS tt FROM tok
+)
+SELECT bg.doc_id, count(*) AS n_bigram,
+       CAST(sum(CAST(floor(log10(
+           (CAST(f.c2 AS DOUBLE) / CAST(p.c1 AS DOUBLE)
+            + CAST(u.cu AS DOUBLE) / CAST(tot.tt AS DOUBLE)) / 2.0)
+           * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS logp_sum_1e6
+FROM bg
+JOIN bgfreq f USING (b1, b2)
+JOIN prefix p USING (b1)
+JOIN uni u ON bg.b2 = u.t
+CROSS JOIN tot
+GROUP BY bg.doc_id
+""",
+)
+def llm_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words")).where(
+        F.size("words") >= 2
+    )
+    bg = w.select(
+        "doc_id", F.explode(F.expr(BIGRAM_PAIR_EXPR)).alias("bb")
+    ).select("doc_id", "bb.b1", "bb.b2")
+    bgfreq = bg.groupBy("b1", "b2").agg(F.count("*").alias("c2"))
+    prefix = bg.groupBy("b1").agg(F.count("*").alias("c1"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("cu"))
+    tot = tok.agg(F.count("*").alias("tt"))
+    lp = F.floor(
+        F.log10(
+            (
+                F.col("c2").cast("double") / F.col("c1").cast("double")
+                + F.col("cu").cast("double") / F.col("tt").cast("double")
+            )
+            / F.lit(2.0)
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        bg.join(bgfreq, ["b1", "b2"])
+        .join(prefix, ["b1"])
+        .join(uni, bg.b2 == uni.t)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigram"),
+            F.sum(lp).cast("bigint").alias("logp_sum_1e6"),
+        )
+    )

@@ -53,6 +53,10 @@ ALLOWED_NESTED_LOOP = {
     "llm_ann_recall",  # composes llm_ann_ivf/mp (their centroid crosses)
     "llm_bpe_apply",  # 1-row learned-merge-rule broadcasts (as bpe_merge)
     "llm_embed_pca",  # 1-row max-renormalization broadcast per round
+    "llm_textrank",  # 1-row (r0, base) scalar broadcast × vocab node frame
+    "llm_zipf",  # 1-row fit-sums broadcast × 1-row corpus-scalars frame
+    "llm_dsir",  # 1-row feature-totals broadcast × 256-bucket LM table
+    "llm_backoff_lm",  # 1-row corpus-total broadcast × scored pair stream
 }
 
 

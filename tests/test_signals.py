@@ -292,3 +292,24 @@ def test_q18_threshold_law(spark, sf_dir):
         .collect()
     }
     assert {r["o_orderkey"] for r in rows} == want
+
+
+def test_backoff_lm_bounds_vs_bigram(spark, sf_dir):
+    """Interpolated probabilities obey (a) p <= 1 so pinned scores are
+    non-positive, and (b) p_int >= p_bi/2 so the interpolated score can
+    trail the pure-bigram score by at most log10(2) per pair (plus 1
+    micro-unit floor slack per term)."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        llm_backoff_lm,
+        llm_bigram_lm,
+    )
+
+    bi = {r["doc_id"]: r for r in llm_bigram_lm(spark, sf_dir).collect()}
+    it = {r["doc_id"]: r for r in llm_backoff_lm(spark, sf_dir).collect()}
+    assert set(bi) == set(it)
+    half_log = 301030  # 1e6 * log10(2), ceil
+    for d, r in it.items():
+        assert r["logp_sum_1e6"] <= 0
+        assert r["n_bigram"] == bi[d]["n_bigram"]
+        slack = r["n_bigram"] * (half_log + 2)
+        assert r["logp_sum_1e6"] >= bi[d]["logp_sum_1e6"] - slack
