@@ -1252,3 +1252,98 @@ def ppl_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("keep") == 1)
         .agg(F.min("band").alias("lo"), F.max("band").alias("hi"))
     )
+
+
+def twin_dedup_incremental(
+    sdf: DataFrame, existing_hashes: DataFrame, existing_index: DataFrame
+) -> DataFrame:
+    """Streaming incremental-ingestion dedup [T3 — live twin of
+    llm_dedup_incremental's match set]: arriving documents probe a
+    BATCH-built index of the existing corpus — exactly what a production
+    ingest does with yesterday's signature store.
+
+    Two stream-static probes, both stateless per arrival:
+
+    - exact: content-hash equi-join against the existing md5 set.
+    - near: the arriving doc computes its own MinHash signature and LSH
+      band buckets PER ROW (nested higher-order functions — the
+      char-level Karp-Rabin fold runs inside ``transform`` over the
+      token array, so no explode, no aggregation, no state), probes the
+      capped static (band, bucket) index, and verifies candidates with
+      exact per-row Jaccard via ``array_intersect`` sizes.  A probe into
+      a hot bucket finds nothing because the cap already removed that
+      bucket from the static index — identical semantics to the batch
+      operator, where BOTH sides of a hot bucket are dropped.
+
+    Emits (doc_id, doc_ex, match_type, jaccard) append-mode match rows;
+    the only stateful step is dropDuplicates on the candidate pair
+    (bands can propose the same pair up to LSH_BANDS times)."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        FOLD_BASE,
+        P31,
+        kr31_spark_expr,
+    )
+    from scala_reactivex_spark.operators.llm_dedup import (
+        JACCARD_T,
+        LSH_BANDS,
+        MINHASH_K,
+        MINHASH_SEEDS,
+    )
+
+    base = sdf.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    )
+    exact = base.join(existing_hashes, "text_hash").select(
+        "doc_id",
+        "doc_ex",
+        F.lit("exact").alias("match_type"),
+        F.lit(1.0).alias("jaccard"),
+    )
+
+    seed_structs = ", ".join(
+        f"struct(CAST({a} AS BIGINT) AS a, CAST({b} AS BIGINT) AS b)"
+        for a, b in MINHASH_SEEDS[:MINHASH_K]
+    )
+    kr = kr31_spark_expr("t")
+    sig = (
+        f"transform(array({seed_structs}), "
+        f"s -> array_min(transform(toks, t -> (s.a * ({kr}) + s.b)"
+        f" % {P31})))"
+    )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    buckets = ", ".join(
+        f"struct({band} AS band, "
+        f"aggregate(slice(sig, {band * rows_per_band + 1}, {rows_per_band}),"
+        f" CAST(0 AS BIGINT), (acc, v) -> (acc * {FOLD_BASE} + v) % {P31})"
+        f" AS bucket)"
+        for band in range(LSH_BANDS)
+    )
+    banded = (
+        base.withColumn("sig", F.expr(sig))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.expr(f"array({buckets})")).alias("bb"),
+        )
+        .select("doc_id", "toks", "bb.band", "bb.bucket")
+    )
+    cand = banded.join(existing_index, ["band", "bucket"]).dropDuplicates(
+        ["doc_id", "doc_ex"]
+    )
+    isz = F.size(F.array_intersect("toks", "toks_ex"))
+    jac = isz.cast("double") / (
+        F.size("toks") + F.col("n_ex") - isz
+    ).cast("double")
+    near = (
+        cand.withColumn("jac", jac)
+        .where(F.col("jac") >= JACCARD_T)
+        .select(
+            "doc_id",
+            "doc_ex",
+            F.lit("near").alias("match_type"),
+            F.round("jac", 4).alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near)

@@ -498,3 +498,74 @@ def test_twin_decontaminate_bloom_equals_batch_flagging(
         for r in llm_decontaminate_bloom(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_twin_dedup_incremental_equals_batch(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """The streaming probe against the batch-built existing-corpus index
+    reproduces llm_dedup_incremental exactly: same exact-dup flags, same
+    verified near-match counts and best matches."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        INCR_MOD,
+        _capped_bands,
+        _doc_tokens,
+        _minhash_bands,
+        llm_dedup_incremental,
+    )
+
+    hexpos = (
+        "instr('0123456789abcdef', "
+        "substr(md5(cast(text as binary)), {}, 1))"
+    )
+    is_in = F.expr(
+        f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
+        f" % {INCR_MOD} = 0"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    existing = docs.where(~is_in)
+    existing_hashes = existing.select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        F.col("doc_id").alias("doc_ex"),
+    )
+    tok = _doc_tokens(spark, sf_dir)
+    in_ids = docs.where(is_in).select("doc_id")
+    ex_toks = existing.select(
+        F.col("doc_id").alias("doc_ex"),
+        F.array_distinct(F.split("text", " ")).alias("toks_ex"),
+    ).withColumn("n_ex", F.size("toks_ex"))
+    existing_index = (
+        _capped_bands(_minhash_bands(tok))
+        .join(in_ids, "doc_id", "left_anti")
+        .withColumnRenamed("doc_id", "doc_ex")
+        .join(ex_toks, "doc_ex")
+    )
+
+    sdf = twins.docs_stream(spark, docs_stream_src).where(is_in)
+    out = twins.run_stream_to_table(
+        twins.twin_dedup_incremental(sdf, existing_hashes, existing_index),
+        "t_incr",
+        ckpt,
+    ).collect()
+
+    got: dict[int, dict] = {}
+    for r in out:
+        g = got.setdefault(
+            r["doc_id"], {"exact": False, "near": set()}
+        )
+        if r["match_type"] == "exact":
+            g["exact"] = True
+        else:
+            g["near"].add(r["doc_ex"])
+            assert r["jaccard"] >= 0.95
+    batch = llm_dedup_incremental(spark, sf_dir).collect()
+    assert len(batch) > 0
+    some_near = False
+    for b in batch:
+        g = got.get(b["doc_id"], {"exact": False, "near": set()})
+        assert g["exact"] == bool(b["is_exact_dup"]), b["doc_id"]
+        assert len(g["near"]) == b["n_near"], b["doc_id"]
+        if b["n_near"] > 0:
+            some_near = True
+            assert min(g["near"]) == b["best_near"]
+    assert some_near, "fixture must exercise the near path"
