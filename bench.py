@@ -135,6 +135,7 @@ BEYOND_BASELINE = {
     "llm_zipf",
     "llm_dsir",
     "llm_backoff_lm",
+    "llm_ann_pq",
 }
 
 

@@ -452,3 +452,157 @@ def llm_ann_ivf_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOPK)
         .select("probe_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim)
+PQ_CODES = 8  # codes per subspace codebook (seeded from lowest vec_ids)
+
+
+def _pq_oracle() -> str:
+    dim = PQ_M * PQ_SUBDIM
+    assign = """, d{o} AS (
+  SELECT x.vec_id, x.m, c.code, SUM((x.v - c.c) * (x.v - c.c)) AS d2
+  FROM x JOIN {cb} c ON x.pos = c.pos
+  GROUP BY x.vec_id, x.m, c.code
+), a{o} AS (
+  SELECT vec_id, m, MIN(code) AS code
+  FROM (SELECT vec_id, m, code, d2,
+               MIN(d2) OVER (PARTITION BY vec_id, m) AS md
+        FROM d{o})
+  WHERE d2 = md GROUP BY vec_id, m
+)"""
+    return (
+        f"""
+WITH x AS (
+  SELECT vec_id, i - 1 AS pos, (i - 1) // {PQ_SUBDIM} AS m,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings, range(1, {dim + 1}) t(i)
+), c0 AS (
+  SELECT vec_id AS code, m, pos, v AS c FROM x WHERE vec_id < {PQ_CODES}
+)"""
+        + assign.format(o=1, cb="c0")
+        + """, c1 AS (
+  SELECT a.m, a.code, x.pos,
+         CAST(floor(CAST(SUM(x.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM x JOIN a1 a ON x.vec_id = a.vec_id AND x.m = a.m
+  GROUP BY a.m, a.code, x.pos
+)"""
+        + assign.format(o=2, cb="c1")
+        + f""", lut AS (
+  SELECT x.vec_id AS probe_id, c.m, c.code,
+         SUM((x.v - c.c) * (x.v - c.c)) AS ld2
+  FROM x JOIN c1 c ON x.pos = c.pos
+  WHERE x.vec_id < {N_PROBES}
+  GROUP BY x.vec_id, c.m, c.code
+), adc AS (
+  SELECT l.probe_id, e.vec_id AS neighbor_id,
+         CAST(SUM(l.ld2) AS BIGINT) AS adc_d2
+  FROM a2 e JOIN lut l ON e.m = l.m AND e.code = l.code
+  WHERE e.vec_id <> l.probe_id
+  GROUP BY l.probe_id, e.vec_id
+), ranked AS (
+  SELECT probe_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY adc_d2, neighbor_id) AS rnk
+  FROM adc
+)
+SELECT probe_id, neighbor_id, adc_d2, rnk FROM ranked WHERE rnk <= {TOPK}
+"""
+    )
+
+
+def _pq_assign(x: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-subspace nearest code: exact integer squared-L2, ties to the
+    lowest code (min over (d2, code) structs — the kmeans convention)."""
+    d = (
+        x.join(F.broadcast(cent), ["m", "pos"])
+        .groupBy("vec_id", "m", "code")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    return (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"))
+    )
+
+
+@register(
+    "llm_ann_pq",
+    tier="T3",
+    doc=f"Product-quantization ANN (Jégou et al. 2011, public paper — "
+    f"the 100 TB memory story: {PQ_M} one-byte codes replace "
+    f"{PQ_M * PQ_SUBDIM} floats per vector, a 32× compression).  "
+    f"{PQ_M} subspaces × {PQ_CODES}-code codebooks trained with the "
+    "seeded-init + one-Lloyd-round recipe of llm_kmeans in exact "
+    "integer 1e6-pinned space; corpus vectors encode to (m, code) "
+    "rows; probes score via asymmetric distance — a bounded "
+    f"{N_PROBES}×{PQ_M}×{PQ_CODES} lookup table of partial squared "
+    "distances broadcast onto the code-keyed corpus, summed per "
+    "(probe, vector), top-10 per probe.  Everything is integer "
+    "arithmetic; the oracle unrolls the identical train/encode/LUT "
+    "chain.  Scale shape: training touches the corpus twice "
+    "(assign + update), encoding once; the serving join never reads "
+    "raw vectors — only the 8-row-per-vector code table.",
+    oracle=_pq_oracle(),
+)
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = PQ_M * PQ_SUBDIM
+    x = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .where(F.col("pos") < dim)
+        .select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            (F.col("pos").cast("bigint") / PQ_SUBDIM)
+            .cast("bigint")
+            .alias("m"),
+            F.floor(F.col("val").cast("double") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .persist()
+    )
+    c0 = x.where(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("code"), "m", "pos", F.col("v").alias("c")
+    )
+    a1 = _pq_assign(x, c0)
+    c1 = (
+        x.join(a1, ["vec_id", "m"])
+        .groupBy("m", "code", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    enc = _pq_assign(x, c1)
+    lut = (
+        x.where(F.col("vec_id") < N_PROBES)
+        .withColumnRenamed("vec_id", "probe_id")
+        .join(F.broadcast(c1), ["m", "pos"])
+        .groupBy("probe_id", "m", "code")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            ).alias("ld2")
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPK)
+        .select("probe_id", "neighbor_id", "adc_d2", "rnk")
+    )

@@ -57,6 +57,7 @@ ALLOWED_NESTED_LOOP = {
     "llm_zipf",  # 1-row fit-sums broadcast × 1-row corpus-scalars frame
     "llm_dsir",  # 1-row feature-totals broadcast × 256-bucket LM table
     "llm_backoff_lm",  # 1-row corpus-total broadcast × scored pair stream
+    "llm_ann_pq",  # bounded 5×8×8 LUT / 64-row codebook broadcasts
 }
 
 

@@ -63,3 +63,45 @@ def test_semdedup_dropped_are_nearer_centroid_than_cluster_mean(
             d2s = sums[r.cluster_id]
             mean = sum(d2s) / len(d2s)
             assert r.dist2 < mean * C.SEMDEDUP_TAU_1E4 / 10_000
+
+
+def test_ann_pq_shape_and_recall(spark, sf_dir):
+    """PQ-ADC laws: 10 ranked rows per probe, self excluded, rank order
+    monotone in ADC distance — and the quantized top-10 must recover a
+    meaningful share of the EXACT integer-L2 top-10 (numpy ground
+    truth), or the codebooks learned nothing."""
+    import numpy as np
+
+    from scala_reactivex_spark.operators.llm_similarity import (
+        N_PROBES,
+        TOPK,
+        llm_ann_pq,
+    )
+
+    rows = llm_ann_pq(spark, sf_dir).collect()
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["probe_id"]
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == set(range(N_PROBES))
+    for p, rs in by_probe.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, TOPK + 1))
+        d = [r["adc_d2"] for r in rs]
+        assert d == sorted(d) and d[0] >= 0
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    v = np.array(
+        [np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6 + 0.5)
+         for r in sorted(emb, key=lambda r: r["vec_id"])]
+    )
+    ids = np.array(sorted(r["vec_id"] for r in emb))
+    hits = total = 0
+    for p in range(N_PROBES):
+        d2 = ((v - v[p]) ** 2).sum(axis=1)
+        d2[p] = np.inf
+        exact = set(ids[np.lexsort((ids, d2))][:TOPK])
+        got = {r["neighbor_id"] for r in by_probe[p]}
+        hits += len(exact & got)
+        total += TOPK
+    assert hits / total >= 0.3, f"PQ recall@10 too low: {hits}/{total}"
