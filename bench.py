@@ -136,6 +136,7 @@ BEYOND_BASELINE = {
     "llm_dsir",
     "llm_backoff_lm",
     "llm_ann_pq",
+    "rel_retention",
 }
 
 

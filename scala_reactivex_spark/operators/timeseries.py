@@ -331,3 +331,66 @@ def rel_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.join(users, "skew_key").select(
         "skew_key", "n_events", "total_value", "n_users"
     )
+
+
+WEEK_MS = 7 * 86_400_000
+
+
+@register(
+    "rel_retention",
+    tier="T2",
+    doc="Weekly cohort retention — the classic growth-analytics matrix: "
+    "cohort = a user's first active epoch-week, and each (cohort, age) "
+    "cell counts users active age weeks later, with the retention share "
+    "in integer 1e4 units.  Scale shape: one distinct (user, week) "
+    "aggregate over the fact table, a per-user min that reuses the user "
+    "key, and a bounded weeks² output joined to bounded cohort sizes — "
+    "no self-join of the raw fact, no window over the corpus.",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, epoch_ms(ts) // {WEEK_MS} AS wk
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, min(wk) AS cw FROM u GROUP BY user_id
+), a AS (
+  SELECT c.cw AS cohort_week, u.wk - c.cw AS age_weeks,
+         count(*) AS n_active
+  FROM u JOIN c USING (user_id) GROUP BY 1, 2
+), s AS (
+  SELECT cw AS cohort_week, count(*) AS cohort_size FROM c GROUP BY 1
+)
+SELECT a.cohort_week, a.age_weeks,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.n_active * 10000 // s.cohort_size AS BIGINT)
+         AS retention_1e4
+FROM a JOIN s USING (cohort_week)
+""",
+)
+def rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.expr(f"ms DIV {WEEK_MS}").alias("wk"))
+        .distinct()
+    )
+    c = u.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    a = (
+        u.join(c, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).alias("age_weeks"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+    )
+    s = c.groupBy(F.col("cw").alias("cohort_week")).agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return a.join(s, "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        "n_active",
+        "cohort_size",
+        F.expr("CAST(n_active * 10000 DIV cohort_size AS BIGINT)").alias(
+            "retention_1e4"
+        ),
+    )

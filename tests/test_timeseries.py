@@ -174,3 +174,28 @@ def test_q3_topk_is_maximal(spark, sf_dir):
         for r in full.orderBy(F.col("revenue").desc()).limit(10).collect()
     ]
     assert got == top
+
+
+def test_retention_matrix_laws(spark, sf_dir):
+    """Cohort-retention invariants: age-0 retention is 100% (a cohort is
+    by definition active in its first week), every cell is bounded by
+    its cohort size, and cohort sizes sum to the distinct-user count."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.timeseries import rel_retention
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = rel_retention(spark, sf_dir).collect()
+    assert rows
+    sizes = {}
+    for r in rows:
+        assert 0 <= r["n_active"] <= r["cohort_size"]
+        assert 0 <= r["retention_1e4"] <= 10000
+        if r["age_weeks"] == 0:
+            assert r["n_active"] == r["cohort_size"]
+            assert r["retention_1e4"] == 10000
+        sizes[r["cohort_week"]] = r["cohort_size"]
+    n_users = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(sizes.values()) == n_users
