@@ -137,6 +137,7 @@ BEYOND_BASELINE = {
     "llm_backoff_lm",
     "llm_ann_pq",
     "rel_retention",
+    "llm_multimodal_phash",
 }
 
 

@@ -246,3 +246,132 @@ def llm_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sampled",
         F.md5("sampled").alias("sample_md5"),
     )
+
+
+PHASH_BITS = 32
+PHASH_BANDS = 8  # 8 × 4-bit bands
+PHASH_HAM_T = 5  # report pairs with Hamming distance <= 5
+PHASH_BUCKET_CAP = 256  # hot-bucket guard, as in the MinHash LSH path
+_PHASH_BAND_DIVS = [16 ** j for j in range(8)]
+
+#: dHash bit k compares the payload bytes at two sampled positions —
+#: 1 + floor(k·(L-1)/32) and the next sample — exactly the
+#: difference-hash an image pipeline computes on downsampled pixels,
+#: here on the stub payload bytes (ASCII fixture: Spark ascii ≡ DuckDB
+#: ord, asserted in tests/test_multimodal.py).
+_PHASH_SPARK = (
+    "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, k) -> acc * 2 + "
+    "IF(ascii(substring(text, 1 + (k * (length(text) - 1)) DIV 32, 1)) > "
+    "ascii(substring(text, 1 + ((k + 1) * (length(text) - 1)) DIV 32, 1)),"
+    " CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+)
+
+_PHASH_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "range(0, 32), k -> CASE WHEN "
+    "ord(substring(text, 1 + (k * (length(text) - 1)) // 32, 1)) > "
+    "ord(substring(text, 1 + ((k + 1) * (length(text) - 1)) // 32, 1)) "
+    "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+    "(acc, b) -> acc * 2 + b)"
+)
+
+
+@register(
+    "llm_multimodal_phash",
+    tier="T3",
+    doc=f"Perceptual-hash near-dup for the multimodal binary column: a "
+    f"{PHASH_BITS}-bit dHash (difference hash — the standard image "
+    "near-dup fingerprint) over evenly sampled payload bytes, then "
+    f"banded Hamming LSH ({PHASH_BANDS} × 4-bit bands, equi-join on the "
+    "band value) and exact Hamming verification at distance <= "
+    f"{PHASH_HAM_T}.  By pigeonhole, <= {PHASH_HAM_T} differing bits "
+    f"can touch at most {PHASH_HAM_T} of {PHASH_BANDS} bands, so one "
+    "band always matches: the LSH candidate set has FULL recall at the "
+    "threshold (pytest-asserted against brute force), unlike "
+    "probabilistic MinHash banding.  Buckets over "
+    f"{PHASH_BUCKET_CAP} entries are skipped in both engines (hot-"
+    "bucket cap).  Scale shape: per-row hash (zero shuffle), band "
+    "equi-join candidates, verify on candidates only; production "
+    "widens to 64-bit hashes with 16-bit bands — same plan.",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, {_PHASH_DUCK} AS ph
+  FROM documents WHERE length(text) >= 2
+), bands AS (
+  SELECT doc_id, b.j AS band, (h.ph // b.d) % 16 AS bval
+  FROM h CROSS JOIN (VALUES {', '.join(f'({j}, {d})'
+      for j, d in enumerate(_PHASH_BAND_DIVS))}) b(j, d)
+), bsz AS (
+  SELECT band, bval, count(*) AS c FROM bands GROUP BY band, bval
+), kept AS (
+  SELECT bands.doc_id, bands.band, bands.bval
+  FROM bands JOIN bsz
+    ON bands.band = bsz.band AND bands.bval = bsz.bval
+  WHERE bsz.c <= {PHASH_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(ha.ph, hb.ph)) AS INT) AS hamming
+FROM cand c
+JOIN h ha ON c.doc_a = ha.doc_id
+JOIN h hb ON c.doc_b = hb.doc_id
+WHERE bit_count(xor(ha.ph, hb.ph)) <= {PHASH_HAM_T}
+""",
+)
+def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 2)
+        .select("doc_id", F.expr(_PHASH_SPARK).alias("ph"))
+    )
+    bands = h.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        ((F.col("ph") / d).cast("bigint") % 16).alias(
+                            "bval"
+                        ),
+                    )
+                    for j, d in enumerate(_PHASH_BAND_DIVS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bval")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bval")
+    kept = (
+        bands.withColumn("c", F.count("*").over(w))
+        .where(F.col("c") <= PHASH_BUCKET_CAP)
+        .drop("c")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = h.select(F.col("doc_id").alias("doc_a"), F.col("ph").alias("pa"))
+    hb = h.select(F.col("doc_id").alias("doc_b"), F.col("ph").alias("pb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", F.expr("CAST(bit_count(pa ^ pb) AS INT)"))
+        .where(F.col("hamming") <= PHASH_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )

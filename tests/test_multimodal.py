@@ -97,3 +97,46 @@ def test_multimodal_resize_binary_roundtrip(spark, sf_dir):
     for doc_id, text in list(docs.items())[:25]:
         exp = hashlib.md5(text.encode()[::2]).hexdigest()
         assert out[doc_id] == exp
+
+
+def test_phash_full_recall_at_threshold(spark, sf_dir):
+    """Pigeonhole law: with 8 bands and threshold 5 < 8, every pair
+    within Hamming distance 5 shares at least one band — so the LSH
+    output must EQUAL the brute-force pair set (the cap never triggers
+    at this SF, asserted)."""
+    import itertools
+
+    from scala_reactivex_spark.operators.llm_multimodal import (
+        PHASH_BUCKET_CAP,
+        PHASH_HAM_T,
+        _PHASH_SPARK,
+        llm_multimodal_phash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        "length(text) >= 2"
+    )
+    hs = {
+        r["doc_id"]: r["ph"]
+        for r in docs.selectExpr(
+            "doc_id", f"{_PHASH_SPARK} AS ph"
+        ).collect()
+    }
+    brute = {
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hs), 2)
+        if bin(hs[a] ^ hs[b]).count("1") <= PHASH_HAM_T
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in llm_multimodal_phash(spark, sf_dir).collect()
+    }
+    assert got == brute and brute, "LSH must have full recall here"
+    # Cap headroom: no (band, value) bucket is hot at this SF.
+    from collections import Counter
+
+    c = Counter()
+    for ph in hs.values():
+        for j in range(8):
+            c[(j, (ph >> (4 * j)) & 15)] += 1
+    assert max(c.values()) <= PHASH_BUCKET_CAP
