@@ -36,6 +36,7 @@ EXCLUDE = {
     "llm_dedup_shingle",
     "llm_dedup_cluster",  # builds on the all-pairs near-dup baseline
     "llm_dedup_containment",  # same all-pairs inverted-index baseline
+    "llm_dedup_recall",  # composes the all-pairs baseline (its numerator)
 }
 
 # Queries registered AFTER the BASELINE.md pin (round 1, 72-query suite).
@@ -138,6 +139,9 @@ BEYOND_BASELINE = {
     "llm_ann_pq",
     "rel_retention",
     "llm_multimodal_phash",
+    "llm_compaction_plan",
+    "llm_soft_sample",
+    "llm_pmi",
 }
 
 

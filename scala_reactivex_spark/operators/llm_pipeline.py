@@ -997,3 +997,157 @@ def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("dsir_1e6", F.lit(0)) > 0).cast("int").alias("keep"),
         )
     )
+
+
+COMPACT_TARGET = 2_048  # target output-file bytes (fixture-scaled)
+
+
+@register(
+    "llm_compaction_plan",
+    tier="T3",
+    doc="Small-file compaction planning — the table-maintenance OPTIMIZE "
+    "step every 100 TB lakehouse runs: input fragments (one per "
+    f"(shard, source), sized by payload bytes) greedily bin-pack into "
+    f"~{COMPACT_TARGET}-byte output files via START-OFFSET binning "
+    "(out_file = floor(start_offset / target) within each shard — one "
+    "partitioned cumulative window, fully deterministic, no driver "
+    "loop).  Emits per planned output file: input count, byte total and "
+    "fill ratio vs target (1e4).  Scale shape: fragment stats are one "
+    "hash aggregate; the window partitions per shard over "
+    "fragment-count rows (bounded by shards × sources), never docs.",
+    oracle=f"""
+WITH frag AS (
+  SELECT ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+          + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+         % {N_SHARDS} AS shard,
+         source,
+         CAST(sum(n_chars) AS BIGINT) AS bytes,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+), offs AS (
+  SELECT shard, source, bytes, n_docs,
+         coalesce(sum(bytes) OVER (PARTITION BY shard ORDER BY source
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS start_off
+  FROM frag
+)
+SELECT shard,
+       CAST(start_off // {COMPACT_TARGET} AS BIGINT) AS out_file,
+       CAST(count(*) AS BIGINT) AS n_inputs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       CAST(sum(bytes) * 10000 // {COMPACT_TARGET} AS BIGINT)
+         AS fill_1e4
+FROM offs GROUP BY 1, 2
+""",
+)
+def llm_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hexpos = (
+        "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
+    )
+    shard = F.expr(
+        f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
+        f" % {N_SHARDS}"
+    )
+    frag = (
+        table(spark, sf_dir, "documents")
+        .select(shard.alias("shard"), "source", "n_chars")
+        .groupBy("shard", "source")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = frag.withColumn(
+        "start_off", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+    return offs.groupBy(
+        "shard",
+        F.expr(f"CAST(start_off DIV {COMPACT_TARGET} AS BIGINT)").alias(
+            "out_file"
+        ),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_inputs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.expr(
+            f"CAST(sum(bytes) * 10000 DIV {COMPACT_TARGET} AS BIGINT)"
+        ).alias("fill_1e4"),
+    )
+
+
+SOFT_SAMPLE_RES = 65_536  # 16-bit content-hash uniform resolution
+
+
+@register(
+    "llm_soft_sample",
+    tier="T3",
+    doc="Quality-weighted (soft) sampling — SoftDeDup-style data "
+    "reweighting realized as a deterministic keep decision: each doc "
+    "draws a reproducible uniform u from 4 content-hash nibbles "
+    f"(16-bit resolution) and survives iff u < quality (both sides "
+    "lifted to exact 65536ths; quality is llm_quality_score's 4-dp "
+    "pinned score, so the comparison is pure integer).  Identical "
+    "membership on any cluster size or engine — the sampling twin of "
+    "llm_doc_split's hash routing, with a per-doc acceptance "
+    "probability instead of fixed split shares.  Scale shape: one "
+    "projection, zero shuffles, zero state.",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text,
+         ROUND(CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                    THEN 1.0 ELSE 0.5 END
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the', 'a'))) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+               * (CAST(len(list_distinct(string_split(text, ' ')))
+                       AS DOUBLE) / len(string_split(text, ' '))), 4)
+           AS quality
+  FROM documents
+), u AS (
+  SELECT doc_id, quality,
+         ((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 4096
+          + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) * 256
+          + (instr('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16
+          + instr('0123456789abcdef', substr(md5(text), 6, 1)) - 1)
+           AS u16
+  FROM q
+)
+SELECT doc_id, quality, CAST(u16 AS BIGINT) AS u16,
+       CAST(u16 < CAST(floor(quality * {SOFT_SAMPLE_RES} + 0.5)
+                       AS BIGINT) AS INT) AS keep
+FROM u
+""",
+)
+def llm_soft_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.operators.llm_text import llm_quality_score
+
+    hexpos = (
+        "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
+    )
+    u16 = F.expr(
+        f"(({hexpos.format(3)} - 1) * 4096 + ({hexpos.format(4)} - 1) * 256"
+        f" + ({hexpos.format(5)} - 1) * 16 + {hexpos.format(6)} - 1)"
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", u16.alias("u16")
+    )
+    q = llm_quality_score(spark, sf_dir).select("doc_id", "quality")
+    return docs.join(q, "doc_id").select(
+        "doc_id",
+        "quality",
+        F.col("u16").cast("bigint").alias("u16"),
+        (
+            F.col("u16")
+            < F.floor(
+                F.col("quality") * SOFT_SAMPLE_RES + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("int")
+        .alias("keep"),
+    )

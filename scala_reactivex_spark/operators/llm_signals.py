@@ -1001,3 +1001,97 @@ def llm_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(lp).cast("bigint").alias("logp_sum_1e6"),
         )
     )
+
+
+PMI_MIN_COUNT = 5  # collocation support floor
+PMI_TOPK = 40
+
+
+@register(
+    "llm_pmi",
+    tier="T3",
+    doc="Collocation mining via pointwise mutual information: for every "
+    f"adjacent token pair with support >= {PMI_MIN_COUNT}, "
+    "pmi = log10(P(w1,w2) / (P(w1)·P(w2))) pinned to integer 1e6 units "
+    "on operand-order-identical doubles; the top "
+    f"{PMI_TOPK} pairs by (pmi DESC, pair) — the phrase-detection / "
+    "tokenizer-merge-candidate signal (word2vec's phrase pass).  Scale "
+    "shape: two frequency aggregates over one corpus pass; the scored "
+    "pair table is vocabulary²-bounded; ORDER BY + LIMIT compiles to "
+    "TakeOrderedAndProject (no global sort); corpus totals ride a "
+    "1-row broadcast.",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i])) AS b1,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i + 1])) AS b2
+  FROM w
+), bgfreq AS (
+  SELECT b1, b2, count(*) AS c2 FROM bg GROUP BY b1, b2
+), tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), uni AS (
+  SELECT t, count(*) AS cu FROM tok GROUP BY t
+), tots AS (
+  SELECT (SELECT count(*) FROM bg) AS nb,
+         (SELECT count(*) FROM tok) AS nt
+)
+SELECT f.b1, f.b2, CAST(f.c2 AS BIGINT) AS c2,
+       CAST(floor(log10((CAST(f.c2 AS DOUBLE) / nb)
+                        / ((CAST(u1.cu AS DOUBLE) / nt)
+                           * (CAST(u2.cu AS DOUBLE) / nt)))
+                  * 1000000 + 0.5) AS BIGINT) AS pmi_1e6
+FROM bgfreq f
+JOIN uni u1 ON f.b1 = u1.t
+JOIN uni u2 ON f.b2 = u2.t
+CROSS JOIN tots
+WHERE f.c2 >= {PMI_MIN_COUNT}
+ORDER BY pmi_1e6 DESC, f.b1, f.b2
+LIMIT {PMI_TOPK}
+""",
+)
+def llm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("words")).where(
+        F.size("words") >= 2
+    )
+    bg = w.select(F.explode(F.expr(BIGRAM_PAIR_EXPR)).alias("bb")).select(
+        "bb.b1", "bb.b2"
+    )
+    bgfreq = bg.groupBy("b1", "b2").agg(F.count("*").alias("c2"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    uni = tok.groupBy("t").agg(F.count("*").alias("cu"))
+    tots = bg.agg(F.count("*").alias("nb")).crossJoin(
+        tok.agg(F.count("*").alias("nt"))
+    )
+    u1 = uni.select(F.col("t").alias("b1"), F.col("cu").alias("cu1"))
+    u2 = uni.select(F.col("t").alias("b2"), F.col("cu").alias("cu2"))
+    pmi = F.floor(
+        F.log10(
+            (F.col("c2").cast("double") / F.col("nb"))
+            / (
+                (F.col("cu1").cast("double") / F.col("nt"))
+                * (F.col("cu2").cast("double") / F.col("nt"))
+            )
+        )
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        bgfreq.where(F.col("c2") >= PMI_MIN_COUNT)
+        .join(u1, "b1")
+        .join(u2, "b2")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b1",
+            "b2",
+            F.col("c2").cast("bigint").alias("c2"),
+            pmi.alias("pmi_1e6"),
+        )
+        .orderBy(F.col("pmi_1e6").desc(), "b1", "b2")
+        .limit(PMI_TOPK)
+    )

@@ -208,3 +208,75 @@ def test_dsir_directional_and_feature_count(spark, sf_dir):
            if r["lang"] != DSIR_TARGET_LANG]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_compaction_plan_conserves_and_fills(spark, sf_dir):
+    """The plan must conserve docs and bytes exactly (it is a regrouping,
+    not a filter), and every planned file has at least one input."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        llm_compaction_plan,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = llm_compaction_plan(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("b")
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == tot["n"]
+    assert sum(r["bytes"] for r in rows) == tot["b"]
+    assert all(r["n_inputs"] >= 1 and r["fill_1e4"] > 0 for r in rows)
+    assert len({(r["shard"], r["out_file"]) for r in rows}) == len(rows)
+
+
+def test_soft_sample_is_quality_monotone(spark, sf_dir):
+    """keep must equal the integer comparison by construction, and kept
+    docs must average higher quality than dropped ones (the operator's
+    purpose); acceptance rate sits strictly inside (0, 1)."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        SOFT_SAMPLE_RES,
+        llm_soft_sample,
+    )
+
+    rows = llm_soft_sample(spark, sf_dir).collect()
+    kept = [r for r in rows if r["keep"]]
+    dropped = [r for r in rows if not r["keep"]]
+    assert kept and dropped
+    for r in rows:
+        import math
+
+        thr = math.floor(r["quality"] * SOFT_SAMPLE_RES + 0.5)
+        assert r["keep"] == int(r["u16"] < thr)
+        assert 0 <= r["u16"] < SOFT_SAMPLE_RES
+    avg = lambda xs: sum(x["quality"] for x in xs) / len(xs)  # noqa: E731
+    assert avg(kept) > avg(dropped)
+
+
+def test_pmi_support_and_order(spark, sf_dir):
+    """Exactly PMI_TOPK rows, every pair meets the support floor, and
+    the emitted order key (pmi DESC, pair) is a total order."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        PMI_MIN_COUNT,
+        PMI_TOPK,
+        llm_pmi,
+    )
+
+    rows = llm_pmi(spark, sf_dir).collect()
+    assert len(rows) == PMI_TOPK
+    assert all(r["c2"] >= PMI_MIN_COUNT for r in rows)
+    keys = [(-r["pmi_1e6"], r["b1"], r["b2"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_dedup_recall_precision_one(spark, sf_dir):
+    """LSH pairs are exact-verified, so the intersection with the
+    all-pairs baseline must be the whole LSH set (precision 1), and the
+    recall ratio must be arithmetically consistent."""
+    from scala_reactivex_spark.operators.llm_dedup import llm_dedup_recall
+
+    r = llm_dedup_recall(spark, sf_dir).collect()[0]
+    assert r["n_common"] == r["n_lsh"] <= r["n_exact"]
+    assert r["recall_1e4"] == r["n_common"] * 10000 // r["n_exact"]
+    assert r["n_exact"] > 0
