@@ -114,9 +114,13 @@ def llm_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.src", "e.dst")
         .where(F.col("src") != F.col("dst"))
     )
+    # Dedup the directed pair stream BEFORE mirroring it: the distinct
+    # runs on the corpus-sized stream once, and the union then doubles
+    # only the vocab-bounded edge set.
+    fwd = adj.distinct()
     edges = (
-        adj.union(
-            adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .persist()
