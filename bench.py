@@ -142,6 +142,8 @@ BEYOND_BASELINE = {
     "llm_compaction_plan",
     "llm_soft_sample",
     "llm_pmi",
+    "rel_mad_outliers",
+    "llm_crossdup_sources",
 }
 
 

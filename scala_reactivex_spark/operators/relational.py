@@ -1353,3 +1353,77 @@ def rel_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
+
+
+@register(
+    "rel_mad_outliers",
+    tier="T2",
+    doc="Robust outlier detection via median absolute deviation: per "
+    "event type, med = discrete median of value, mad = discrete median "
+    "of |value - med|, and the count of events beyond 3·MAD — the "
+    "robust-statistics alternative to z-scores that a monitoring "
+    "pipeline runs on skewed metrics.  percentile_disc picks an actual "
+    "data value (engine-stable, no interpolation); |x - med| and the "
+    "3·MAD comparison are identical IEEE ops on identical doubles.  "
+    "Scale shape: two grouped exact-percentile passes + one counting "
+    "pass, all keyed on the bounded event_type; the per-type medians "
+    "ride a broadcast join back.",
+    oracle="""
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type,
+         quantile_disc(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(max(m.med), 4) AS med,
+       ROUND(max(d.mad), 4) AS mad,
+       CAST(count(*) FILTER (WHERE abs(e.value - m.med) > 3 * d.mad)
+            AS BIGINT) AS n_outliers
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+GROUP BY e.event_type
+""",
+)
+def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "med"
+        )
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("ad")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)"
+            ).alias("mad")
+        )
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * F.col("mad"),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

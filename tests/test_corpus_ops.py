@@ -280,3 +280,32 @@ def test_dedup_recall_precision_one(spark, sf_dir):
     assert r["n_common"] == r["n_lsh"] <= r["n_exact"]
     assert r["recall_1e4"] == r["n_common"] * 10000 // r["n_exact"]
     assert r["n_exact"] > 0
+
+
+def test_mad_outliers_laws(spark, sf_dir):
+    """MAD is non-negative and bounded by the value spread; outliers are
+    a strict minority under the 3·MAD rule; type counts partition the
+    fact table."""
+    from scala_reactivex_spark.operators.relational import rel_mad_outliers
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = rel_mad_outliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mad"] >= 0
+        assert 0 <= r["n_outliers"] < r["n"]
+    total = table(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == total
+
+
+def test_crossdup_sources_partitions_pairs(spark, sf_dir):
+    """Every MinHash pair lands in exactly one unordered source cell."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        llm_crossdup_sources,
+        llm_dedup_minhash,
+    )
+
+    cells = llm_crossdup_sources(spark, sf_dir).collect()
+    n_pairs = llm_dedup_minhash(spark, sf_dir).count()
+    assert sum(c["n_pairs"] for c in cells) == n_pairs > 0
+    assert all(c["source_a"] <= c["source_b"] for c in cells)
