@@ -144,6 +144,7 @@ BEYOND_BASELINE = {
     "llm_pmi",
     "rel_mad_outliers",
     "llm_crossdup_sources",
+    "src_zonemap_profile",
 }
 
 

@@ -209,3 +209,51 @@ def src_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+ZONE_CHUNK = 1_000  # simulated row-group size (write-order event_id ranges)
+ZONE_PRED_VALUE = 450.0  # the skipping probe: value >= this
+
+
+@register(
+    "src_zonemap_profile",
+    tier="T2",
+    doc="Zone-map / data-skipping profile — the layout-quality check "
+    "behind every 100 TB scan plan: events chunk into write-order "
+    f"row groups of {ZONE_CHUNK} ids, and each chunk reports its "
+    "min/max timestamp and value envelope plus whether a "
+    f"value >= {ZONE_PRED_VALUE} probe could SKIP it entirely "
+    "(max < predicate ⇒ the reader never opens the chunk).  The "
+    "share of skippable chunks is the measurable benefit of "
+    "sort-on-write clustering; a shuffled layout drives it to zero. "
+    " Scale shape: one hash aggregate keyed on the chunk id — the "
+    "same stats a parquet footer stores, derived relationally.",
+    oracle=f"""
+SELECT event_id // {ZONE_CHUNK} AS chunk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ms,
+       CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ms,
+       ROUND(min(value), 4) AS min_value,
+       ROUND(max(value), 4) AS max_value,
+       CAST(max(value) < {ZONE_PRED_VALUE} AS INT) AS skippable
+FROM events
+GROUP BY 1
+""",
+)
+def src_zonemap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(f"event_id DIV {ZONE_CHUNK}").alias("chunk")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("ms").cast("bigint").alias("min_ms"),
+            F.max("ms").cast("bigint").alias("max_ms"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            (F.max("value") < ZONE_PRED_VALUE).cast("int").alias(
+                "skippable"
+            ),
+        )
+    )

@@ -97,6 +97,9 @@ def bm25_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         train_tok.groupBy("doc_id", "tok")
         .agg(F.count("*").cast("bigint").alias("tf"))
+        # Three consumers (df, dl, the contrib join) — persist so the
+        # split + explode + (doc, tok) aggregate runs one corpus pass.
+        .persist()
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     df = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
