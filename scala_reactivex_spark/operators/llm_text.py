@@ -95,6 +95,29 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_col():
+    """The composite quality score as row-local Columns over ``text`` —
+    shared by the batch query and the streaming soft-sampling twin (a
+    pure projection, so it serves on a stream unchanged)."""
+    toks = F.split("text", " ")
+    n_tok = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")
+    ).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    length_band = F.when(
+        (n_tok >= 20) & (n_tok <= 80), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return (
+        F.round(n_stop / n_tok, 4),
+        F.round(n_uniq / n_tok, 4),
+        F.round(
+            length_band * (F.lit(1.0) - n_stop / n_tok) * (n_uniq / n_tok),
+            4,
+        ),
+    )
+
+
 @register(
     "llm_quality_score",
     tier="T3",
@@ -119,22 +142,12 @@ FROM x
 """,
 )
 def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = F.split("text", " ")
-    n_tok = F.size(toks).cast("double")
-    n_stop = F.size(
-        F.expr("filter(split(text, ' '), t -> t IN ('the', 'a'))")
-    ).cast("double")
-    n_uniq = F.size(F.array_distinct(toks)).cast("double")
-    length_band = F.when(
-        (n_tok >= 20) & (n_tok <= 80), F.lit(1.0)
-    ).otherwise(F.lit(0.5))
+    stop_ratio, diversity, quality = quality_col()
     return table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.round(n_stop / n_tok, 4).alias("stopword_ratio"),
-        F.round(n_uniq / n_tok, 4).alias("diversity"),
-        F.round(
-            length_band * (F.lit(1.0) - n_stop / n_tok) * (n_uniq / n_tok), 4
-        ).alias("quality"),
+        stop_ratio.alias("stopword_ratio"),
+        diversity.alias("diversity"),
+        quality.alias("quality"),
     )
 
 

@@ -1347,3 +1347,42 @@ def twin_dedup_incremental(
         )
     )
     return exact.unionByName(near)
+
+
+def twin_soft_sample(sdf: DataFrame) -> DataFrame:
+    """Streaming quality-weighted sampling [T3 — live twin of
+    llm_soft_sample]: the keep decision is a pure function of the
+    arriving document's own text (row-local quality score vs a
+    content-hash uniform), so the twin is a stateless append
+    projection — no state, no watermark, no shuffle: the filter a
+    100 TB ingest applies in-flight before anything lands."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        SOFT_SAMPLE_RES,
+    )
+    from scala_reactivex_spark.operators.llm_text import quality_col
+
+    hexpos = (
+        "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
+    )
+    u16 = F.expr(
+        f"(({hexpos.format(3)} - 1) * 4096 + ({hexpos.format(4)} - 1) * 256"
+        f" + ({hexpos.format(5)} - 1) * 16 + {hexpos.format(6)} - 1)"
+    )
+    _, _, quality = quality_col()
+    return sdf.select(
+        "doc_id",
+        quality.alias("quality"),
+        u16.cast("bigint").alias("u16"),
+    ).select(
+        "doc_id",
+        "quality",
+        "u16",
+        (
+            F.col("u16")
+            < F.floor(
+                F.col("quality") * SOFT_SAMPLE_RES + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("int")
+        .alias("keep"),
+    )

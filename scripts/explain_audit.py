@@ -58,6 +58,8 @@ ALLOWED_NESTED_LOOP = {
     "llm_dsir",  # 1-row feature-totals broadcast × 256-bucket LM table
     "llm_backoff_lm",  # 1-row corpus-total broadcast × scored pair stream
     "llm_ann_pq",  # bounded 5×8×8 LUT / 64-row codebook broadcasts
+    "llm_dedup_recall",  # 1-row×1-row×1-row cross of three pair counts
+    "llm_pmi",  # 1-row corpus-totals broadcast × vocab²-bounded pairs
 }
 
 

@@ -569,3 +569,23 @@ def test_twin_dedup_incremental_equals_batch(
             some_near = True
             assert min(g["near"]) == b["best_near"]
     assert some_near, "fixture must exercise the near path"
+
+
+def test_twin_soft_sample_equals_batch(spark, sf_dir, docs_stream_src, ckpt):
+    """The stateless streaming projection reproduces the batch
+    quality-weighted sampling decision table exactly."""
+    from scala_reactivex_spark.operators.llm_pipeline import llm_soft_sample
+
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_soft_sample(sdf), "t_soft", ckpt
+    )
+    got = {
+        (r["doc_id"], r["quality"], r["u16"], r["keep"])
+        for r in out.collect()
+    }
+    want = {
+        (r["doc_id"], r["quality"], r["u16"], r["keep"])
+        for r in llm_soft_sample(spark, sf_dir).collect()
+    }
+    assert got == want
