@@ -145,6 +145,7 @@ BEYOND_BASELINE = {
     "rel_mad_outliers",
     "llm_crossdup_sources",
     "src_zonemap_profile",
+    "llm_corpus_diff",
 }
 
 

@@ -1164,3 +1164,82 @@ def llm_soft_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+@register(
+    "llm_corpus_diff",
+    tier="T3",
+    doc="Corpus snapshot diff — the dataset-versioning report (what a "
+    "Delta/Iceberg time-travel comparison renders): two deterministic "
+    "content-hash-routed corpus versions (v1 = md5 nibble 3 mod 3 != 0, "
+    "v2 = nibble 4 mod 3 != 0 — overlapping ~2/3 slices playing "
+    "yesterday's and today's snapshot) diff by DISTINCT content hash "
+    "within each source via a full outer join on (source, hash); per "
+    "source: sizes, added/removed/common hashes and churn share (1e4). "
+    " Scale shape: one distinct aggregate per version keyed on "
+    "(source, hash) — the same shuffle the diff join then reuses — and "
+    "a bounded per-source rollup.",
+    oracle="""
+WITH h AS (
+  SELECT source, md5(text) AS th,
+         (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)
+           % 3 <> 0 AS v1,
+         (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)
+           % 3 <> 0 AS v2
+  FROM documents
+), s1 AS (
+  SELECT DISTINCT source, th FROM h WHERE v1
+), s2 AS (
+  SELECT DISTINCT source, th FROM h WHERE v2
+), d AS (
+  SELECT coalesce(s1.source, s2.source) AS source,
+         s1.th IS NOT NULL AS in_v1,
+         s2.th IS NOT NULL AS in_v2
+  FROM s1 FULL OUTER JOIN s2
+    ON s1.source = s2.source AND s1.th = s2.th
+)
+SELECT source,
+       CAST(count(*) FILTER (WHERE in_v1) AS BIGINT) AS n_v1,
+       CAST(count(*) FILTER (WHERE in_v2) AS BIGINT) AS n_v2,
+       CAST(count(*) FILTER (WHERE in_v2 AND NOT in_v1) AS BIGINT)
+         AS n_added,
+       CAST(count(*) FILTER (WHERE in_v1 AND NOT in_v2) AS BIGINT)
+         AS n_removed,
+       CAST(count(*) FILTER (WHERE in_v1 AND in_v2) AS BIGINT)
+         AS n_common,
+       CAST(count(*) FILTER (WHERE NOT (in_v1 AND in_v2)) * 10000
+            // count(*) AS BIGINT) AS churn_1e4
+FROM d GROUP BY source
+""",
+)
+def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hexpos = (
+        "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
+    )
+    h = table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("th"),
+        F.expr(f"({hexpos.format(3)} - 1) % 3 != 0").alias("v1"),
+        F.expr(f"({hexpos.format(4)} - 1) % 3 != 0").alias("v2"),
+    )
+    s1 = h.where("v1").select("source", "th").distinct()
+    s2 = h.where("v2").select("source", "th").distinct()
+    d = s1.withColumn("in_v1", F.lit(True)).join(
+        s2.withColumn("in_v2", F.lit(True)),
+        ["source", "th"],
+        "full_outer",
+    )
+    in1 = F.coalesce("in_v1", F.lit(False))
+    in2 = F.coalesce("in_v2", F.lit(False))
+    return d.groupBy("source").agg(
+        F.count(F.when(in1, 1)).cast("bigint").alias("n_v1"),
+        F.count(F.when(in2, 1)).cast("bigint").alias("n_v2"),
+        F.count(F.when(in2 & ~in1, 1)).cast("bigint").alias("n_added"),
+        F.count(F.when(in1 & ~in2, 1)).cast("bigint").alias("n_removed"),
+        F.count(F.when(in1 & in2, 1)).cast("bigint").alias("n_common"),
+        F.expr(
+            "CAST(count(CASE WHEN NOT (coalesce(in_v1, false)"
+            " AND coalesce(in_v2, false)) THEN 1 END) * 10000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("churn_1e4"),
+    )

@@ -309,3 +309,22 @@ def test_crossdup_sources_partitions_pairs(spark, sf_dir):
     n_pairs = llm_dedup_minhash(spark, sf_dir).count()
     assert sum(c["n_pairs"] for c in cells) == n_pairs > 0
     assert all(c["source_a"] <= c["source_b"] for c in cells)
+
+
+def test_corpus_diff_set_algebra(spark, sf_dir):
+    """Diff counts must satisfy set algebra per source: v1 = common +
+    removed, v2 = common + added, churn consistent with cell totals."""
+    from scala_reactivex_spark.operators.llm_pipeline import llm_corpus_diff
+
+    rows = llm_corpus_diff(spark, sf_dir).collect()
+    assert rows
+    saw_change = False
+    for r in rows:
+        assert r["n_v1"] == r["n_common"] + r["n_removed"]
+        assert r["n_v2"] == r["n_common"] + r["n_added"]
+        cells = r["n_common"] + r["n_added"] + r["n_removed"]
+        assert r["churn_1e4"] == (
+            (r["n_added"] + r["n_removed"]) * 10000 // cells
+        )
+        saw_change = saw_change or r["n_added"] + r["n_removed"] > 0
+    assert saw_change
