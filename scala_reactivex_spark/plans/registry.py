@@ -136,8 +136,53 @@ _R345_GREEN = (
 _ROWS_ONLY_GRADED: tuple[str, ...] = ()
 
 
+def _externally_green() -> dict[str, int]:
+    """name → latest round with an all-match CORRECTNESS_r{N}.json row.
+
+    Reading the driver's own artifacts makes the rotation SELF-
+    MAINTAINING: a key that goes externally hash-green is banked
+    automatically next session, and a new/changed key (absent from every
+    artifact) floats to the front of the 50-slot window without anyone
+    editing a tuple (the round-4 verdict's stale-rotation defect class,
+    eliminated structurally)."""
+    import json
+    from pathlib import Path
+
+    out: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(str(p.stem).rsplit("_r", 1)[-1])
+            data = json.loads(p.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def _grade_order(names):
-    """Never-green-first ordering (stable within each group)."""
+    """Never-green-first ordering: keys with no external hash-green row
+    lead (they can improve their grade), banked greens follow newest
+    round first (they re-confirm while window slots remain).  Falls back
+    to the hardcoded round-1..5 tuples when no CORRECTNESS artifacts are
+    readable (e.g. a bare checkout)."""
+    green = _externally_green()
+    if green:
+        front = [n for n in names if n not in green]
+        back = sorted(
+            (n for n in names if n in green), key=lambda n: (-green[n], n)
+        )
+        return front + back
     rank = {}
     for group, base in (
         (_R345_GREEN, 500_000),

@@ -65,3 +65,28 @@ def test_every_query_documented_in_coverage():
     ).read_text()
     missing = [name for name in registry() if name not in text]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_grade_order_never_green_first():
+    """The rotation is self-maintaining: every key without an external
+    hash-green CORRECTNESS row precedes every banked key, banked keys
+    order newest-green-round first, and the order is deterministic."""
+    from scala_reactivex_spark.plans.registry import (
+        _externally_green,
+        registry,
+    )
+
+    order = list(registry())
+    green = _externally_green()
+    assert green, "driver artifacts present in this repo"
+    seen_banked = False
+    prev_round = None
+    for k in order:
+        if k in green:
+            seen_banked = True
+            r = green[k]
+            assert prev_round is None or r <= prev_round
+            prev_round = r
+        else:
+            assert not seen_banked, f"never-green {k} after a banked key"
+    assert order == list(registry()), "deterministic"
