@@ -146,6 +146,8 @@ BEYOND_BASELINE = {
     "llm_crossdup_sources",
     "src_zonemap_profile",
     "llm_corpus_diff",
+    "llm_mix_temperature",
+    "llm_hard_negatives",
 }
 
 

@@ -1243,3 +1243,65 @@ def llm_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*) AS BIGINT)"
         ).alias("churn_1e4"),
     )
+
+
+@register(
+    "llm_mix_temperature",
+    tier="T3",
+    doc="Temperature-weighted sampling shares (the multilingual "
+    "exponential-smoothing rule of mBERT/XLM-R, α=1/2): per source, "
+    "raw token share vs sqrt-damped share — the knob that keeps "
+    "low-resource sources from vanishing at 100 TB mix time.  "
+    "Determinism: sqrt(tokens) pins to integer 1e6 units PER SOURCE "
+    "before the normalizing sum, so the denominator is an exact "
+    "integer and every share is floor division — no float "
+    "accumulation across rows, ever.  Scale shape: one hash "
+    "aggregate to the bounded source key; the normalizer rides a "
+    "1-row broadcast.",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, tokens,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS w1e6
+  FROM t
+), s AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS tot,
+         CAST(sum(w1e6) AS BIGINT) AS wtot
+  FROM w
+)
+SELECT w.source, w.tokens,
+       CAST(w.tokens * 10000 // s.tot AS BIGINT) AS raw_share_1e4,
+       CAST(w.w1e6 * 10000 // s.wtot AS BIGINT) AS temp_share_1e4
+FROM w CROSS JOIN s
+""",
+)
+def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("tokens"))
+    )
+    w = t.withColumn(
+        "w1e6",
+        F.floor(F.sqrt(F.col("tokens").cast("double")) * 1_000_000 + 0.5)
+        .cast("bigint"),
+    )
+    s = w.agg(
+        F.sum("tokens").cast("bigint").alias("tot"),
+        F.sum("w1e6").cast("bigint").alias("wtot"),
+    )
+    return w.crossJoin(F.broadcast(s)).select(
+        "source",
+        "tokens",
+        F.expr("CAST(tokens * 10000 DIV tot AS BIGINT)").alias(
+            "raw_share_1e4"
+        ),
+        F.expr("CAST(w1e6 * 10000 DIV wtot AS BIGINT)").alias(
+            "temp_share_1e4"
+        ),
+    )

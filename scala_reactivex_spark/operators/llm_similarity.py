@@ -606,3 +606,114 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOPK)
         .select("probe_id", "neighbor_id", "adc_d2", "rnk")
     )
+
+
+@register(
+    "llm_hard_negatives",
+    tier="T3",
+    doc="Contrastive pair mining — the training-data generator for "
+    "retrieval/embedding fine-tuning: per probe, the positive is the "
+    "highest-cosine vector sharing its label and the HARD negative is "
+    "the highest-cosine vector with a different label (the near-miss "
+    "that teaches the margin).  Ties break on the smaller vector id "
+    "via struct ordering, matching the oracle's (cos DESC, id) "
+    "row_number.  Scale shape: the probe set is bounded (broadcast) "
+    "so scoring is one streamed corpus pass; both argmaxes are hash "
+    "aggregates — no per-probe sort of the corpus.",
+    oracle=f"""
+WITH p AS (
+  SELECT vec_id AS probe_id, embedding AS pe, label AS p_label
+  FROM embeddings WHERE vec_id < {N_PROBES}
+), pairs AS (
+  SELECT p.probe_id, p.p_label, e.vec_id AS neighbor_id,
+         e.label AS n_label, p.pe, e.embedding AS ce
+  FROM p, embeddings e WHERE e.vec_id <> p.probe_id
+), expl AS (
+  SELECT probe_id, p_label, neighbor_id, n_label,
+         unnest(pe) AS x, unnest(ce) AS y
+  FROM pairs
+), dots AS (
+  SELECT probe_id, p_label, neighbor_id, n_label,
+         SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na2,
+         SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb2
+  FROM expl GROUP BY probe_id, p_label, neighbor_id, n_label
+), scored AS (
+  SELECT probe_id, p_label, neighbor_id, n_label,
+         ROUND(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cos_sim
+  FROM dots
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY probe_id, (p_label = n_label)
+      ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT probe_id,
+       CAST(max(p_label) AS BIGINT) AS label,
+       CAST(max(CASE WHEN p_label = n_label THEN neighbor_id END)
+            AS BIGINT) AS pos_id,
+       max(CASE WHEN p_label = n_label THEN cos_sim END) AS pos_cos,
+       CAST(max(CASE WHEN p_label <> n_label THEN neighbor_id END)
+            AS BIGINT) AS neg_id,
+       max(CASE WHEN p_label <> n_label THEN cos_sim END) AS neg_cos
+FROM ranked WHERE rn = 1
+GROUP BY probe_id
+""",
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        norm_col("embedding").alias("pn"),
+        F.col("label").alias("p_label"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        norm_col("embedding").alias("cn"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(corpus, F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "p_label",
+            "neighbor_id",
+            "n_label",
+            F.round(cosine_with_norms("pe", "ce", "pn", "cn"), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    best = F.min(
+        F.struct(
+            (-F.col("cos_sim")).alias("nc"),
+            F.col("neighbor_id").alias("id"),
+        )
+    )
+    pos = (
+        scored.where(F.col("p_label") == F.col("n_label"))
+        .groupBy("probe_id", "p_label")
+        .agg(best.alias("m"))
+        .select(
+            "probe_id",
+            F.col("p_label").cast("bigint").alias("label"),
+            F.col("m.id").cast("bigint").alias("pos_id"),
+            (-F.col("m.nc")).alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.where(F.col("p_label") != F.col("n_label"))
+        .groupBy("probe_id")
+        .agg(best.alias("m"))
+        .select(
+            "probe_id",
+            F.col("m.id").cast("bigint").alias("neg_id"),
+            (-F.col("m.nc")).alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "probe_id").select(
+        "probe_id", "label", "pos_id", "pos_cos", "neg_id", "neg_cos"
+    )

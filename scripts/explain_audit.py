@@ -60,6 +60,8 @@ ALLOWED_NESTED_LOOP = {
     "llm_ann_pq",  # bounded 5×8×8 LUT / 64-row codebook broadcasts
     "llm_dedup_recall",  # 1-row×1-row×1-row cross of three pair counts
     "llm_pmi",  # 1-row corpus-totals broadcast × vocab²-bounded pairs
+    "llm_mix_temperature",  # 1-row normalizer broadcast × bounded sources
+    "llm_hard_negatives",  # 5 broadcast probe rows × corpus stream
 }
 
 

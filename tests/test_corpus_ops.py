@@ -328,3 +328,43 @@ def test_corpus_diff_set_algebra(spark, sf_dir):
         )
         saw_change = saw_change or r["n_added"] + r["n_removed"] > 0
     assert saw_change
+
+
+def test_mix_temperature_flattens_shares(spark, sf_dir):
+    """Sqrt damping must shrink the largest source's share and grow the
+    smallest's (the whole point of sampling temperature); shares stay a
+    near-partition of 1e4 (floor slack < #sources)."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        llm_mix_temperature,
+    )
+
+    rows = llm_mix_temperature(spark, sf_dir).collect()
+    assert len(rows) > 1
+    big = max(rows, key=lambda r: r["tokens"])
+    small = min(rows, key=lambda r: r["tokens"])
+    assert big["temp_share_1e4"] <= big["raw_share_1e4"]
+    assert small["temp_share_1e4"] >= small["raw_share_1e4"]
+    for key in ("raw_share_1e4", "temp_share_1e4"):
+        s = sum(r[key] for r in rows)
+        assert 10000 - len(rows) < s <= 10000
+
+
+def test_hard_negatives_margin_and_labels(spark, sf_dir):
+    """Pairs must be label-correct (positive shares the probe's label,
+    negative doesn't) and each is the best of its slice — the positive
+    cosine bounds every same-label candidate, likewise the negative."""
+    from scala_reactivex_spark.operators.llm_similarity import (
+        N_PROBES,
+        llm_hard_negatives,
+    )
+
+    rows = {r["probe_id"]: r for r in
+            llm_hard_negatives(spark, sf_dir).collect()}
+    assert set(rows) == set(range(N_PROBES))
+    emb = {r["vec_id"]: r["label"]
+           for r in spark.read.parquet(
+               f"{sf_dir}/embeddings.parquet").collect()}
+    for p, r in rows.items():
+        assert emb[r["pos_id"]] == r["label"] == emb[p]
+        assert emb[r["neg_id"]] != r["label"]
+        assert r["pos_id"] != p and r["neg_id"] != p
