@@ -148,6 +148,7 @@ BEYOND_BASELINE = {
     "llm_corpus_diff",
     "llm_mix_temperature",
     "llm_hard_negatives",
+    "llm_dedup_simhash_nn",
 }
 
 

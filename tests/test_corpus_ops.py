@@ -368,3 +368,24 @@ def test_hard_negatives_margin_and_labels(spark, sf_dir):
         assert emb[r["pos_id"]] == r["label"] == emb[p]
         assert emb[r["neg_id"]] != r["label"]
         assert r["pos_id"] != p and r["neg_id"] != p
+
+
+def test_simhash_nn_symmetric_and_optimal(spark, sf_dir):
+    """NN laws: the reported neighbor is within the threshold, never the
+    doc itself, and mutually consistent — if a's best is b at distance
+    d, then b's best distance is <= d (b at least has candidate a,
+    unless its bucket rows were capped, which this fixture's surviving
+    buckets are not for reported pairs)."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        SIMHASH_NN_HAM_T,
+        llm_dedup_simhash_nn,
+    )
+
+    rows = {r["doc_id"]: r for r in
+            llm_dedup_simhash_nn(spark, sf_dir).collect()}
+    assert rows
+    for d, r in rows.items():
+        assert r["nn_id"] != d
+        assert 0 <= r["hamming"] <= SIMHASH_NN_HAM_T
+        back = rows.get(r["nn_id"])
+        assert back is not None and back["hamming"] <= r["hamming"]
