@@ -149,6 +149,7 @@ BEYOND_BASELINE = {
     "llm_mix_temperature",
     "llm_hard_negatives",
     "llm_dedup_simhash_nn",
+    "llm_hybrid_rrf",
 }
 
 

@@ -301,3 +301,139 @@ def llm_index_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length(F.bin("gap"))).cast("bigint").alias("delta_bits"),
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_PROBES = 5  # probe docs (doc_id ≡ vec_id, the multimodal 1:1 key)
+RRF_TOPK = 10
+
+
+@register(
+    "llm_hybrid_rrf",
+    tier="T3",
+    doc="Hybrid retrieval via reciprocal rank fusion (Cormack et al. "
+    "2009 — the standard way production search merges lexical and "
+    "semantic rankings): for each probe document, every other doc gets "
+    "a LEXICAL rank (token-set Jaccard vs the probe, ties to smaller "
+    "id) and a SEMANTIC rank (embedding cosine via the doc_id ≡ vec_id "
+    f"key), fused as Σ floor(1e6/({RRF_K}+rank)) — pure integer, no "
+    "score calibration across modalities needed (RRF's whole point); "
+    "top-10 fused per probe.  Scale shape: both rankings are "
+    f"{RRF_PROBES} broadcast probe rows × one streamed corpus pass "
+    "(per-row array_intersect / dot product, no token explode); the "
+    "rank windows partition per probe.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+), pr AS (
+  SELECT d.doc_id AS probe_id, d.toks AS ptoks, e.embedding AS pe
+  FROM d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id < {RRF_PROBES}
+), cand AS (
+  SELECT p.probe_id, d.doc_id, p.ptoks, d.toks, p.pe, e.embedding AS ce
+  FROM pr p
+  JOIN d ON d.doc_id <> p.probe_id
+  JOIN embeddings e ON d.doc_id = e.vec_id
+), lex AS (
+  SELECT probe_id, doc_id,
+         ROUND(CAST(len(list_intersect(ptoks, toks)) AS DOUBLE)
+               / (len(ptoks) + len(toks)
+                  - len(list_intersect(ptoks, toks))), 4) AS jac
+  FROM cand
+), sem AS (
+  SELECT probe_id, doc_id,
+         ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+               / (sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  * sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4)
+           AS cos_sim
+  FROM (SELECT probe_id, doc_id, unnest(pe) AS x, unnest(ce) AS y
+        FROM cand)
+  GROUP BY probe_id, doc_id
+), ranks AS (
+  SELECT l.probe_id, l.doc_id,
+         row_number() OVER (PARTITION BY l.probe_id
+                            ORDER BY l.jac DESC, l.doc_id) AS r_lex,
+         row_number() OVER (PARTITION BY l.probe_id
+                            ORDER BY s.cos_sim DESC, l.doc_id) AS r_sem
+  FROM lex l JOIN sem s
+    ON l.probe_id = s.probe_id AND l.doc_id = s.doc_id
+), fused AS (
+  SELECT probe_id, doc_id,
+         CAST(r_lex AS BIGINT) AS r_lex, CAST(r_sem AS BIGINT) AS r_sem,
+         CAST(1000000 // ({RRF_K} + r_lex)
+              + 1000000 // ({RRF_K} + r_sem) AS BIGINT) AS rrf_1e6
+  FROM ranks
+), final AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY rrf_1e6 DESC, doc_id) AS rnk
+  FROM fused
+)
+SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, doc_id, r_lex, r_sem,
+       rrf_1e6
+FROM final WHERE rnk <= {RRF_TOPK}
+""",
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.operators.llm_similarity import (
+        cosine_with_norms,
+        norm_col,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    docs = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "toks", "embedding", norm_col("embedding").alias("nrm")
+    )
+    probes = docs.where(F.col("doc_id") < RRF_PROBES).select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("toks").alias("ptoks"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+    isz = F.size(F.array_intersect("ptoks", "toks"))
+    cand = (
+        F.broadcast(probes)
+        .join(docs, F.col("doc_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.round(
+                isz.cast("double")
+                / (F.size("ptoks") + F.size("toks") - isz).cast("double"),
+                4,
+            ).alias("jac"),
+            F.round(
+                cosine_with_norms("pe", "embedding", "pn", "nrm"), 4
+            ).alias("cos_sim"),
+        )
+    )
+    wl = Window.partitionBy("probe_id").orderBy(
+        F.col("jac").desc(), "doc_id"
+    )
+    ws = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), "doc_id"
+    )
+    ranks = cand.select(
+        "probe_id",
+        "doc_id",
+        F.row_number().over(wl).cast("bigint").alias("r_lex"),
+        F.row_number().over(ws).cast("bigint").alias("r_sem"),
+    )
+    fused = ranks.withColumn(
+        "rrf_1e6",
+        F.expr(
+            f"CAST(1000000 DIV ({RRF_K} + r_lex)"
+            f" + 1000000 DIV ({RRF_K} + r_sem) AS BIGINT)"
+        ),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("rrf_1e6").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("bigint"))
+        .where(F.col("rnk") <= RRF_TOPK)
+        .select("probe_id", "rnk", "doc_id", "r_lex", "r_sem", "rrf_1e6")
+    )

@@ -62,6 +62,7 @@ ALLOWED_NESTED_LOOP = {
     "llm_pmi",  # 1-row corpus-totals broadcast × vocab²-bounded pairs
     "llm_mix_temperature",  # 1-row normalizer broadcast × bounded sources
     "llm_hard_negatives",  # 5 broadcast probe rows × corpus stream
+    "llm_hybrid_rrf",  # 5 broadcast probe rows × corpus stream (RRF fuse)
 }
 
 

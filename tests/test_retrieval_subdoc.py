@@ -491,3 +491,29 @@ def test_line_purge_consistent_with_profile(spark, sf_dir):
         assert (prof[i]["n_dup_segs"] == 0) == (
             p["n_tok_after"] == p["n_tok_before"]
         )
+
+
+def test_hybrid_rrf_arithmetic_and_order(spark, sf_dir):
+    """RRF laws: 10 fused rows per probe, the fused score is exactly the
+    two reciprocal-rank terms (integer floor), and rank order is
+    monotone in the fused score with the doc_id tie-break."""
+    from scala_reactivex_spark.operators.llm_retrieval import (
+        RRF_K,
+        RRF_PROBES,
+        RRF_TOPK,
+        llm_hybrid_rrf,
+    )
+
+    by_probe = {}
+    for r in llm_hybrid_rrf(spark, sf_dir).collect():
+        assert r["rrf_1e6"] == (
+            1_000_000 // (RRF_K + r["r_lex"])
+            + 1_000_000 // (RRF_K + r["r_sem"])
+        )
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == set(range(RRF_PROBES))
+    for rs in by_probe.values():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, RRF_TOPK + 1))
+        keys = [(-r["rrf_1e6"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys)
