@@ -150,6 +150,7 @@ BEYOND_BASELINE = {
     "llm_hard_negatives",
     "llm_dedup_simhash_nn",
     "llm_hybrid_rrf",
+    "llm_count_min",
 }
 
 

@@ -39,6 +39,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from scala_reactivex_spark.functions.portable_hash import (
+    kr31_duck_expr,
+)
 from scala_reactivex_spark.plans.registry import register
 from scala_reactivex_spark.sources.catalog import table
 
@@ -1095,3 +1098,127 @@ def llm_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_1e6").desc(), "b1", "b2")
         .limit(PMI_TOPK)
     )
+
+
+CM_WIDTH = 64  # count-min buckets per row
+CM_DEPTH = 4  # hash rows
+CM_TOPK = 20  # audited head terms
+
+
+def _cm_seeds():
+    from scala_reactivex_spark.functions.portable_hash import affine_seeds
+
+    return affine_seeds(CM_DEPTH, seed=20260814)
+
+
+@register(
+    "llm_count_min",
+    tier="T3",
+    doc="Count-Min sketch audit (Cormode & Muthukrishnan 2005): term "
+    f"frequencies compress into a {CM_DEPTH}×{CM_WIDTH} integer sketch "
+    "via the portable affine hash family, estimates read back as the "
+    "min over rows, and the head terms (top "
+    f"{CM_TOPK} by exact count) emit exact vs estimate, the "
+    "always-non-negative overcount, and a 2N/W error-bound flag — the "
+    "sketch-accuracy contract pattern of rel_agg_approx, but with a "
+    "sketch BOTH engines replay bit-for-bit (no rows-only waiver "
+    "needed).  Scale shape: the sketch build is one hash aggregate to "
+    f"{CM_DEPTH * CM_WIDTH} cells (mergeable across partitions — the "
+    "whole point of CM at 100 TB); the audit joins the bounded "
+    "vocabulary against the bounded sketch.",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), th AS (
+  SELECT token, {kr31_duck_expr('token')} AS h FROM tok
+), seeds(d, a, b) AS (
+  VALUES {{seed_rows}}
+), cells AS (
+  SELECT s.d, ((s.a * th.h + s.b) % {{p31}}) % {CM_WIDTH} AS bucket,
+         count(*) AS c
+  FROM th CROSS JOIN seeds s GROUP BY 1, 2
+), exact AS (
+  SELECT token, max(h) AS h, count(*) AS n FROM th GROUP BY token
+), est AS (
+  SELECT e.token, e.n,
+         min(c.c) AS est
+  FROM exact e
+  JOIN seeds s ON true
+  JOIN cells c ON c.d = s.d
+    AND c.bucket = ((s.a * e.h + s.b) % {{p31}}) % {CM_WIDTH}
+  GROUP BY e.token, e.n
+), tot AS (
+  SELECT count(*) AS n FROM tok
+)
+SELECT est.token,
+       CAST(est.n AS BIGINT) AS exact_n,
+       CAST(est.est AS BIGINT) AS est_n,
+       CAST(est.est - est.n AS BIGINT) AS overcount,
+       CAST(est.est - est.n <= 2 * tot.n // {CM_WIDTH} AS INT) AS bound_ok
+FROM est CROSS JOIN tot
+ORDER BY est.n DESC, est.token
+LIMIT {CM_TOPK}
+""",
+)
+def llm_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.functions.portable_hash import (
+        P31,
+        kr31_spark_expr,
+    )
+
+    seeds = _cm_seeds()
+    tok = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    th = tok.select("token", F.expr(kr31_spark_expr("token")).alias("h"))
+    bucket_structs = ", ".join(
+        f"struct({d} AS d, (({a}L * h + {b}L) % {P31}) % {CM_WIDTH}"
+        " AS bucket)"
+        for d, (a, b) in enumerate(seeds)
+    )
+    cells = (
+        th.select(F.explode(F.expr(f"array({bucket_structs})")).alias("s"))
+        .groupBy("s.d", "s.bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = th.groupBy("token").agg(
+        F.max("h").alias("h"), F.count("*").alias("n")
+    )
+    probes = exact.select(
+        "token",
+        "n",
+        F.explode(F.expr(f"array({bucket_structs})")).alias("s"),
+    ).select("token", "n", "s.d", "s.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token", "n")
+        .agg(F.min("c").alias("est"))
+    )
+    tot = tok.agg(F.count("*").alias("nt"))
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.col("n").cast("bigint").alias("exact_n"),
+            F.col("est").cast("bigint").alias("est_n"),
+            (F.col("est") - F.col("n")).cast("bigint").alias("overcount"),
+            F.expr(
+                f"CAST(est - n <= 2 * nt DIV {CM_WIDTH} AS INT)"
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(CM_TOPK)
+    )
+
+
+# Interpolate the CM seed literals into the oracle (registered above with
+# placeholders — the registry stores the final string).
+from scala_reactivex_spark.functions.portable_hash import P31 as _P31  # noqa: E402
+from scala_reactivex_spark.plans.registry import peek as _peek_cm  # noqa: E402
+
+_peek_cm("llm_count_min").oracle = _peek_cm("llm_count_min").oracle.format(
+    seed_rows=", ".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(_cm_seeds())
+    ),
+    p31=_P31,
+)

@@ -313,3 +313,29 @@ def test_backoff_lm_bounds_vs_bigram(spark, sf_dir):
         assert r["n_bigram"] == bi[d]["n_bigram"]
         slack = r["n_bigram"] * (half_log + 2)
         assert r["logp_sum_1e6"] >= bi[d]["logp_sum_1e6"] - slack
+
+
+def test_count_min_never_undercounts(spark, sf_dir):
+    """The CM guarantee: estimates NEVER undercount (hard law), and
+    the 2N/W bound holds for the overwhelming majority of head terms
+    (collisions are probabilistic — one all-rows collision between two
+    heavy terms is legitimate sketch behavior, surfaced as data)."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        CM_TOPK,
+        llm_count_min,
+    )
+
+    rows = llm_count_min(spark, sf_dir).collect()
+    assert len(rows) == min(
+        CM_TOPK,
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("explode(split(text, ' ')) AS t")
+        .select("t")
+        .distinct()
+        .count(),
+    )
+    for r in rows:
+        assert r["overcount"] >= 0
+        assert r["est_n"] == r["exact_n"] + r["overcount"]
+    ok = sum(r["bound_ok"] for r in rows)
+    assert ok >= len(rows) * 8 // 10
