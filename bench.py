@@ -151,6 +151,7 @@ BEYOND_BASELINE = {
     "llm_dedup_simhash_nn",
     "llm_hybrid_rrf",
     "llm_count_min",
+    "llm_pq_recall",
 }
 
 

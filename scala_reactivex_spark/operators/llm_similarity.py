@@ -717,3 +717,99 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(neg, "probe_id").select(
         "probe_id", "label", "pos_id", "pos_cos", "neg_id", "neg_cos"
     )
+
+
+def _pq_exact_gt_cte() -> str:
+    dim = PQ_M * PQ_SUBDIM
+    return f"""x2 AS (
+  SELECT vec_id, i - 1 AS pos,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings, range(1, {dim + 1}) t(i)
+), dd AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         SUM((p.v - c.v) * (p.v - c.v)) AS d2
+  FROM x2 p JOIN x2 c ON p.pos = c.pos AND p.vec_id <> c.vec_id
+  WHERE p.vec_id < {N_PROBES}
+  GROUP BY 1, 2
+), gt AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY d2, neighbor_id) AS rn
+  FROM dd
+)"""
+
+
+@register(
+    "llm_pq_recall",
+    tier="T3",
+    doc="PQ recall evaluation — the acceptance gate before a "
+    "product-quantized index replaces exact search (completes the "
+    "eval-harness trio with llm_ann_recall and llm_dedup_recall): per "
+    "probe, recall@10 of llm_ann_pq's ADC top-10 against the EXACT "
+    "integer-L2 top-10 ground truth, all in the same pinned space.  "
+    "The oracle embeds the full PQ train/encode/LUT oracle as a CTE "
+    "body next to the brute-force ground truth.  Scale shape: ground "
+    "truth is bounded-probe brute force (declared eval cost); the "
+    "comparison joins two 50-row frames.",
+    oracle=f"""
+WITH pq AS (
+{_pq_oracle()}
+), {_pq_exact_gt_cte()}
+SELECT g.probe_id,
+       CAST(count(p.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(p.neighbor_id) * 10000 // {TOPK} AS BIGINT)
+         AS recall_1e4
+FROM gt g
+LEFT JOIN pq p
+  ON g.probe_id = p.probe_id AND g.neighbor_id = p.neighbor_id
+WHERE g.rn <= {TOPK}
+GROUP BY g.probe_id
+""",
+)
+def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = PQ_M * PQ_SUBDIM
+    x = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .where(F.col("pos") < dim)
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("val").cast("double") * 1_000_000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+    p = x.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), "pos", F.col("v").alias("pv")
+    )
+    dd = (
+        p.join(x, "pos")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(
+                (F.col("pv") - F.col("v")) * (F.col("pv") - F.col("v"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2", "neighbor_id")
+    gt = (
+        dd.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOPK)
+        .select("probe_id", "neighbor_id")
+    )
+    pq = llm_ann_pq(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        gt.join(pq, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.expr(f"CAST(count(hit) * 10000 DIV {TOPK} AS BIGINT)").alias(
+                "recall_1e4"
+            ),
+        )
+    )

@@ -63,6 +63,8 @@ ALLOWED_NESTED_LOOP = {
     "llm_mix_temperature",  # 1-row normalizer broadcast × bounded sources
     "llm_hard_negatives",  # 5 broadcast probe rows × corpus stream
     "llm_hybrid_rrf",  # 5 broadcast probe rows × corpus stream (RRF fuse)
+    "llm_pq_recall",  # composes llm_ann_pq (its bounded LUT crosses)
+    "llm_count_min",  # 1-row corpus-total broadcast × audited head terms
 }
 
 

@@ -105,3 +105,35 @@ def test_ann_pq_shape_and_recall(spark, sf_dir):
         hits += len(exact & got)
         total += TOPK
     assert hits / total >= 0.3, f"PQ recall@10 too low: {hits}/{total}"
+
+
+def test_pq_recall_agrees_with_numpy_law(spark, sf_dir):
+    """The graded recall rows must agree with the independently computed
+    numpy recall from test_ann_pq_shape_and_recall's methodology."""
+    import numpy as np
+
+    from scala_reactivex_spark.operators.llm_similarity import (
+        N_PROBES,
+        TOPK,
+        llm_ann_pq,
+        llm_pq_recall,
+    )
+
+    rows = {r["probe_id"]: r for r in llm_pq_recall(spark, sf_dir).collect()}
+    assert set(rows) == set(range(N_PROBES))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    v = np.array(
+        [np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6 + 0.5)
+         for r in sorted(emb, key=lambda r: r["vec_id"])]
+    )
+    ids = np.array(sorted(r["vec_id"] for r in emb))
+    pq = {}
+    for r in llm_ann_pq(spark, sf_dir).collect():
+        pq.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    for pid in range(N_PROBES):
+        d2 = ((v - v[pid]) ** 2).sum(axis=1)
+        d2[pid] = np.inf
+        exact = set(ids[np.lexsort((ids, d2))][:TOPK])
+        hits = len(exact & pq[pid])
+        assert rows[pid]["n_hits"] == hits
+        assert rows[pid]["recall_1e4"] == hits * 10000 // TOPK
