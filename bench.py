@@ -152,6 +152,7 @@ BEYOND_BASELINE = {
     "llm_hybrid_rrf",
     "llm_count_min",
     "llm_pq_recall",
+    "op_group_join",
 }
 
 

@@ -432,3 +432,60 @@ def op_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "p_event_id", "c_event_id", "p_ms", "c_ms")
     )
+
+
+@register(
+    "op_group_join",
+    tier="T1",
+    doc="groupJoin [RX:groupJoin]: unlike join (op_interval_join), every "
+    "LEFT row is emitted exactly once with its window of right matches "
+    "AGGREGATED — here each purchase carries the count and first/last "
+    "timestamps of the user's clicks in the preceding 6 hours (zero "
+    "matches included via left outer join, Rx's empty inner "
+    "observable).  Scale shape: the interval join shuffles on user_id "
+    "once; the per-left aggregate reuses the same key — no second "
+    "corpus pass, no window over the fact table.",
+    oracle="""
+SELECT p.user_id, p.event_id AS p_event_id, epoch_ms(p.ts) AS p_ms,
+       CAST(count(c.event_id) AS BIGINT) AS n_clicks,
+       CAST(min(epoch_ms(c.ts)) AS BIGINT) AS first_c_ms,
+       CAST(max(epoch_ms(c.ts)) AS BIGINT) AS last_c_ms
+FROM events p
+LEFT JOIN events c
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 6 HOURS
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.user_id, p.event_id, p.ts
+""",
+)
+def op_group_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = events_stream(spark, sf_dir, "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("ms").alias("p_ms"),
+    )
+    c = events_stream(spark, sf_dir, "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("ms").alias("c_ms"),
+    )
+    six_hours_ns = 6 * 3_600 * 1_000_000_000
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - six_hours_ns)
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left",
+        )
+        .groupBy("user_id", "p_event_id", "p_ms")
+        .agg(
+            F.count("c_event_id").cast("bigint").alias("n_clicks"),
+            F.min("c_ms").cast("bigint").alias("first_c_ms"),
+            F.max("c_ms").cast("bigint").alias("last_c_ms"),
+        )
+    )

@@ -473,3 +473,32 @@ def test_containment_lsh_subset_of_all_pairs(spark, sf_dir):
     assert lsh, "LSH containment found nothing on the near-dup fixture"
     for pair, c in lsh.items():
         assert base[pair] == c
+
+
+def test_group_join_vs_interval_join(spark, sf_dir):
+    """groupJoin must emit every purchase exactly once, with match
+    counts that re-aggregate op_interval_join's pair rows (join ≡
+    flattened groupJoin, the Rx law)."""
+    from collections import Counter
+
+    from scala_reactivex_spark.operators.combinators import (
+        op_group_join,
+        op_interval_join,
+    )
+
+    g = {r["p_event_id"]: r for r in op_group_join(spark, sf_dir).collect()}
+    pairs = Counter(
+        r["p_event_id"] for r in op_interval_join(spark, sf_dir).collect()
+    )
+    purchases = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("event_type = 'purchase'")
+        .count()
+    )
+    assert len(g) == purchases
+    for pid, r in g.items():
+        assert r["n_clicks"] == pairs.get(pid, 0)
+        if r["n_clicks"] == 0:
+            assert r["first_c_ms"] is None and r["last_c_ms"] is None
+        else:
+            assert r["first_c_ms"] <= r["last_c_ms"] <= r["p_ms"]
