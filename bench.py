@@ -153,6 +153,8 @@ BEYOND_BASELINE = {
     "llm_count_min",
     "llm_pq_recall",
     "op_group_join",
+    "llm_watermark_detect",
+    "rel_cusum_changepoint",
 }
 
 

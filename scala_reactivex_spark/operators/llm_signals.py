@@ -1222,3 +1222,68 @@ _peek_cm("llm_count_min").oracle = _peek_cm("llm_count_min").oracle.format(
     ),
     p31=_P31,
 )
+
+
+WM_Z_FLAG_1E4 = 40_000  # flag docs with z > 4
+
+
+@register(
+    "llm_watermark_detect",
+    tier="T3",
+    doc="Greenlist watermark detection (Kirchenbauer et al. 2023, "
+    "arXiv:2301.10226 — public paper): a seeded hash partitions the "
+    "vocabulary into green/red halves (portable Karp-Rabin parity), "
+    "and each doc reports its green-token count and the one-proportion "
+    "z-statistic (2g - n)/sqrt(n) in 1e4 integer units — the screen "
+    "that catches watermarked model-generated text leaking into a "
+    "training crawl.  z pins on identical doubles of identical "
+    "integers; the flag threshold (z > 4) is an integer compare.  "
+    "Scale shape: one explode + per-doc hash aggregate, zero joins, "
+    "zero state — embarrassingly parallel.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), g AS (
+  SELECT doc_id, count(*) AS n,
+         count(*) FILTER (WHERE ({kr31_duck_expr('token')}) % 2 = 0)
+           AS n_green
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       CAST(n_green AS BIGINT) AS n_green,
+       CAST(floor(CAST(2 * n_green - n AS DOUBLE)
+                  / sqrt(CAST(n AS DOUBLE)) * 10000 + 0.5) AS BIGINT)
+         AS z_1e4,
+       CAST(floor(CAST(2 * n_green - n AS DOUBLE)
+                  / sqrt(CAST(n AS DOUBLE)) * 10000 + 0.5)
+            > {WM_Z_FLAG_1E4} AS INT) AS flagged
+FROM g
+""",
+)
+def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.functions.portable_hash import (
+        kr31_spark_expr,
+    )
+
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    g = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(F.expr(f"({kr31_spark_expr('token')}) % 2 = 0"), 1)
+        ).alias("n_green"),
+    )
+    z = F.floor(
+        (2 * F.col("n_green") - F.col("n")).cast("double")
+        / F.sqrt(F.col("n").cast("double"))
+        * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return g.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tok"),
+        F.col("n_green").cast("bigint").alias("n_green"),
+        z.alias("z_1e4"),
+        (z > WM_Z_FLAG_1E4).cast("int").alias("flagged"),
+    )

@@ -394,3 +394,72 @@ def rel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_1e4"
         ),
     )
+
+
+DAY_MS = 86_400_000
+
+
+@register(
+    "rel_cusum_changepoint",
+    tier="T2",
+    doc="CUSUM changepoint detection on the daily event-count series: "
+    "cumulative sum of (count - floor-mean) deviations per day, with "
+    "the maximum-|CUSUM| day flagged (tie → earliest) — the classic "
+    "level-shift detector a monitoring pipeline runs on ingest "
+    "volumes.  All integer arithmetic (counts, floor mean, exact "
+    "cumulative sums).  Scale shape: the fact table reduces to one "
+    "bounded (day, count) aggregate; every window runs over DAYS, "
+    "never events.",
+    oracle=f"""
+WITH d AS (
+  SELECT epoch_ms(ts) // {DAY_MS} AS day, count(*) AS n
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(sum(n) // count(*) AS BIGINT) AS mu FROM d
+), c AS (
+  SELECT d.day, d.n,
+         CAST(sum(d.n - m.mu) OVER (ORDER BY d.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cusum
+  FROM d CROSS JOIN m
+), x AS (
+  SELECT min(day) FILTER (WHERE abs(cusum) =
+           (SELECT max(abs(cusum)) FROM c)) AS cp_day
+  FROM c
+)
+SELECT c.day, CAST(c.n AS BIGINT) AS n, c.cusum,
+       CAST(c.day = x.cp_day AS INT) AS is_changepoint
+FROM c CROSS JOIN x
+""",
+)
+def rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.expr(f"ms DIV {DAY_MS}").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    m = d.agg(F.expr("CAST(sum(n) DIV count(*) AS BIGINT)").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        F.sum(F.col("n") - F.col("mu")).over(w).cast("bigint").alias(
+            "cusum"
+        ),
+    )
+    peak = c.select(F.max(F.abs("cusum")).alias("ma"))
+    cp = (
+        c.crossJoin(F.broadcast(peak))
+        .where(F.abs("cusum") == F.col("ma"))
+        .agg(F.min("day").alias("cp_day"))
+    )
+    return c.crossJoin(F.broadcast(cp)).select(
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        "cusum",
+        (F.col("day") == F.col("cp_day")).cast("int").alias(
+            "is_changepoint"
+        ),
+    )

@@ -1386,3 +1386,34 @@ def twin_soft_sample(sdf: DataFrame) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+def twin_count_min(sdf: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch maintenance [T3 — live twin of
+    llm_count_min's sketch build]: arriving documents explode to
+    (row, bucket) cell increments and a streaming grouped count keeps
+    the sketch current in complete mode.  CM cells are pure sums — the
+    canonical MERGEABLE summary, which is exactly why a sketch is the
+    structure you maintain ON the stream while exact per-key counts
+    need unbounded state.  State here is 4×64 cells, constant forever."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        P31,
+        kr31_spark_expr,
+    )
+    from scala_reactivex_spark.operators.llm_signals import (
+        CM_WIDTH,
+        _cm_seeds,
+    )
+
+    bucket_structs = ", ".join(
+        f"struct({d} AS d, (({a}L * h + {b}L) % {P31}) % {CM_WIDTH}"
+        " AS bucket)"
+        for d, (a, b) in enumerate(_cm_seeds())
+    )
+    return (
+        sdf.select(F.explode(F.split("text", " ")).alias("token"))
+        .select(F.expr(kr31_spark_expr("token")).alias("h"))
+        .select(F.explode(F.expr(f"array({bucket_structs})")).alias("s"))
+        .groupBy("s.d", "s.bucket")
+        .agg(F.count("*").alias("c"))
+    )

@@ -339,3 +339,29 @@ def test_count_min_never_undercounts(spark, sf_dir):
         assert r["est_n"] == r["exact_n"] + r["overcount"]
     ok = sum(r["bound_ok"] for r in rows)
     assert ok >= len(rows) * 8 // 10
+
+
+def test_watermark_z_arithmetic(spark, sf_dir):
+    """z must be arithmetically consistent with (g, n), the green count
+    bounded by the token count, and the flag consistent with the
+    threshold; an unwatermarked corpus should not flag everything."""
+    import math
+
+    from scala_reactivex_spark.operators.llm_signals import (
+        WM_Z_FLAG_1E4,
+        llm_watermark_detect,
+    )
+
+    rows = llm_watermark_detect(spark, sf_dir).collect()
+    assert rows
+    flagged = 0
+    for r in rows:
+        assert 0 <= r["n_green"] <= r["n_tok"]
+        z = math.floor(
+            (2 * r["n_green"] - r["n_tok"])
+            / math.sqrt(r["n_tok"]) * 10000 + 0.5
+        )
+        assert r["z_1e4"] == z
+        assert r["flagged"] == int(z > WM_Z_FLAG_1E4)
+        flagged += r["flagged"]
+    assert flagged < len(rows) // 2

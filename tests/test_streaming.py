@@ -589,3 +589,40 @@ def test_twin_soft_sample_equals_batch(spark, sf_dir, docs_stream_src, ckpt):
         for r in llm_soft_sample(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_twin_count_min_equals_batch_cells(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """The streamed sketch must converge to the batch sketch exactly —
+    cell-for-cell (CM cells are mergeable sums, so any micro-batch
+    slicing yields the same final state)."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        P31,
+        kr31_spark_expr,
+    )
+    from scala_reactivex_spark.operators.llm_signals import (
+        CM_WIDTH,
+        _cm_seeds,
+    )
+
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_count_min(sdf), "t_cm", ckpt, output_mode="complete"
+    )
+    got = {(r["d"], r["bucket"]): r["c"] for r in out.collect()}
+    bucket_structs = ", ".join(
+        f"struct({d} AS d, (({a}L * h + {b}L) % {P31}) % {CM_WIDTH}"
+        " AS bucket)"
+        for d, (a, b) in enumerate(_cm_seeds())
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("explode(split(text, ' ')) AS token")
+        .selectExpr(f"{kr31_spark_expr('token')} AS h")
+        .selectExpr(f"explode(array({bucket_structs})) AS s")
+        .groupBy("s.d", "s.bucket")
+        .count()
+    )
+    want = {(r["d"], r["bucket"]): r["count"] for r in batch.collect()}
+    assert got == want and len(want) > 0

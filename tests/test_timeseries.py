@@ -199,3 +199,26 @@ def test_retention_matrix_laws(spark, sf_dir):
         table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert sum(sizes.values()) == n_users
+
+
+def test_cusum_telescopes_and_unique_changepoint(spark, sf_dir):
+    """CUSUM must telescope (last value = total - days*mu, within the
+    floor-mean remainder), and exactly one day carries the flag at the
+    maximum absolute deviation."""
+    from scala_reactivex_spark.operators.timeseries import (
+        rel_cusum_changepoint,
+    )
+
+    rows = sorted(
+        rel_cusum_changepoint(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    total = sum(r["n"] for r in rows)
+    mu = total // len(rows)
+    run = 0
+    for r in rows:
+        run += r["n"] - mu
+        assert r["cusum"] == run
+    cps = [r for r in rows if r["is_changepoint"]]
+    assert len(cps) == 1
+    assert abs(cps[0]["cusum"]) == max(abs(r["cusum"]) for r in rows)
