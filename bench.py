@@ -155,6 +155,7 @@ BEYOND_BASELINE = {
     "op_group_join",
     "llm_watermark_detect",
     "rel_cusum_changepoint",
+    "op_buffer_slide",
 }
 
 

@@ -357,3 +357,66 @@ def op_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") > TAKE_N)
         .select("user_id", "event_id", "ms", "event_type")
     )
+
+
+SLIDE_COUNT = 4  # elements per sliding buffer
+SLIDE_SKIP = 2  # new buffer starts every SKIP elements
+
+
+@register(
+    "op_buffer_slide",
+    tier="T1",
+    doc="buffer(count, skip) [RX:buffer]: OVERLAPPING count-based "
+    f"buffers — a new {SLIDE_COUNT}-element buffer opens every "
+    f"{SLIDE_SKIP} elements, so each element belongs to up to "
+    f"{SLIDE_COUNT // SLIDE_SKIP} buffers (completes the buffer "
+    "family next to the partitioning op_buffer_count).  Covering "
+    "buffer ids come from a per-row integer sequence (all operands "
+    "non-negative, so Spark DIV ≡ DuckDB // exactly); partial tail "
+    "buffers are kept, matching Rx.  Scale shape: one rank window on "
+    "the per-user order the engine already standardizes, a bounded "
+    "explode (×2), one hash aggregate.",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS r
+  FROM events
+), e AS (
+  SELECT user_id, ms,
+         unnest(range(
+           CASE WHEN r <= {SLIDE_COUNT} THEN 0
+                ELSE (r - {SLIDE_COUNT - 1}) // {SLIDE_SKIP} END,
+           (r - 1) // {SLIDE_SKIP} + 1)) AS buffer_id
+  FROM x
+)
+SELECT user_id, CAST(buffer_id AS BIGINT) AS buffer_id,
+       CAST(count(*) AS BIGINT) AS n_in_buffer,
+       CAST(min(ms) AS BIGINT) AS first_ms,
+       CAST(max(ms) AS BIGINT) AS last_ms
+FROM e GROUP BY user_id, buffer_id
+""",
+)
+def op_buffer_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ms",
+        F.row_number().over(w_user()).alias("r"),
+    )
+    lo = F.expr(
+        f"CASE WHEN r <= {SLIDE_COUNT} THEN 0"
+        f" ELSE (r - {SLIDE_COUNT - 1}) DIV {SLIDE_SKIP} END"
+    )
+    hi = F.expr(f"(r - 1) DIV {SLIDE_SKIP}")
+    e = x.select(
+        "user_id",
+        "ms",
+        F.explode(F.sequence(lo, hi)).alias("buffer_id"),
+    )
+    return e.groupBy(
+        "user_id", F.col("buffer_id").cast("bigint").alias("buffer_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_in_buffer"),
+        F.min("ms").cast("bigint").alias("first_ms"),
+        F.max("ms").cast("bigint").alias("last_ms"),
+    )

