@@ -156,6 +156,8 @@ BEYOND_BASELINE = {
     "llm_watermark_detect",
     "rel_cusum_changepoint",
     "op_buffer_slide",
+    "llm_lang_confusion",
+    "rel_gapfill",
 }
 
 

@@ -797,3 +797,49 @@ def llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (n * sxx - sx * sx) AS BIGINT)"
         ).alias("neg_slope_1e4"),
     )
+
+
+@register(
+    "llm_lang_confusion",
+    tier="T3",
+    doc="Language-ID confusion matrix — the classifier-eval rollup "
+    "every lang-filter deployment reads before trusting its gates: "
+    "true × predicted language cell counts with per-cell share of the "
+    "true language's row (1e4).  The oracle embeds llm_lang_id's green "
+    "oracle, so the matrix grades as a composition of graded parts.  "
+    "Scale shape: one hash aggregate over the (already bounded-key) "
+    "prediction table to a langs² matrix; the row totals reuse the "
+    "same aggregate via a bounded window.",
+    oracle=None,  # assigned below (embeds llm_lang_id's oracle)
+)
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = llm_lang_id(spark, sf_dir).select("lang_true", "lang_pred")
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.expr(
+            "CAST(n * 10000 DIV (sum(n) OVER"
+            " (PARTITION BY lang_true)) AS BIGINT)"
+        ).alias("row_share_1e4"),
+    )
+
+
+from scala_reactivex_spark.plans.registry import peek as _peek_lc  # noqa: E402
+
+_peek_lc("llm_lang_confusion").oracle = f"""
+WITH pred AS (
+{_peek_lc("llm_lang_id").oracle}
+), cells AS (
+  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang_true, lang_pred
+)
+SELECT lang_true, lang_pred, n,
+       CAST(n * 10000 // (sum(n) OVER (PARTITION BY lang_true))
+            AS BIGINT) AS row_share_1e4
+FROM cells
+"""

@@ -463,3 +463,54 @@ def rel_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     )
+
+
+@register(
+    "rel_gapfill",
+    tier="T2",
+    doc="Calendar-spine gap filling — the time-series hygiene step "
+    "before any window/trend math: generate the full day spine from "
+    "the observed [min, max] day range, left-join per-(type, day) "
+    "counts and emit zero-filled rows with an is_gap marker.  Scale "
+    "shape: the fact table reduces to one bounded (type, day) "
+    "aggregate; the spine is a generated sequence crossed with the "
+    "bounded type dimension — rows are days × types, never events.",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, epoch_ms(ts) // {DAY_MS} AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM d
+), spine AS (
+  SELECT t.event_type, s.day
+  FROM (SELECT DISTINCT event_type FROM d) t
+  CROSS JOIN (SELECT unnest(range(
+      (SELECT lo FROM bounds), (SELECT hi FROM bounds) + 1)) AS day) s
+)
+SELECT sp.event_type, CAST(sp.day AS BIGINT) AS day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+       CAST(d.n IS NULL AS INT) AS is_gap
+FROM spine sp LEFT JOIN d
+  ON sp.event_type = d.event_type AND sp.day = d.day
+""",
+)
+def rel_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.expr(f"ms DIV {DAY_MS}").alias("day")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = d.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("day"),
+    )
+    return spine.join(d, ["event_type", "day"], "left").select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.isnull("n").cast("int").alias("is_gap"),
+    )

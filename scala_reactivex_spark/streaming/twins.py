@@ -1417,3 +1417,39 @@ def twin_count_min(sdf: DataFrame) -> DataFrame:
         .groupBy("s.d", "s.bucket")
         .agg(F.count("*").alias("c"))
     )
+
+
+def twin_watermark_detect(sdf: DataFrame) -> DataFrame:
+    """Streaming watermark screening [T3 — live twin of
+    llm_watermark_detect]: the greenlist count computes PER ROW via an
+    array filter with the char-level Karp-Rabin fold inside the lambda
+    — no explode, no aggregation, no state — so generated-text
+    screening runs as a stateless append projection at ingest time."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        kr31_spark_expr,
+    )
+    from scala_reactivex_spark.operators.llm_signals import WM_Z_FLAG_1E4
+
+    kr = kr31_spark_expr("t")
+    n = F.size(F.split("text", " "))
+    n_green = F.size(
+        F.expr(f"filter(split(text, ' '), t -> ({kr}) % 2 = 0)")
+    )
+    base = sdf.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tok"),
+        n_green.cast("bigint").alias("n_green"),
+    )
+    z = F.floor(
+        (2 * F.col("n_green") - F.col("n_tok")).cast("double")
+        / F.sqrt(F.col("n_tok").cast("double"))
+        * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return base.select(
+        "doc_id",
+        "n_tok",
+        "n_green",
+        z.alias("z_1e4"),
+        (z > WM_Z_FLAG_1E4).cast("int").alias("flagged"),
+    )

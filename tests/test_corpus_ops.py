@@ -389,3 +389,44 @@ def test_simhash_nn_symmetric_and_optimal(spark, sf_dir):
         assert 0 <= r["hamming"] <= SIMHASH_NN_HAM_T
         back = rows.get(r["nn_id"])
         assert back is not None and back["hamming"] <= r["hamming"]
+
+
+def test_lang_confusion_partitions_docs(spark, sf_dir):
+    """Matrix cells partition the corpus; row shares near-sum to 1e4
+    within floor slack; diagonal dominance sanity (the classifier beats
+    chance on its own training corpus)."""
+    from scala_reactivex_spark.operators.llm_text import llm_lang_confusion
+
+    rows = llm_lang_confusion(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    by_true: dict[str, list] = {}
+    for r in rows:
+        by_true.setdefault(r["lang_true"], []).append(r)
+    diag = total = 0
+    for t, rs in by_true.items():
+        s = sum(r["row_share_1e4"] for r in rs)
+        assert 10000 - len(rs) < s <= 10000
+        diag += sum(r["n"] for r in rs if r["lang_pred"] == t)
+        total += sum(r["n"] for r in rs)
+    n_langs = len(by_true)
+    assert diag * n_langs > total  # better than uniform guessing
+
+
+def test_gapfill_spine_complete(spark, sf_dir):
+    """Every (type, day) in the observed [min, max] range appears
+    exactly once, gap rows are zero, and non-gap rows re-sum to the
+    event count."""
+    from scala_reactivex_spark.operators.timeseries import rel_gapfill
+
+    rows = rel_gapfill(spark, sf_dir).collect()
+    days = {r["day"] for r in rows}
+    lo, hi = min(days), max(days)
+    types = {r["event_type"] for r in rows}
+    assert len(rows) == len(types) * (hi - lo + 1)
+    total = 0
+    for r in rows:
+        if r["is_gap"]:
+            assert r["n"] == 0
+        total += r["n"]
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()

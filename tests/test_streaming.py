@@ -626,3 +626,24 @@ def test_twin_count_min_equals_batch_cells(
     )
     want = {(r["d"], r["bucket"]): r["count"] for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_twin_watermark_detect_equals_batch(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """The stateless streaming watermark screen reproduces the batch
+    decision table exactly."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        llm_watermark_detect,
+    )
+
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_watermark_detect(sdf), "t_wm", ckpt
+    )
+    key = lambda r: (  # noqa: E731
+        r["doc_id"], r["n_tok"], r["n_green"], r["z_1e4"], r["flagged"]
+    )
+    assert {key(r) for r in out.collect()} == {
+        key(r) for r in llm_watermark_detect(spark, sf_dir).collect()
+    }
