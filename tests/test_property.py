@@ -163,3 +163,56 @@ def test_sign_lsh_config_invariants():
         rows, bands = sign_lsh_config(t)
         assert rows * bands <= N_HYPERPLANES
         assert bands * (2.0**-rows) <= 0.04, (t, rows, bands)
+
+
+@given(
+    tokens=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=16,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_kr31_portable_hash_three_way_parity(spark, tokens):
+    """Foundation law for every sketch oracle (MinHash, SimHash, CM,
+    DSIR, Bloom...): the Karp-Rabin 31-bit fold must agree EXACTLY
+    between the Spark SQL expression, the DuckDB expression, and an
+    independent pure-Python fold, for arbitrary printable-ASCII
+    tokens including the empty string."""
+    import duckdb
+
+    from scala_reactivex_spark.functions.portable_hash import (
+        KR_BASE,
+        P31,
+        kr31_duck_expr,
+        kr31_spark_expr,
+    )
+
+    def pure(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * KR_BASE + ord(ch)) % P31
+        return acc
+
+    df = spark.createDataFrame([(t,) for t in tokens], "t string")
+    got_spark = {
+        r["t"]: r["h"]
+        for r in df.selectExpr(
+            "t", f"{kr31_spark_expr('t')} AS h"
+        ).collect()
+    }
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            f"SELECT t, {kr31_duck_expr('t')} AS h FROM "
+            "(SELECT unnest(?) AS t)",
+            [tokens],
+        ).fetchall()
+    )
+    for t in tokens:
+        assert got_spark[t] == got_duck[t] == pure(t), repr(t)
