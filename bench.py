@@ -158,6 +158,8 @@ BEYOND_BASELINE = {
     "op_buffer_slide",
     "llm_lang_confusion",
     "rel_gapfill",
+    "llm_cluster_stats",
+    "llm_neg_sampling",
 }
 
 

@@ -843,3 +843,64 @@ SELECT lang_true, lang_pred, n,
             AS BIGINT) AS row_share_1e4
 FROM cells
 """
+
+
+NEG_SAMPLE_POW_1E2 = 75  # word2vec's 3/4 damping exponent
+
+
+@register(
+    "llm_neg_sampling",
+    tier="T3",
+    doc="Negative-sampling table (word2vec/GloVe prep): per token the "
+    "damped sampling weight f^0.75 (pinned to 1e6 integers on "
+    "identical pow doubles), the normalized probability (1e6, integer "
+    "floor over the exact integer weight sum) and the cumulative "
+    "bucket boundary a sampler would binary-search.  Scale shape: one "
+    "corpus aggregate to |V| rows; the cumulative window runs over "
+    "the VOCABULARY in deterministic (token) order.",
+    oracle="""
+WITH tf AS (
+  SELECT token, count(*) AS f FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+), w AS (
+  SELECT token, CAST(f AS BIGINT) AS f,
+         CAST(floor(pow(CAST(f AS DOUBLE), 0.75) * 1000000 + 0.5)
+              AS BIGINT) AS w1e6
+  FROM tf
+), s AS (
+  SELECT CAST(sum(w1e6) AS BIGINT) AS tot FROM w
+)
+SELECT w.token, w.f, w.w1e6,
+       CAST(w.w1e6 * 1000000 // s.tot AS BIGINT) AS p_1e6,
+       CAST(sum(w.w1e6) OVER (ORDER BY w.token
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_w1e6
+FROM w CROSS JOIN s
+""",
+)
+def llm_neg_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    w = tf.withColumn(
+        "w1e6",
+        F.floor(
+            F.pow(F.col("f").cast("double"), F.lit(0.75)) * 1_000_000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    s = w.agg(F.sum("w1e6").cast("bigint").alias("tot"))
+    cum = Window.orderBy("token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return w.crossJoin(F.broadcast(s)).select(
+        "token",
+        "f",
+        "w1e6",
+        F.expr("CAST(w1e6 * 1000000 DIV tot AS BIGINT)").alias("p_1e6"),
+        F.sum("w1e6").over(cum).cast("bigint").alias("cum_w1e6"),
+    )

@@ -430,3 +430,45 @@ def test_gapfill_spine_complete(spark, sf_dir):
             assert r["n"] == 0
         total += r["n"]
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_cluster_stats_conserves_members(spark, sf_dir):
+    """Histogram identities: docs = clusters × size, droppable = docs -
+    clusters, totals equal the membership table."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        llm_cluster_stats,
+        llm_dedup_minhash_cluster,
+    )
+
+    rows = llm_cluster_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] == r["n_clusters"] * r["cluster_size"]
+        assert r["n_droppable"] == r["n_docs"] - r["n_clusters"]
+        assert r["cluster_size"] >= 2  # singletons never enter the graph
+    members = llm_dedup_minhash_cluster(spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == members
+
+
+def test_neg_sampling_table_laws(spark, sf_dir):
+    """Damping must compress the distribution (max p under f^0.75 is
+    below max raw share), the cumulative column telescopes in token
+    order, and probabilities near-sum to 1e6."""
+    from scala_reactivex_spark.operators.llm_text import llm_neg_sampling
+
+    rows = sorted(
+        llm_neg_sampling(spark, sf_dir).collect(),
+        key=lambda r: r["token"],
+    )
+    tot_f = sum(r["f"] for r in rows)
+    tot_w = sum(r["w1e6"] for r in rows)
+    run = 0
+    for r in rows:
+        run += r["w1e6"]
+        assert r["cum_w1e6"] == run
+        assert r["p_1e6"] == r["w1e6"] * 1_000_000 // tot_w
+    max_raw = max(r["f"] / tot_f for r in rows)
+    max_damped = max(r["p_1e6"] for r in rows) / 1e6
+    assert max_damped <= max_raw + 1e-6
+    s = sum(r["p_1e6"] for r in rows)
+    assert 1_000_000 - len(rows) < s <= 1_000_000
