@@ -160,6 +160,7 @@ BEYOND_BASELINE = {
     "rel_gapfill",
     "llm_cluster_stats",
     "llm_neg_sampling",
+    "llm_bpb",
 }
 
 

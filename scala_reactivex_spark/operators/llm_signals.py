@@ -1287,3 +1287,54 @@ def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_1e4"),
         (z > WM_Z_FLAG_1E4).cast("int").alias("flagged"),
     )
+
+
+@register(
+    "llm_bpb",
+    tier="T3",
+    doc="Bits-per-byte LM evaluation — the compression-is-prediction "
+    "number model papers report: per language, the corpus unigram-LM "
+    "cross entropy converted to bits (micro-log10 sums × log2(10)) "
+    "over the byte volume, in 1e4 integer units.  The oracle embeds "
+    "llm_unigram_lm's green oracle, so the metric grades as a "
+    "composition of graded parts; the only floating step is ONE "
+    "division of two exact integers per language times one literal "
+    "constant — identical IEEE in both engines.  Scale shape: per-doc "
+    "scores reduce to a bounded per-lang rollup.",
+    oracle=None,  # assigned below (embeds llm_unigram_lm's oracle)
+)
+def llm_bpb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = llm_unigram_lm(spark, sf_dir).select(
+        "doc_id", "logp_sum_1e6"
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    j = docs.join(scores, "doc_id")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_bytes"),
+        F.expr(
+            "CAST(floor(CAST(-sum(logp_sum_1e6) AS DOUBLE)"
+            " * 3.321928094887362 / 1000000.0"
+            " / CAST(sum(n_chars) AS DOUBLE) * 10000 + 0.5) AS BIGINT)"
+        ).alias("bpb_1e4"),
+    )
+
+
+from scala_reactivex_spark.plans.registry import peek as _peek_bpb  # noqa: E402
+
+_peek_bpb("llm_bpb").oracle = f"""
+WITH scores AS (
+{_peek_bpb("llm_unigram_lm").oracle}
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS n_bytes,
+       CAST(floor(CAST(-sum(s.logp_sum_1e6) AS DOUBLE)
+            * 3.321928094887362 / 1000000.0
+            / CAST(sum(d.n_chars) AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+         AS bpb_1e4
+FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+GROUP BY d.lang
+"""

@@ -365,3 +365,24 @@ def test_watermark_z_arithmetic(spark, sf_dir):
         assert r["flagged"] == int(z > WM_Z_FLAG_1E4)
         flagged += r["flagged"]
     assert flagged < len(rows) // 2
+
+
+def test_bpb_plausible_and_consistent(spark, sf_dir):
+    """bpb must be positive (a real LM never compresses to zero bits),
+    bounded by a generous ceiling for a 31-token corpus, and byte
+    totals must partition the corpus."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.llm_signals import llm_bpb
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = llm_bpb(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["bpb_1e4"] < 50000  # < 5 bits/byte
+    tot = (
+        table(spark, sf_dir, "documents")
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_bytes"] for r in rows) == tot
