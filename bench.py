@@ -161,6 +161,7 @@ BEYOND_BASELINE = {
     "llm_cluster_stats",
     "llm_neg_sampling",
     "llm_bpb",
+    "llm_span_corruption",
 }
 
 

@@ -1305,3 +1305,71 @@ def llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "temp_share_1e4"
         ),
     )
+
+
+MASK_RATE_PCT = 15  # target masked-token share (T5's 15%)
+
+
+@register(
+    "llm_span_corruption",
+    tier="T3",
+    doc="Span-corruption planning (T5/UL2 denoising objective): each "
+    "token position masks iff a portable position hash "
+    "((doc_id·1000003 + i) mod p mod 100) falls under "
+    f"{MASK_RATE_PCT}%, and adjacent masked positions merge into "
+    "SPANS via per-row array math (the sentinel-token count a T5 "
+    "encoder actually sees).  Fully deterministic — same plan on any "
+    "engine, rerun, or cluster size; no RNG state.  Emits per doc: "
+    "tokens, masked count, span count, and the masked share (1e4). "
+    " Scale shape: pure per-row transforms on the token array — zero "
+    "shuffles, zero joins, zero state.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         list_transform(range(1, len(string_split(text, ' ')) + 1),
+           i -> CASE WHEN ((doc_id * 1000003 + i) % 2147483647) % 100
+                          < {MASK_RATE_PCT}
+                     THEN 1 ELSE 0 END) AS m
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(list_sum(m) AS BIGINT) AS n_masked,
+       CAST(list_sum(list_transform(range(1, len(m) + 1),
+              i -> CASE WHEN m[i] = 1
+                         AND (i = 1 OR m[i - 1] = 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS n_spans,
+       CAST(list_sum(m) * 10000 // n_tok AS BIGINT) AS mask_share_1e4
+FROM t
+""",
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.expr(
+        "transform(sequence(1, size(split(text, ' '))), "
+        f"i -> IF(((doc_id * 1000003 + i) % 2147483647) % 100"
+        f" < {MASK_RATE_PCT}, 1, 0))"
+    )
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        m.alias("m"),
+    )
+    n_masked = F.expr(
+        "aggregate(m, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    n_spans = F.expr(
+        "aggregate(transform(sequence(1, size(m)), "
+        "i -> IF(element_at(m, i) = 1 AND "
+        "(i = 1 OR element_at(m, i - 1) = 0), 1, 0)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return t.select(
+        "doc_id",
+        "n_tok",
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+        F.expr(
+            "CAST(aggregate(m, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            " * 10000 DIV n_tok AS BIGINT)"
+        ).alias("mask_share_1e4"),
+    )

@@ -472,3 +472,22 @@ def test_neg_sampling_table_laws(spark, sf_dir):
     assert max_damped <= max_raw + 1e-6
     s = sum(r["p_1e6"] for r in rows)
     assert 1_000_000 - len(rows) < s <= 1_000_000
+
+
+def test_span_corruption_rate_and_spans(spark, sf_dir):
+    """Mask laws: spans never exceed masked tokens (each span holds >= 1),
+    corpus-wide mask share lands near the 15% target, and share
+    arithmetic is exact."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        llm_span_corruption,
+    )
+
+    rows = llm_span_corruption(spark, sf_dir).collect()
+    tot = masked = 0
+    for r in rows:
+        assert 0 <= r["n_spans"] <= r["n_masked"] <= r["n_tok"]
+        assert r["mask_share_1e4"] == r["n_masked"] * 10000 // r["n_tok"]
+        tot += r["n_tok"]
+        masked += r["n_masked"]
+    share = masked / tot
+    assert 0.12 < share < 0.18
