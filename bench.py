@@ -162,6 +162,8 @@ BEYOND_BASELINE = {
     "llm_neg_sampling",
     "llm_bpb",
     "llm_span_corruption",
+    "op_take_last",
+    "op_window_toggle",
 }
 
 

@@ -420,3 +420,119 @@ def op_buffer_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ms").cast("bigint").alias("first_ms"),
         F.max("ms").cast("bigint").alias("last_ms"),
     )
+
+
+TAKE_LAST_N = 5
+
+
+@register(
+    "op_take_last",
+    tier="T1",
+    doc=f"takeLast(n)/skipLast boundary [RX:takeLast]: the LAST "
+    f"{TAKE_LAST_N} elements of each per-user stream, tagged with "
+    "their tail position (1 = final element) — the complement of "
+    "op_take/op_skip, which cover the head side.  A descending rank "
+    "over the SAME (ts, event_id) total order; rows outside the tail "
+    "are exactly Rx's skipLast output, so one rank covers both "
+    "operators.  Scale shape: one window on the standard per-user "
+    "partitioning — no extra shuffle.",
+    oracle=f"""
+WITH x AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT user_id, event_id, ms, event_type,
+       CAST(rd AS BIGINT) AS tail_pos
+FROM x WHERE rd <= {TAKE_LAST_N}
+""",
+)
+def op_take_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rd", F.row_number().over(w_user_desc()))
+        .where(F.col("rd") <= TAKE_LAST_N)
+        .select(
+            "user_id",
+            "event_id",
+            "ms",
+            "event_type",
+            F.col("rd").cast("bigint").alias("tail_pos"),
+        )
+    )
+
+
+@register(
+    "op_window_toggle",
+    tier="T1",
+    doc="window(openings, closings) [RX:window]: per user, a window "
+    "OPENS at each signup event and CLOSES at the first error strictly "
+    "after it; every event is assigned to the most recent open window "
+    "whose close it precedes (as-of opening via last-ignorenulls on "
+    "one partitioned order, close via a per-window min over the "
+    "window-id key).  Events before the first signup or after their "
+    "window's close fall outside every window — dropped, matching Rx. "
+    " Scale shape: both window passes ride the per-user shuffle; the "
+    "close lookup joins on the (user, window) key.",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, ts, epoch_ms(ts) AS ms, event_type,
+         max(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS win_open
+  FROM events
+), c AS (
+  SELECT user_id, win_open, min(ts) AS win_close
+  FROM o WHERE event_type = 'error' AND ts > win_open
+  GROUP BY user_id, win_open
+)
+SELECT o.user_id, CAST(epoch_ms(o.win_open) AS BIGINT) AS window_ms,
+       o.event_id, o.ms, o.event_type
+FROM o LEFT JOIN c
+  ON o.user_id = c.user_id AND o.win_open = c.win_open
+WHERE o.win_open IS NOT NULL
+  AND (c.win_close IS NULL OR o.ts <= c.win_close)
+""",
+)
+def op_window_toggle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = ev.withColumn(
+        "win_open",
+        F.max(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).over(w),
+    )
+    c = (
+        o.where(
+            (F.col("event_type") == "error")
+            & (F.col("ts") > F.col("win_open"))
+        )
+        .groupBy("user_id", "win_open")
+        .agg(F.min("ts").alias("win_close"))
+    )
+    return (
+        o.join(c, ["user_id", "win_open"], "left")
+        .where(
+            F.col("win_open").isNotNull()
+            & (
+                F.col("win_close").isNull()
+                | (F.col("ts") <= F.col("win_close"))
+            )
+        )
+        .select(
+            "user_id",
+            F.expr("CAST(win_open DIV 1000000 AS BIGINT)").alias(
+                "window_ms"
+            ),
+            "event_id",
+            "ms",
+            "event_type",
+        )
+    )

@@ -65,6 +65,11 @@ ALLOWED_NESTED_LOOP = {
     "llm_hybrid_rrf",  # 5 broadcast probe rows × corpus stream (RRF fuse)
     "llm_pq_recall",  # composes llm_ann_pq (its bounded LUT crosses)
     "llm_count_min",  # 1-row corpus-total broadcast × audited head terms
+    "llm_bpb",  # composes llm_unigram_lm (its 1-row corpus-total cross)
+    "llm_lang_confusion",  # composes llm_lang_id's broadcast profile join
+    "llm_neg_sampling",  # 1-row weight-sum broadcast × vocab table
+    "rel_cusum_changepoint",  # 1-row mean + 1-row peak broadcasts × days
+    "rel_gapfill",  # 1-row day-bounds broadcast × bounded type dimension
 }
 
 

@@ -549,3 +549,52 @@ def test_buffer_slide_covering_laws(spark, sf_dir):
             min(b["n_in_buffer"], SLIDE_COUNT) for b in bufs
         )
         assert member >= total > 0
+
+
+def test_take_last_complement_law(spark, sf_dir):
+    """takeLast(n) ∪ skipLast(n) = stream: the tail rows plus the
+    non-tail rows partition each user's events, and tail positions
+    count down to the final element."""
+    from scala_reactivex_spark.operators.stateful import (
+        TAKE_LAST_N,
+        op_take_last,
+    )
+
+    tail = {}
+    for r in op_take_last(spark, sf_dir).collect():
+        tail.setdefault(r["user_id"], []).append(r)
+    counts = {
+        r["user_id"]: r["count"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    }
+    for u, rs in tail.items():
+        assert len(rs) == min(TAKE_LAST_N, counts[u])
+        assert sorted(r["tail_pos"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+        # tail_pos 1 is the chronologically last element
+        rs.sort(key=lambda r: r["ms"])
+        assert rs[-1]["tail_pos"] == 1
+
+
+def test_window_toggle_containment(spark, sf_dir):
+    """Every emitted event sits inside [its window's opening, the first
+    error after it]; events before a user's first signup never appear."""
+    from scala_reactivex_spark.operators.stateful import op_window_toggle
+
+    rows = op_window_toggle(spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    first_signup = {}
+    for e in ev:
+        if e["event_type"] == "signup":
+            ts = e["ts"]
+            u = e["user_id"]
+            if u not in first_signup or ts < first_signup[u]:
+                first_signup[u] = ts
+    for r in rows:
+        assert r["window_ms"] <= r["ms"]
+        assert r["user_id"] in first_signup
