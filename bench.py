@@ -164,6 +164,7 @@ BEYOND_BASELINE = {
     "llm_span_corruption",
     "op_take_last",
     "op_window_toggle",
+    "llm_source_scorecard",
 }
 
 

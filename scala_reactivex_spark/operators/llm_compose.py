@@ -234,3 +234,55 @@ def llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_mp_1e4"),
         )
     )
+
+
+@register(
+    "llm_source_scorecard",
+    tier="T3",
+    doc="Per-source scorecard — the one-row-per-feed report a crawl "
+    "partnership is judged by: document count, mean quality (1e4, "
+    "integer floor over DECIMAL-exact sums), duplicate rate and keep "
+    "rate (1e4) from the composed corpus-filter decision table.  The "
+    "oracle nests the green corpus-filter oracle.  Scale shape: one "
+    "bounded-key rollup over the decision table, joined to the "
+    "source dimension.",
+    oracle=f"""
+WITH cf AS (
+{_CORPUS_FILTER_ORACLE}
+), src AS (
+  SELECT doc_id, source FROM documents
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(floor(SUM(CAST(cf.quality AS DECIMAL(38,6))) * 10000
+                  / count(*)) AS BIGINT) AS mean_quality_1e4,
+       CAST(count(*) FILTER (WHERE cf.is_dup) * 10000 // count(*)
+            AS BIGINT) AS dup_rate_1e4,
+       CAST(count(*) FILTER (WHERE cf.keep) * 10000 // count(*)
+            AS BIGINT) AS keep_rate_1e4
+FROM cf JOIN src s ON cf.doc_id = s.doc_id
+GROUP BY s.source
+""",
+)
+def llm_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cf = llm_corpus_filter(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        cf.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(floor(SUM(CAST(quality AS DECIMAL(38,6))) * 10000"
+                " / count(*)) AS BIGINT)"
+            ).alias("mean_quality_1e4"),
+            F.expr(
+                "CAST(count(CASE WHEN is_dup THEN 1 END) * 10000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("dup_rate_1e4"),
+            F.expr(
+                "CAST(count(CASE WHEN keep THEN 1 END) * 10000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("keep_rate_1e4"),
+        )
+    )

@@ -70,6 +70,7 @@ ALLOWED_NESTED_LOOP = {
     "llm_neg_sampling",  # 1-row weight-sum broadcast × vocab table
     "rel_cusum_changepoint",  # 1-row mean + 1-row peak broadcasts × days
     "rel_gapfill",  # 1-row day-bounds broadcast × bounded type dimension
+    "llm_source_scorecard",  # composes llm_corpus_filter (inherited cross)
 }
 
 

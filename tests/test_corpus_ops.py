@@ -491,3 +491,36 @@ def test_span_corruption_rate_and_spans(spark, sf_dir):
         masked += r["n_masked"]
     share = masked / tot
     assert 0.12 < share < 0.18
+
+
+def test_source_scorecard_consistency(spark, sf_dir):
+    """Scorecard cells must re-derive from the decision table: doc
+    counts partition the corpus, rates are exact integer ratios, and a
+    doc can only be kept if it is not a duplicate."""
+    from scala_reactivex_spark.operators.llm_compose import (
+        llm_corpus_filter,
+        llm_source_scorecard,
+    )
+
+    cards = llm_source_scorecard(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(c["n_docs"] for c in cards) == n_docs
+    for c in cards:
+        assert 0 <= c["dup_rate_1e4"] <= 10000
+        assert 0 <= c["keep_rate_1e4"] <= 10000 - 0  # bounded
+        assert c["keep_rate_1e4"] <= 10000 - c["dup_rate_1e4"] + 1
+        assert 0 < c["mean_quality_1e4"] < 10000
+    # spot-check one source against the raw decision table
+    cf = llm_corpus_filter(spark, sf_dir).collect()
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).collect()
+    }
+    s0 = cards[0]["source"]
+    mine = [r for r in cf if src[r["doc_id"]] == s0]
+    assert cards[0]["n_docs"] == len(mine)
+    assert cards[0]["dup_rate_1e4"] == (
+        sum(r["is_dup"] for r in mine) * 10000 // len(mine)
+    )
