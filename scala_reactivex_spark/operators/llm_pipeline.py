@@ -905,6 +905,72 @@ WITH hs AS (
 )"""
 
 
+#: The per-row bigram-bucket expression shared by the batch operator and
+#: the streaming scoring twin (token-hash fold, no explode needed).
+DSIR_BUCKET_ARRAY_EXPR = (
+    "transform(sequence(1, size(h) - 1), "
+    "i -> ((element_at(h, i) * 1000003"
+    " + element_at(h, i + 1)) % 2147483647)"
+    f" % {DSIR_BUCKETS})"
+)
+
+
+def dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, bucket) hashed-bigram feature rows, persisted —
+    three consumers (target counts, raw counts, per-doc scoring) read
+    the one materialization."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.size(F.split("text", " ")) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "transform(split(text, ' '), t -> "
+                + kr31_spark_expr("t")
+                + ")"
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.expr(DSIR_BUCKET_ARRAY_EXPR)).alias("b"),
+        )
+        .persist()
+    )
+
+
+def dsir_delta(feats: DataFrame) -> DataFrame:
+    """(bucket, micro-log10 importance delta) — the trained DSIR model
+    (a 256-row table; the serving twin broadcasts it as a MAP)."""
+    tgt = (
+        feats.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    rawc = feats.groupBy("b").agg(F.count("*").alias("cr"))
+    tots = rawc.join(tgt, "b", "left").agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
+        F.sum("cr").alias("tr"),
+    )
+    pin = (
+        "CAST(floor(log10(CAST({c} + 1 AS DOUBLE)"
+        f" / CAST({{t}} + {DSIR_BUCKETS} AS DOUBLE))"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    return (
+        rawc.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.expr(pin.format(c="coalesce(ct, 0)", t="tt"))
+                - F.expr(pin.format(c="cr", t="tr"))
+            ).alias("d"),
+        )
+    )
+
+
 @register(
     "llm_dsir",
     tier="T3",
@@ -937,59 +1003,8 @@ GROUP BY d.doc_id
 )
 def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    feats = (
-        docs.where(F.size(F.split("text", " ")) >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.expr(
-                "transform(split(text, ' '), t -> "
-                + kr31_spark_expr("t")
-                + ")"
-            ).alias("h"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(h) - 1), "
-                    "i -> ((element_at(h, i) * 1000003"
-                    " + element_at(h, i + 1)) % 2147483647)"
-                    f" % {DSIR_BUCKETS})"
-                )
-            ).alias("b"),
-        )
-        # Three consumers (target counts, raw counts, per-doc scoring) —
-        # persist so the corpus is exploded + char-hashed exactly once.
-        .persist()
-    )
-    tgt = (
-        feats.where(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count("*").alias("ct"))
-    )
-    rawc = feats.groupBy("b").agg(F.count("*").alias("cr"))
-    tots = rawc.join(tgt, "b", "left").agg(
-        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
-        F.sum("cr").alias("tr"),
-    )
-    pin = (
-        "CAST(floor(log10(CAST({c} + 1 AS DOUBLE)"
-        f" / CAST({{t}} + {DSIR_BUCKETS} AS DOUBLE))"
-        " * 1000000 + 0.5) AS BIGINT)"
-    )
-    delta = (
-        rawc.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            (
-                F.expr(pin.format(c="coalesce(ct, 0)", t="tt"))
-                - F.expr(pin.format(c="cr", t="tr"))
-            ).alias("d"),
-        )
-    )
+    feats = dsir_feats(spark, sf_dir)
+    delta = dsir_delta(feats)
     scored = (
         feats.join(F.broadcast(delta), "b")
         .groupBy("doc_id")

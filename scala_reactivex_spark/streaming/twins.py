@@ -1453,3 +1453,63 @@ def twin_watermark_detect(sdf: DataFrame) -> DataFrame:
         z.alias("z_1e4"),
         (z > WM_Z_FLAG_1E4).cast("int").alias("flagged"),
     )
+
+
+def twin_dsir(sdf: DataFrame, delta: DataFrame) -> DataFrame:
+    """Streaming DSIR data selection [T3 — live twin of llm_dsir]: the
+    batch-trained 256-bucket importance model broadcasts as one MAP and
+    each arriving document scores ITSELF per row — token hashes, bigram
+    buckets, map lookups and the integer sum all run inside array HOFs,
+    so selection is a stateless append projection (no explode, no
+    aggregation, no state): the in-flight keep/drop gate of a 100 TB
+    ingest.  Buckets unseen at training time would surface as
+    n_miss > 0 — the drift signal a serving deployment monitors."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        kr31_spark_expr,
+    )
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        DSIR_BUCKET_ARRAY_EXPR,
+    )
+
+    packed = delta.agg(
+        F.map_from_arrays(
+            F.collect_list("b"), F.collect_list("d")
+        ).alias("dm")
+    )
+    base = sdf.select(
+        "doc_id",
+        F.expr(
+            "IF(size(split(text, ' ')) < 2, array(), "
+            "transform(split(text, ' '), t -> "
+            + kr31_spark_expr("t")
+            + "))"
+        ).alias("h"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"IF(size(h) < 2, array(), {DSIR_BUCKET_ARRAY_EXPR})"
+        ).alias("bks"),
+    )
+    return (
+        base.crossJoin(F.broadcast(packed))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(bks) AS BIGINT)").alias("n_feat"),
+            F.expr(
+                "aggregate(bks, CAST(0 AS BIGINT), "
+                "(acc, b) -> acc + coalesce(element_at(dm, b),"
+                " CAST(0 AS BIGINT)))"
+            ).alias("dsir_1e6"),
+            F.expr(
+                "CAST(size(filter(bks, "
+                "b -> element_at(dm, b) IS NULL)) AS BIGINT)"
+            ).alias("n_miss"),
+        )
+        .select(
+            "doc_id",
+            "n_feat",
+            "dsir_1e6",
+            "n_miss",
+            (F.col("dsir_1e6") > 0).cast("int").alias("keep"),
+        )
+    )

@@ -647,3 +647,29 @@ def test_twin_watermark_detect_equals_batch(
     assert {key(r) for r in out.collect()} == {
         key(r) for r in llm_watermark_detect(spark, sf_dir).collect()
     }
+
+
+def test_twin_dsir_equals_batch(spark, sf_dir, docs_stream_src, ckpt):
+    """Per-row streaming DSIR scoring against the broadcast model map
+    equals the batch decision table exactly, with zero OOV misses (the
+    model was trained on the same corpus)."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        dsir_delta,
+        dsir_feats,
+        llm_dsir,
+    )
+
+    delta = dsir_delta(dsir_feats(spark, sf_dir))
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_dsir(sdf, delta), "t_dsir", ckpt
+    ).collect()
+    assert all(r["n_miss"] == 0 for r in out)
+    got = {
+        (r["doc_id"], r["n_feat"], r["dsir_1e6"], r["keep"]) for r in out
+    }
+    want = {
+        (r["doc_id"], r["n_feat"], r["dsir_1e6"], r["keep"])
+        for r in llm_dsir(spark, sf_dir).collect()
+    }
+    assert got == want
