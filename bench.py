@@ -165,6 +165,7 @@ BEYOND_BASELINE = {
     "op_take_last",
     "op_window_toggle",
     "llm_source_scorecard",
+    "rel_ivm_merge",
 }
 
 

@@ -1427,3 +1427,105 @@ def rel_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "rel_ivm_merge",
+    tier="T2",
+    doc="Incremental view maintenance: a per-user aggregate refreshed by "
+    "MERGING yesterday's partial state (epoch-days with day%4 != 0) "
+    "with today's delta partition (day%4 = 0) — counts add, "
+    "DECIMAL-exact sums add, maxes take greatest — and the merged view "
+    "is checked cell-for-cell against a full recompute, emitting the "
+    "match flag as data.  This algebraic mergeability is WHY a 100 TB "
+    "rollup refreshes by partition instead of rescanning history "
+    "(and why AVG must be carried as sum+count, never averaged "
+    "averages).  Scale shape: two partition-pruned aggregates + one "
+    "keyed merge join; the audit recompute is the declared check cost.",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, value, epoch_ms(ts) AS ms,
+         (epoch_ms(ts) // 86400000) % 4 = 0 AS is_delta
+  FROM events
+), base AS (
+  SELECT user_id, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(38,6))) AS s, max(ms) AS m
+  FROM tagged WHERE NOT is_delta GROUP BY user_id
+), delta AS (
+  SELECT user_id, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(38,6))) AS s, max(ms) AS m
+  FROM tagged WHERE is_delta GROUP BY user_id
+), merged AS (
+  SELECT coalesce(b.user_id, d.user_id) AS user_id,
+         coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+         coalesce(b.s, 0) + coalesce(d.s, 0) AS s,
+         greatest(coalesce(b.m, 0), coalesce(d.m, 0)) AS m
+  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+), full_v AS (
+  SELECT user_id, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(38,6))) AS s, max(ms) AS m
+  FROM tagged GROUP BY user_id
+)
+SELECT m.user_id, CAST(m.n AS BIGINT) AS n,
+       ROUND(CAST(m.s AS DOUBLE), 4) AS total,
+       CAST(m.m AS BIGINT) AS last_ms,
+       CAST(m.n = f.n AND m.s = f.s AND m.m = f.m AS INT) AS ivm_ok
+FROM merged m JOIN full_v f ON m.user_id = f.user_id
+""",
+)
+def rel_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        "ms",
+        (F.expr("(ms DIV 86400000) % 4") == 0).alias("is_delta"),
+    )
+    dec = F.sum(F.col("value").cast("decimal(38,6)"))
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"), dec.alias("s"), F.max("ms").alias("m")
+        )
+
+    base = agg(tagged.where(~F.col("is_delta")))
+    delta = agg(tagged.where("is_delta"))
+    b = base.alias("b")
+    d = delta.alias("d")
+    merged = (
+        b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+        .select(
+            F.coalesce("b.user_id", "d.user_id").alias("user_id"),
+            (
+                F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(38,6)"))
+            ).alias("s"),
+            F.greatest(
+                F.coalesce("b.m", F.lit(0)), F.coalesce("d.m", F.lit(0))
+            ).alias("m"),
+        )
+    )
+    full_v = agg(tagged).select(
+        F.col("user_id").alias("f_user"),
+        F.col("n").alias("fn"),
+        F.col("s").alias("fs"),
+        F.col("m").alias("fm"),
+    )
+    return (
+        merged.join(full_v, merged.user_id == full_v.f_user)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("s").cast("double"), 4).alias("total"),
+            F.col("m").cast("bigint").alias("last_ms"),
+            (
+                (F.col("n") == F.col("fn"))
+                & (F.col("s") == F.col("fs"))
+                & (F.col("m") == F.col("fm"))
+            )
+            .cast("int")
+            .alias("ivm_ok"),
+        )
+    )

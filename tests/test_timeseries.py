@@ -222,3 +222,19 @@ def test_cusum_telescopes_and_unique_changepoint(spark, sf_dir):
     cps = [r for r in rows if r["is_changepoint"]]
     assert len(cps) == 1
     assert abs(cps[0]["cusum"]) == max(abs(r["cusum"]) for r in rows)
+
+
+def test_ivm_merge_law_holds_everywhere(spark, sf_dir):
+    """The IVM check flag must be 1 for EVERY user (mergeability is an
+    algebraic identity, not a statistical property), users partition
+    the fact table, and totals re-sum to the corpus."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.relational import rel_ivm_merge
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = rel_ivm_merge(spark, sf_dir).collect()
+    assert rows and all(r["ivm_ok"] == 1 for r in rows)
+    ev = table(spark, sf_dir, "events")
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert len(rows) == ev.select("user_id").distinct().count()
