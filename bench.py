@@ -166,6 +166,7 @@ BEYOND_BASELINE = {
     "op_window_toggle",
     "llm_source_scorecard",
     "rel_ivm_merge",
+    "llm_budget_select",
 }
 
 

@@ -21,7 +21,7 @@ pass; the decision join itself shuffles only (doc_id, few columns).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Importing the modules guarantees their @register blocks ran (and gives
@@ -285,4 +285,122 @@ def llm_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " DIV count(*) AS BIGINT)"
             ).alias("keep_rate_1e4"),
         )
+    )
+
+
+BUDGET_DIV = 3  # select the best ~1/3 of corpus tokens
+
+
+@register(
+    "llm_budget_select",
+    tier="T3",
+    doc="Token-budget corpus selection — 'give me the best N tokens': "
+    "docs are admitted by quality band (4-dp scores ARE exact integer "
+    "1e4 bands) from the top down; whole bands whose cumulative tokens "
+    "fit the budget (total/3) enter outright, the single straddling "
+    "band admits docs in content-hash order until the remainder is "
+    "spent, and an exact boundary hit simply yields no straddling band "
+    "(per-band conditions, no sentinel cases).  The corpus-wide 'sort "
+    "by quality' this replaces would be a global sort; here the only "
+    "corpus-wide structure is the BOUNDED band histogram (the "
+    "ppl_filter/curriculum trick), and the one positional window runs "
+    "inside the straddling band alone.  Emits per doc: band, tokens, "
+    "keep flag and admission reason (band/marginal/out).",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(floor(ROUND(
+           (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                 THEN 1.0 ELSE 0.5 END)
+           * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the', 'a'))) AS DOUBLE)
+              / len(string_split(text, ' ')))
+           * (CAST(len(list_distinct(string_split(text, ' ')))
+                   AS DOUBLE) / len(string_split(text, ' '))), 4)
+           * 10000 + 0.5) AS BIGINT) AS band,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         ((instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+          + instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) * 256
+         + (instr('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16
+         + instr('0123456789abcdef', substr(md5(text), 6, 1)) - 1 AS u16
+  FROM documents
+), hist AS (
+  SELECT band, sum(n_tok) AS btok FROM q GROUP BY band
+), cum AS (
+  SELECT band, btok,
+         coalesce(sum(btok) OVER (ORDER BY band DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS above
+  FROM hist
+), budget AS (
+  SELECT CAST(sum(n_tok) // {{BUDGET_DIV}} AS BIGINT) AS b FROM q
+), ranked AS (
+  SELECT q.doc_id, q.band, q.n_tok, c.above, c.btok, bu.b,
+         sum(q.n_tok) OVER (PARTITION BY q.band
+             ORDER BY q.u16, q.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mcum
+  FROM q JOIN cum c ON q.band = c.band CROSS JOIN budget bu
+)
+SELECT doc_id, band, n_tok,
+       CASE
+         WHEN above + btok <= b THEN 'band'
+         WHEN above < b AND above + mcum <= b THEN 'marginal'
+         ELSE 'out'
+       END AS reason,
+       CAST(above + btok <= b
+            OR (above < b AND above + mcum <= b) AS INT) AS keep
+FROM ranked
+""".format(BUDGET_DIV=BUDGET_DIV),
+)
+def llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hexpos = (
+        "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
+    )
+    _, _, quality = llm_text.quality_col()
+    q = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(quality * 10000 + F.lit(0.5)).cast("bigint").alias("band"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.expr(
+            f"(({hexpos.format(3)} - 1) * 16 + {hexpos.format(4)} - 1)"
+            f" * 256 + ({hexpos.format(5)} - 1) * 16"
+            f" + {hexpos.format(6)} - 1"
+        ).alias("u16"),
+    )
+    hist = q.groupBy("band").agg(F.sum("n_tok").alias("btok"))
+    wdesc = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "above", F.coalesce(F.sum("btok").over(wdesc), F.lit(0))
+    )
+    budget = q.agg(
+        F.expr(f"CAST(sum(n_tok) DIV {BUDGET_DIV} AS BIGINT)").alias("b")
+    )
+    wm = (
+        Window.partitionBy("band")
+        .orderBy("u16", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        q.join(F.broadcast(cum), "band")
+        .crossJoin(F.broadcast(budget))
+        .withColumn("mcum", F.sum("n_tok").over(wm))
+    )
+    band_in = F.col("above") + F.col("btok") <= F.col("b")
+    marginal_in = (F.col("above") < F.col("b")) & (
+        F.col("above") + F.col("mcum") <= F.col("b")
+    )
+    reason = (
+        F.when(band_in, F.lit("band"))
+        .when(marginal_in, F.lit("marginal"))
+        .otherwise(F.lit("out"))
+    )
+    return ranked.select(
+        "doc_id",
+        "band",
+        "n_tok",
+        reason.alias("reason"),
+        (band_in | marginal_in).cast("int").alias("keep"),
     )

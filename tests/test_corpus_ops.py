@@ -524,3 +524,41 @@ def test_source_scorecard_consistency(spark, sf_dir):
     assert cards[0]["dup_rate_1e4"] == (
         sum(r["is_dup"] for r in mine) * 10000 // len(mine)
     )
+
+
+def test_budget_select_respects_budget_and_order(spark, sf_dir):
+    """Selection laws: kept tokens never exceed the budget but get
+    within one marginal doc of it; no kept doc has a lower band than
+    any dropped doc outside the marginal band (quality-monotone
+    admission); reasons are consistent with bands."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.llm_compose import (
+        BUDGET_DIV,
+        llm_budget_select,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = llm_budget_select(spark, sf_dir).collect()
+    total = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    budget = total // BUDGET_DIV
+    kept = [r for r in rows if r["keep"]]
+    dropped = [r for r in rows if not r["keep"]]
+    kept_tokens = sum(r["n_tok"] for r in kept)
+    assert kept_tokens <= budget
+    max_doc = max(r["n_tok"] for r in rows)
+    assert kept_tokens > budget - max_doc, "budget nearly exhausted"
+    if dropped:
+        worst_kept = min(r["band"] for r in kept)
+        best_dropped = max(r["band"] for r in dropped)
+        assert worst_kept >= best_dropped
+    for r in rows:
+        if r["reason"] == "band":
+            assert r["keep"] == 1
+        if r["reason"] == "out":
+            assert r["keep"] == 0
