@@ -167,6 +167,7 @@ BEYOND_BASELINE = {
     "llm_source_scorecard",
     "rel_ivm_merge",
     "llm_budget_select",
+    "rel_lateness_profile",
 }
 
 

@@ -514,3 +514,72 @@ def rel_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         F.isnull("n").cast("int").alias("is_gap"),
     )
+
+
+@register(
+    "rel_lateness_profile",
+    tier="T2",
+    doc="Event-lateness profile — the measurement that SIZES a streaming "
+    "watermark instead of guessing it: per event, lateness = how far "
+    "behind the per-user running maximum timestamp it arrived, "
+    "bucketed into power-of-two second bands (integer bit length, the "
+    "seq_len_hist idiom) with counts and the max observed.  A "
+    "watermark of the p99 band bounds dropped-late-data risk "
+    "explicitly.  The fixture's events are perfectly ts-ordered, so "
+    "arrival order is a DETERMINISTIC shuffled ingest replay (LCG "
+    "permutation of event_id — both engines compute the identical "
+    "key); on real data the ingest sequence column plays this role.  "
+    "Scale shape: one running-max window on the per-user arrival "
+    "order, one bounded histogram aggregate.",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+         max(epoch_ms(ts)) OVER (PARTITION BY user_id
+             ORDER BY (event_id * 1103515245 + 12345) % 2147483648,
+                      event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS high
+  FROM events
+), lat AS (
+  SELECT CASE WHEN high IS NULL OR high <= ms THEN 0
+              ELSE (high - ms) // 1000 END AS late_s
+  FROM o
+), b AS (
+  SELECT CASE WHEN late_s = 0 THEN 0
+              ELSE length(bin(CAST(late_s AS BIGINT))) END AS bucket,
+         late_s
+  FROM lat
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(late_s) AS BIGINT) AS max_late_s
+FROM b GROUP BY bucket
+""",
+)
+def rel_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arrival = F.expr("(event_id * 1103515245 + 12345) % 2147483648")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(arrival, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ms",
+        F.max("ms").over(w).alias("high"),
+    )
+    late_s = F.when(
+        F.col("high").isNull() | (F.col("high") <= F.col("ms")), F.lit(0)
+    ).otherwise(F.expr("(high - ms) DIV 1000"))
+    b = o.select(late_s.alias("late_s")).select(
+        F.when(F.col("late_s") == 0, F.lit(0))
+        .otherwise(F.length(F.bin("late_s")))
+        .cast("bigint")
+        .alias("bucket"),
+        "late_s",
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )

@@ -238,3 +238,22 @@ def test_ivm_merge_law_holds_everywhere(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     assert sum(r["n"] for r in rows) == ev.count()
     assert len(rows) == ev.select("user_id").distinct().count()
+
+
+def test_lateness_profile_covers_events(spark, sf_dir):
+    """Histogram counts cover every event; bucket k (k>=1) holds
+    latenesses in [2^(k-1), 2^k); bucket 0 = in-order arrivals, which
+    exist (each user's first arrival is never late)."""
+    from scala_reactivex_spark.operators.timeseries import (
+        rel_lateness_profile,
+    )
+
+    rows = {r["bucket"]: r for r in
+            rel_lateness_profile(spark, sf_dir).collect()}
+    total = sum(r["n"] for r in rows.values())
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert 0 in rows and rows[0]["max_late_s"] == 0
+    assert len(rows) > 1, "shuffled replay must produce real lateness"
+    for k, r in rows.items():
+        if k >= 1:
+            assert 2 ** (k - 1) <= r["max_late_s"] < 2 ** k
