@@ -1513,3 +1513,85 @@ def twin_dsir(sdf: DataFrame, delta: DataFrame) -> DataFrame:
             (F.col("dsir_1e6") > 0).cast("int").alias("keep"),
         )
     )
+
+
+def _budget_gate_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming budget admission: state = tokens already admitted from
+    this (straddling) band; a doc passes iff the running total stays
+    inside the band's remainder.  Prefix-greedy in arrival order —
+    the same rule as the batch operator, with arrival replacing the
+    content-hash order.  Integer state: exact, replay-safe."""
+    (cum,) = state.get if state.exists else (0,)
+    cum = int(cum)
+    for pdf in batches:
+        pdf = pdf.sort_values("doc_id")
+        keeps = []
+        for n, rem in zip(pdf["n_tok"], pdf["rem"]):
+            admit = cum + int(n) <= int(rem)
+            if admit:
+                cum += int(n)
+            keeps.append(int(admit))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "band": pdf["band"],
+                "n_tok": pdf["n_tok"],
+                "keep": pd.Series(keeps, index=pdf.index, dtype="int32"),
+                "reason": "marginal",
+            }
+        )
+    state.update((cum,))
+
+
+def twin_budget_gate(sdf: DataFrame, gate: DataFrame) -> DataFrame:
+    """Streaming token-budget gate [T3 — live twin of llm_budget_select]:
+    the batch-trained band plan (per-band cumulative position + budget)
+    broadcasts onto the stream; full-admit bands pass STATELESSLY, "
+    "out-bands drop statelessly, and only the single straddling band "
+    "routes through a per-band token counter "
+    "(applyInPandasWithState) that admits prefix-greedily in arrival "
+    "order until the remainder is spent — a rate limiter whose state "
+    "is ONE integer.  The batch twin admits the same band/out sets; "
+    "the marginal set differs only by admission order (arrival vs "
+    "content hash), with the same budget bound — asserted in the "
+    "equivalence test."""
+    from scala_reactivex_spark.operators.llm_text import quality_col
+
+    _, _, quality = quality_col()
+    q = sdf.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.floor(quality * 10000 + F.lit(0.5)).cast("bigint").alias("band"),
+    ).join(F.broadcast(gate), "band")
+    band_in = F.col("above") + F.col("btok") <= F.col("b")
+    marginal = (~band_in) & (F.col("above") < F.col("b"))
+    stateless = q.where(~marginal).select(
+        "doc_id",
+        "band",
+        "n_tok",
+        band_in.cast("int").alias("keep"),
+        F.when(band_in, F.lit("band")).otherwise(F.lit("out")).alias(
+            "reason"
+        ),
+    )
+    gated = (
+        q.where(marginal)
+        .withColumn("rem", F.col("b") - F.col("above"))
+        .select("doc_id", "band", "n_tok", "rem")
+        .groupBy("band")
+        .applyInPandasWithState(
+            _budget_gate_fn,
+            outputStructType=(
+                "doc_id BIGINT, band BIGINT, n_tok BIGINT, "
+                "keep INT, reason STRING"
+            ),
+            stateStructType="cum BIGINT",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return stateless.unionByName(gated)

@@ -673,3 +673,68 @@ def test_twin_dsir_equals_batch(spark, sf_dir, docs_stream_src, ckpt):
         for r in llm_dsir(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_twin_budget_gate_equals_batch_up_to_order(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """The streaming gate must match the batch selection exactly on the
+    deterministic band/out slices; on the straddling band (admission
+    order differs: arrival vs content hash) it must spend the SAME
+    remainder — within one maximal doc — and never overshoot."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.llm_compose import (
+        BUDGET_DIV,
+        llm_budget_select,
+    )
+    from scala_reactivex_spark.operators.llm_text import quality_col
+    from scala_reactivex_spark.sources.catalog import table
+
+    # Rebuild the batch-side band plan (gate frame).
+    _, _, quality = quality_col()
+    q = table(spark, sf_dir, "documents").select(
+        F.floor(quality * 10000 + F.lit(0.5)).cast("bigint").alias("band"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    hist = q.groupBy("band").agg(F.sum("n_tok").alias("btok"))
+    from pyspark.sql import Window
+
+    wdesc = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn(
+        "above", F.coalesce(F.sum("btok").over(wdesc), F.lit(0))
+    )
+    budget = q.agg(
+        F.expr(f"CAST(sum(n_tok) DIV {BUDGET_DIV} AS BIGINT)").alias("b")
+    )
+    gate = cum.crossJoin(F.broadcast(budget))
+
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_budget_gate(sdf, gate), "t_gate", ckpt
+    ).collect()
+    batch = llm_budget_select(spark, sf_dir).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert len(got) == len(batch)
+    rem = None
+    stream_marginal_kept = 0
+    batch_marginal_kept = 0
+    max_marginal_doc = 0
+    g = {r["band"]: r for r in gate.collect()}
+    for b in batch:
+        s = got[b["doc_id"]]
+        assert s["band"] == b["band"] and s["n_tok"] == b["n_tok"]
+        if b["reason"] in ("band", "out") and s["reason"] != "marginal":
+            assert (s["keep"], s["reason"]) == (b["keep"], b["reason"])
+        if s["reason"] == "marginal":
+            rem = g[s["band"]]["b"] - g[s["band"]]["above"]
+            stream_marginal_kept += s["n_tok"] * s["keep"]
+            max_marginal_doc = max(max_marginal_doc, s["n_tok"])
+        if b["reason"] == "marginal":
+            batch_marginal_kept += b["n_tok"] * b["keep"]
+    if rem is not None:
+        assert stream_marginal_kept <= rem
+        assert stream_marginal_kept > rem - max_marginal_doc
+        assert batch_marginal_kept <= rem
