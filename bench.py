@@ -168,6 +168,7 @@ BEYOND_BASELINE = {
     "rel_ivm_merge",
     "llm_budget_select",
     "rel_lateness_profile",
+    "llm_oov_rate",
 }
 
 

@@ -1388,3 +1388,125 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 DIV n_tok AS BIGINT)"
         ).alias("mask_share_1e4"),
     )
+
+
+_SPLIT_CASE_DUCK = """CASE
+  WHEN substr(md5(text), 1, 1) BETWEEN '0' AND 'b' THEN 'train'
+  WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+  ELSE 'test' END"""
+
+
+@register(
+    "llm_oov_rate",
+    tier="T3",
+    doc="Held-out OOV rates — the generalization check run before "
+    "freezing a tokenizer or LM vocabulary: per content-hash split, "
+    "the share of token occurrences and adjacent-bigram occurrences "
+    "absent from the TRAIN split's inventories (1e4 integer rates). "
+    "Train's own row is the 0/0 sanity anchor.  Scale shape: the "
+    "train inventories are vocab-bounded aggregates; membership is a "
+    "left anti-ish flag via left join on the token/bigram key; the "
+    "rollup is three bounded rows.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {_SPLIT_CASE_DUCK} AS split,
+         string_split(text, ' ') AS words
+  FROM documents
+), tok AS (
+  SELECT split, unnest(words) AS t FROM d
+), big AS (
+  SELECT split,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i + 1])) AS g
+  FROM d WHERE len(words) >= 2
+), tv AS (
+  SELECT DISTINCT t FROM tok WHERE split = 'train'
+), bv AS (
+  SELECT DISTINCT g FROM big WHERE split = 'train'
+), tr AS (
+  SELECT tok.split,
+         count(*) AS n_tok,
+         count(*) FILTER (WHERE tv.t IS NULL) AS oov_tok
+  FROM tok LEFT JOIN tv ON tok.t = tv.t GROUP BY tok.split
+), br AS (
+  SELECT big.split,
+         count(*) AS n_big,
+         count(*) FILTER (WHERE bv.g IS NULL) AS oov_big
+  FROM big LEFT JOIN bv ON big.g = bv.g GROUP BY big.split
+)
+SELECT tr.split,
+       CAST(tr.n_tok AS BIGINT) AS n_tok,
+       CAST(tr.oov_tok AS BIGINT) AS oov_tok,
+       CAST(tr.oov_tok * 10000 // tr.n_tok AS BIGINT) AS oov_tok_1e4,
+       CAST(br.n_big AS BIGINT) AS n_big,
+       CAST(br.oov_big AS BIGINT) AS oov_big,
+       CAST(br.oov_big * 10000 // br.n_big AS BIGINT) AS oov_big_1e4
+FROM tr JOIN br ON tr.split = br.split
+""",
+)
+def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nib = F.substring(F.md5(F.col("text").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    d = table(spark, sf_dir, "documents").select(
+        split.alias("split"), F.split("text", " ").alias("words")
+    )
+    tok = d.select("split", F.explode("words").alias("t"))
+    big = d.where(F.size("words") >= 2).select(
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1), "
+                "i -> concat(element_at(words, i), ' ', "
+                "element_at(words, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    tv = (
+        tok.where(F.col("split") == "train")
+        .select("t")
+        .distinct()
+        .withColumn("seen_t", F.lit(1))
+    )
+    bv = (
+        big.where(F.col("split") == "train")
+        .select("g")
+        .distinct()
+        .withColumn("seen_g", F.lit(1))
+    )
+    tr = (
+        tok.join(tv, "t", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.count(F.when(F.col("seen_t").isNull(), 1))
+            .cast("bigint")
+            .alias("oov_tok"),
+        )
+    )
+    br = (
+        big.join(bv, "g", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_big"),
+            F.count(F.when(F.col("seen_g").isNull(), 1))
+            .cast("bigint")
+            .alias("oov_big"),
+        )
+    )
+    return tr.join(br, "split").select(
+        "split",
+        "n_tok",
+        "oov_tok",
+        F.expr("CAST(oov_tok * 10000 DIV n_tok AS BIGINT)").alias(
+            "oov_tok_1e4"
+        ),
+        "n_big",
+        "oov_big",
+        F.expr("CAST(oov_big * 10000 DIV n_big AS BIGINT)").alias(
+            "oov_big_1e4"
+        ),
+    )

@@ -562,3 +562,19 @@ def test_budget_select_respects_budget_and_order(spark, sf_dir):
             assert r["keep"] == 1
         if r["reason"] == "out":
             assert r["keep"] == 0
+
+
+def test_oov_rate_train_anchor_and_ordering(spark, sf_dir):
+    """Train's own OOV is zero by construction; held-out token OOV never
+    exceeds bigram OOV (an unseen token forces unseen bigrams around
+    it); rates are exact integer ratios."""
+    from scala_reactivex_spark.operators.llm_pipeline import llm_oov_rate
+
+    rows = {r["split"]: r for r in llm_oov_rate(spark, sf_dir).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    assert rows["train"]["oov_tok"] == 0
+    assert rows["train"]["oov_big"] == 0
+    for s, r in rows.items():
+        assert r["oov_tok_1e4"] == r["oov_tok"] * 10000 // r["n_tok"]
+        assert r["oov_big_1e4"] == r["oov_big"] * 10000 // r["n_big"]
+        assert r["oov_tok_1e4"] <= r["oov_big_1e4"] or r["oov_big"] == 0
