@@ -169,6 +169,7 @@ BEYOND_BASELINE = {
     "llm_budget_select",
     "rel_lateness_profile",
     "llm_oov_rate",
+    "llm_template_detect",
 }
 
 

@@ -599,3 +599,65 @@ def llm_line_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV sum(n_w) AS BIGINT)"
         ).alias("removed_1e4"),
     )
+
+
+TPL_W = 8  # leading tokens forming the template key
+TPL_MIN = 3  # report templates with at least this many member docs
+
+
+@register(
+    "llm_template_detect",
+    tier="T3",
+    doc="Scraped-template detection: documents sharing their first "
+    f"{TPL_W} tokens cluster under one template key; keys with >= "
+    f"{TPL_MIN} members are reported with member count, distinct "
+    "sources and corpus share (1e4) — the position-anchored complement "
+    "of llm_line_dedup (which finds repeated segments ANYWHERE) that "
+    "catches boilerplate page headers/navigation chrome.  Scale "
+    "shape: the key is a per-row array slice (no explode), one hash "
+    "aggregate on the key, a bounded output; the corpus total rides a "
+    "1-row broadcast.",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, source,
+         array_to_string(string_split(text, ' ')[1:{TPL_W}], ' ')
+           AS tpl
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {TPL_W}
+), tot AS (
+  SELECT count(*) AS n FROM documents
+), g AS (
+  SELECT tpl, count(*) AS n_docs,
+         count(DISTINCT source) AS n_sources
+  FROM k GROUP BY tpl HAVING count(*) >= {TPL_MIN}
+)
+SELECT g.tpl, CAST(g.n_docs AS BIGINT) AS n_docs,
+       CAST(g.n_sources AS BIGINT) AS n_sources,
+       CAST(g.n_docs * 10000 // tot.n AS BIGINT) AS share_1e4
+FROM g CROSS JOIN tot
+""",
+)
+def llm_template_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    k = docs.where(F.size(F.split("text", " ")) >= TPL_W).select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice(F.split("text", " "), 1, TPL_W), " ").alias(
+            "tpl"
+        ),
+    )
+    tot = docs.agg(F.count("*").alias("n"))
+    g = (
+        k.groupBy("tpl")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .where(F.col("n_docs") >= TPL_MIN)
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "tpl",
+        "n_docs",
+        "n_sources",
+        F.expr("CAST(n_docs * 10000 DIV n AS BIGINT)").alias("share_1e4"),
+    )

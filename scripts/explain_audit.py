@@ -71,6 +71,14 @@ ALLOWED_NESTED_LOOP = {
     "rel_cusum_changepoint",  # 1-row mean + 1-row peak broadcasts × days
     "rel_gapfill",  # 1-row day-bounds broadcast × bounded type dimension
     "llm_source_scorecard",  # composes llm_corpus_filter (inherited cross)
+    "llm_budget_select",  # 1-row budget broadcast × banded corpus
+    "llm_oov_rate",  # vocab-bounded train-inventory broadcasts
+    "llm_template_detect",  # 1-row corpus-total broadcast × clusters
+    "rel_ivm_merge",  # keyed full-outer merge (audit recompute declared)
+    "rel_lateness_profile",  # bounded histogram aggregate
+    "llm_cluster_stats",  # composes the cluster pipeline
+    "llm_span_corruption",  # pure per-row transforms
+    "llm_bpb",  # composes llm_unigram_lm (1-row total cross)
 }
 
 

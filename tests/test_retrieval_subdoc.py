@@ -517,3 +517,30 @@ def test_hybrid_rrf_arithmetic_and_order(spark, sf_dir):
         assert [r["rnk"] for r in rs] == list(range(1, RRF_TOPK + 1))
         keys = [(-r["rrf_1e6"], r["doc_id"]) for r in rs]
         assert keys == sorted(keys)
+
+
+def test_template_detect_matches_pure_python(spark, sf_dir):
+    """Template clusters must equal an independent Python groupby of the
+    leading-token keys."""
+    from collections import Counter
+
+    from scala_reactivex_spark.operators.llm_subdoc import (
+        TPL_MIN,
+        TPL_W,
+        llm_template_detect,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    keys = Counter(
+        " ".join(r["text"].split(" ")[:TPL_W])
+        for r in docs
+        if len(r["text"].split(" ")) >= TPL_W
+    )
+    want = {k: c for k, c in keys.items() if c >= TPL_MIN}
+    got = {
+        r["tpl"]: r["n_docs"]
+        for r in llm_template_detect(spark, sf_dir).collect()
+    }
+    assert got == want
+    for r in llm_template_detect(spark, sf_dir).collect():
+        assert r["share_1e4"] == r["n_docs"] * 10000 // len(docs)
