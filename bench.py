@@ -170,6 +170,7 @@ BEYOND_BASELINE = {
     "rel_lateness_profile",
     "llm_oov_rate",
     "llm_template_detect",
+    "rel_concurrency",
 }
 
 

@@ -583,3 +583,119 @@ def rel_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.max("late_s").cast("bigint").alias("max_late_s"),
     )
+
+
+@register(
+    "rel_concurrency",
+    tier="T2",
+    doc="Peak concurrency via the sweep-line pattern — the load question "
+    "every capacity plan asks ('how many users were in a session at "
+    "once?'): user sessions (the op_window_session 2-hour-gap islands) "
+    "become [start, end] intervals, interval edges union as +1/-1 "
+    "deltas ordered by (time, -delta) so a touch-and-go boundary "
+    "counts as overlap, and a running sum sweeps the edge stream; "
+    "emitted per day: edge count, peak concurrency and the first "
+    "millisecond the peak is reached.  Cross-midnight sessions carry "
+    "into the next day via per-day delta totals cumulated over the "
+    "bounded DAY domain (two-level sweep).  Scale shape: "
+    "sessionization rides the per-user shuffle; the sweep orders "
+    "EDGES (two per session, ≪ events) within day partitions — the "
+    "classic interval-stabbing plan with no corpus-global sort.",
+    oracle="""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= INTERVAL 2 HOURS
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), y AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x
+), sess AS (
+  SELECT user_id, sid,
+         min(epoch_ms(ts)) AS s_ms, max(epoch_ms(ts)) AS e_ms
+  FROM y GROUP BY user_id, sid
+), edges AS (
+  SELECT s_ms AS ms, 1 AS d FROM sess
+  UNION ALL
+  SELECT e_ms AS ms, -1 AS d FROM sess
+), carry AS (
+  SELECT day, coalesce(SUM(daysum) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cin
+  FROM (SELECT ms // 86400000 AS day, SUM(d) AS daysum
+        FROM edges GROUP BY 1)
+), sweep AS (
+  SELECT e.ms // 86400000 AS day, e.ms, e.d,
+         c.cin + SUM(e.d) OVER (PARTITION BY e.ms // 86400000
+             ORDER BY e.ms, e.d DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM edges e JOIN carry c ON e.ms // 86400000 = c.day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(max(conc) AS BIGINT) AS peak,
+       CAST(min(CASE WHEN conc = mx THEN ms END) AS BIGINT)
+         AS first_peak_ms
+FROM (SELECT *, max(conc) OVER (PARTITION BY day) AS mx FROM sweep)
+GROUP BY day
+""",
+)
+def rel_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    two_h_ns = 2 * 3_600 * 1_000_000_000
+    x = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") - F.lag("ts").over(wseq) >= two_h_ns, 1
+        ).otherwise(0),
+    )
+    y = x.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = y.groupBy("user_id", "sid").agg(
+        F.min("ms").alias("s_ms"), F.max("ms").alias("e_ms")
+    )
+    edges = sess.select(
+        F.col("s_ms").alias("ms"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select(F.col("e_ms").alias("ms"), F.lit(-1).alias("d"))
+    )
+    day = F.expr("ms DIV 86400000")
+    tagged = edges.withColumn("day", day)
+    # Overnight carry: per-day delta totals (bounded) cumulated over the
+    # DAY domain, so a session spanning midnight still counts tomorrow —
+    # the two-level form of the sweep that avoids any corpus-global sort.
+    wdays = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        tagged.groupBy("day")
+        .agg(F.sum("d").alias("daysum"))
+        .withColumn("cin", F.coalesce(F.sum("daysum").over(wdays), F.lit(0)))
+        .select("day", "cin")
+    )
+    wsweep = (
+        Window.partitionBy("day")
+        .orderBy(F.col("ms"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = tagged.join(F.broadcast(carry), "day").withColumn(
+        "conc", F.col("cin") + F.sum("d").over(wsweep)
+    )
+    wmax = Window.partitionBy("day")
+    marked = sweep.withColumn("mx", F.max("conc").over(wmax))
+    return marked.groupBy(F.col("day").cast("bigint").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.max("conc").cast("bigint").alias("peak"),
+        F.min(F.when(F.col("conc") == F.col("mx"), F.col("ms")))
+        .cast("bigint")
+        .alias("first_peak_ms"),
+    )

@@ -79,6 +79,7 @@ ALLOWED_NESTED_LOOP = {
     "llm_cluster_stats",  # composes the cluster pipeline
     "llm_span_corruption",  # pure per-row transforms
     "llm_bpb",  # composes llm_unigram_lm (1-row total cross)
+    "rel_concurrency",  # bounded day-carry broadcast × edge stream
 }
 
 

@@ -257,3 +257,56 @@ def test_lateness_profile_covers_events(spark, sf_dir):
     for k, r in rows.items():
         if k >= 1:
             assert 2 ** (k - 1) <= r["max_late_s"] < 2 ** k
+
+
+def test_concurrency_sweep_laws(spark, sf_dir):
+    """Sweep-line invariants: edges come in pairs (+1/-1 per session),
+    peaks are positive and bounded by the distinct-user count, and a
+    brute-force stabbing check at each day's first peak instant
+    reproduces the reported peak."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from scala_reactivex_spark.operators.timeseries import rel_concurrency
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = rel_concurrency(spark, sf_dir).collect()
+    assert rows
+    n_users = (
+        table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        # edge counts can be odd (cross-midnight sessions), but peaks
+        # must be positive and user-bounded
+        assert 1 <= r["peak"] <= n_users
+        assert r["first_peak_ms"] // 86_400_000 == r["day"]
+    # Brute force one day: count sessions covering first_peak_ms.
+    ev = table(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    two_h_ns = 2 * 3_600 * 1_000_000_000
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(
+                F.col("ts") - F.lag("ts").over(wseq) >= two_h_ns, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_session").over(
+                wseq.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ms").alias("s"), F.max("ms").alias("e"))
+        .collect()
+    )
+    for probe in rows:
+        t = probe["first_peak_ms"]
+        stabbed = sum(1 for s in sess if s["s"] <= t <= s["e"])
+        assert stabbed == probe["peak"], probe["day"]
