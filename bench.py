@@ -171,6 +171,7 @@ BEYOND_BASELINE = {
     "llm_oov_rate",
     "llm_template_detect",
     "rel_concurrency",
+    "rel_join_asof_nearest",
 }
 
 

@@ -699,3 +699,97 @@ def rel_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("first_peak_ms"),
     )
+
+
+@register(
+    "rel_join_asof_nearest",
+    tier="T2",
+    doc="Nearest-in-time as-of join — the sensor-alignment variant of "
+    "rel_join_asof: each purchase pairs with the click of the same "
+    "user MINIMIZING absolute time distance (backward OR forward), "
+    "ties to the earlier click then smaller id.  Two union-tag "
+    "as-of passes (backward last-ignorenulls + forward first over the "
+    "reversed order) on ONE user partitioning produce both "
+    "candidates; a struct-min picks the nearer — still no pair "
+    "blow-up, still one shuffle.  Scale shape: identical to "
+    "rel_join_asof ×2 window passes.",
+    oracle="""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+     cand AS (
+       SELECT p.event_id AS p_event_id, p.user_id,
+              epoch_ms(p.ts) AS p_ms,
+              c.event_id AS c_event_id, epoch_ms(c.ts) AS c_ms,
+              abs(epoch_ms(c.ts) - epoch_ms(p.ts)) AS dist
+       FROM p JOIN c ON p.user_id = c.user_id
+     ), best AS (
+       SELECT *, row_number() OVER (PARTITION BY p_event_id
+                 ORDER BY dist, c_ms, c_event_id) AS rn
+       FROM cand
+     )
+SELECT p_event_id, user_id, p_ms, c_event_id, c_ms,
+       CAST(dist AS BIGINT) AS dist_ms
+FROM best WHERE rn = 1
+""",
+)
+def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "ms", F.lit(0).alias("kind")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "ms", F.lit(1).alias("kind")
+    )
+    u = clicks.unionByName(purchases).select(
+        "*",
+        F.when(F.col("kind") == 0, F.struct("ms", "event_id")).alias("ck"),
+    )
+    # Backward pass: clicks sort before same-ts purchases (<= semantics,
+    # ties prefer max id like rel_join_asof); forward pass mirrors.
+    # Within equal-ts click runs the LAST-visited row becomes the
+    # candidate, so clicks order by event_id DESC in the backward pass
+    # (and DESC again under the reversed forward sort) — both passes
+    # then surface the SMALLEST click id, matching the oracle's
+    # (dist, c_ms, c_event_id) tie order even on duplicate timestamps.
+    click_id_desc = F.expr(
+        "CASE WHEN kind = 0 THEN -event_id ELSE event_id END"
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", click_id_desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").desc(),
+                 F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = (
+        u.withColumn("back", F.last("ck", ignorenulls=True).over(wb))
+        .withColumn("fwd", F.last("ck", ignorenulls=True).over(wf))
+        .where(F.col("kind") == 1)
+    )
+    pick = F.expr(
+        """CASE
+          WHEN back IS NULL AND fwd IS NULL THEN NULL
+          WHEN back IS NULL THEN fwd
+          WHEN fwd IS NULL THEN back
+          WHEN abs(back.ms - ms) < abs(fwd.ms - ms) THEN back
+          WHEN abs(fwd.ms - ms) < abs(back.ms - ms) THEN fwd
+          WHEN back.ms < fwd.ms THEN back
+          WHEN fwd.ms < back.ms THEN fwd
+          WHEN back.event_id <= fwd.event_id THEN back ELSE fwd
+        END"""
+    )
+    out = both.withColumn("nn", pick).where(F.col("nn").isNotNull())
+    return out.select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ms").alias("p_ms"),
+        F.col("nn.event_id").alias("c_event_id"),
+        F.col("nn.ms").alias("c_ms"),
+        F.abs(F.col("nn.ms") - F.col("ms")).cast("bigint").alias(
+            "dist_ms"
+        ),
+    )

@@ -310,3 +310,29 @@ def test_concurrency_sweep_laws(spark, sf_dir):
         t = probe["first_peak_ms"]
         stabbed = sum(1 for s in sess if s["s"] <= t <= s["e"])
         assert stabbed == probe["peak"], probe["day"]
+
+
+def test_asof_nearest_dominates_backward(spark, sf_dir):
+    """The nearest match is never farther than the backward as-of match
+    (it optimizes over a superset), every purchase with any click
+    appears, and distances are exact |c_ms − p_ms|."""
+    from scala_reactivex_spark.operators.timeseries import (
+        rel_join_asof,
+        rel_join_asof_nearest,
+    )
+
+    near = {r["p_event_id"]: r for r in
+            rel_join_asof_nearest(spark, sf_dir).collect()}
+    back = {r["p_event_id"]: r for r in
+            rel_join_asof(spark, sf_dir).collect()}
+    matched_back = {k: v for k, v in back.items()
+                    if v["c_event_id"] is not None}
+    assert set(matched_back) <= set(near)
+    improved = 0
+    for k, b in matched_back.items():
+        n = near[k]
+        assert n["dist_ms"] == abs(n["c_ms"] - n["p_ms"])
+        assert n["dist_ms"] <= b["p_ms"] - b["c_ms"]
+        if n["dist_ms"] < b["p_ms"] - b["c_ms"]:
+            improved += 1
+    assert improved > 0, "forward candidates must win sometimes"
