@@ -172,6 +172,7 @@ BEYOND_BASELINE = {
     "llm_template_detect",
     "rel_concurrency",
     "rel_join_asof_nearest",
+    "rel_top_movers",
 }
 
 

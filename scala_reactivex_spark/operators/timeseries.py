@@ -793,3 +793,67 @@ def rel_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_ms"
         ),
     )
+
+
+TOP_MOVERS_K = 3
+
+
+@register(
+    "rel_top_movers",
+    tier="T2",
+    doc="Day-over-day top movers — the anomaly feed an ops dashboard "
+    "leads with: per event type, daily deltas over the GAP-FILLED "
+    "calendar spine (a missing day legitimately produces a crash-to-"
+    f"zero delta, which is the point), ranked by |Δ|; top "
+    f"{TOP_MOVERS_K} days per type with the delta and previous value. "
+    " The oracle nests the green rel_gapfill oracle.  Scale shape: "
+    "lag + rank windows run over the bounded (type, day) spine, never "
+    "events.",
+    oracle=None,  # assigned below (embeds rel_gapfill's oracle)
+)
+def rel_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filled = rel_gapfill(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = filled.withColumn("prev_n", F.lag("n").over(w)).where(
+        F.col("prev_n").isNotNull()
+    )
+    d = d.withColumn("delta", F.col("n") - F.col("prev_n"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs("delta").desc(), "day"
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= TOP_MOVERS_K)
+        .select(
+            "event_type",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("prev_n").cast("bigint").alias("prev_n"),
+            F.col("delta").cast("bigint").alias("delta"),
+        )
+    )
+
+
+from scala_reactivex_spark.plans.registry import peek as _peek_tm  # noqa: E402
+
+_peek_tm("rel_top_movers").oracle = f"""
+WITH filled AS (
+{_peek_tm("rel_gapfill").oracle}
+), d AS (
+  SELECT event_type, day, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM filled
+), deltas AS (
+  SELECT event_type, day, n, prev_n, n - prev_n AS delta
+  FROM d WHERE prev_n IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(delta) DESC, day) AS rnk
+  FROM deltas
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, day,
+       CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(delta AS BIGINT) AS delta
+FROM ranked WHERE rnk <= {TOP_MOVERS_K}
+"""

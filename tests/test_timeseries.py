@@ -336,3 +336,39 @@ def test_asof_nearest_dominates_backward(spark, sf_dir):
         if n["dist_ms"] < b["p_ms"] - b["c_ms"]:
             improved += 1
     assert improved > 0, "forward candidates must win sometimes"
+
+
+def test_top_movers_rank_and_delta(spark, sf_dir):
+    """Per type: exactly K ranked rows, |delta| non-increasing in rank,
+    delta arithmetic exact, and every reported day's |delta| is the
+    true maximum among unreported days (spot check vs gapfill)."""
+    from scala_reactivex_spark.operators.timeseries import (
+        TOP_MOVERS_K,
+        rel_gapfill,
+        rel_top_movers,
+    )
+
+    rows = rel_top_movers(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r["delta"] == r["n"] - r["prev_n"]
+        by_type.setdefault(r["event_type"], []).append(r)
+    filled = {}
+    for f in rel_gapfill(spark, sf_dir).collect():
+        filled.setdefault(f["event_type"], {})[f["day"]] = f["n"]
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, TOP_MOVERS_K + 1))
+        mags = [abs(r["delta"]) for r in rs]
+        assert mags == sorted(mags, reverse=True)
+        series = filled[t]
+        days = sorted(series)
+        all_deltas = {
+            d: series[d] - series[prev]
+            for prev, d in zip(days, days[1:])
+        }
+        reported = {r["day"] for r in rs}
+        floor = min(mags)
+        for d, dl in all_deltas.items():
+            if d not in reported:
+                assert abs(dl) <= floor
