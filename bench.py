@@ -173,6 +173,7 @@ BEYOND_BASELINE = {
     "rel_concurrency",
     "rel_join_asof_nearest",
     "rel_top_movers",
+    "llm_quality_length_corr",
 }
 
 

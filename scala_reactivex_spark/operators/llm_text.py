@@ -904,3 +904,73 @@ def llm_neg_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(w1e6 * 1000000 DIV tot AS BIGINT)").alias("p_1e6"),
         F.sum("w1e6").over(cum).cast("bigint").alias("cum_w1e6"),
     )
+
+
+@register(
+    "llm_quality_length_corr",
+    tier="T3",
+    doc="Length-bias diagnostic: Pearson correlation between document "
+    "token count and quality score — the check that a quality filter "
+    "is not just a length filter in disguise.  Both variables are "
+    "exact integers (token counts; 4-dp quality × 1e4), so every "
+    "moment is an exact integer sum and the correlation is ONE "
+    "division of exact integers per side, emitted in 1e4 units with "
+    "the sign carried separately (numerator sign × |r|, avoiding "
+    "negative floor-division divergence).  Scale shape: one corpus "
+    "pass to five scalar sums — the zipf-fit pattern.",
+    oracle="""
+WITH x AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST(floor(ROUND(
+           (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                 THEN 1.0 ELSE 0.5 END)
+           * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the', 'a'))) AS DOUBLE)
+              / len(string_split(text, ' ')))
+           * (CAST(len(list_distinct(string_split(text, ' ')))
+                   AS DOUBLE) / len(string_split(text, ' '))), 4)
+           * 10000 + 0.5) AS BIGINT) AS q
+  FROM documents
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(n) AS BIGINT) AS sn, CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(n * q) AS BIGINT) AS snq,
+         CAST(sum(n * n) AS BIGINT) AS snn,
+         CAST(sum(q * q) AS BIGINT) AS sqq
+  FROM x
+)
+SELECT c AS n_docs,
+       CAST(sign(c * snq - sn * sq) AS BIGINT) AS corr_sign,
+       CAST(floor(abs(CAST(c * snq - sn * sq AS DOUBLE))
+            / sqrt(CAST(c * snn - sn * sn AS DOUBLE))
+            / sqrt(CAST(c * sqq - sq * sq AS DOUBLE))
+            * 10000 + 0.5) AS BIGINT) AS abs_corr_1e4
+FROM s
+""",
+)
+def llm_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, quality = quality_col()
+    x = table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        F.floor(quality * 10000 + F.lit(0.5)).cast("bigint").alias("q"),
+    )
+    s = x.agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("n") * F.col("q")).cast("bigint").alias("snq"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("snn"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+    )
+    return s.select(
+        F.col("c").alias("n_docs"),
+        F.expr("CAST(sign(c * snq - sn * sq) AS BIGINT)").alias(
+            "corr_sign"
+        ),
+        F.expr(
+            "CAST(floor(abs(CAST(c * snq - sn * sq AS DOUBLE))"
+            " / sqrt(CAST(c * snn - sn * sn AS DOUBLE))"
+            " / sqrt(CAST(c * sqq - sq * sq AS DOUBLE))"
+            " * 10000 + 0.5) AS BIGINT)"
+        ).alias("abs_corr_1e4"),
+    )

@@ -578,3 +578,28 @@ def test_oov_rate_train_anchor_and_ordering(spark, sf_dir):
         assert r["oov_tok_1e4"] == r["oov_tok"] * 10000 // r["n_tok"]
         assert r["oov_big_1e4"] == r["oov_big"] * 10000 // r["n_big"]
         assert r["oov_tok_1e4"] <= r["oov_big_1e4"] or r["oov_big"] == 0
+
+
+def test_quality_length_corr_matches_numpy(spark, sf_dir):
+    """The pinned correlation must agree with numpy's corrcoef on the
+    same integer inputs to within one 1e4 unit."""
+    import numpy as np
+
+    from scala_reactivex_spark.operators.llm_text import (
+        llm_quality_length_corr,
+        llm_quality_score,
+    )
+
+    r = llm_quality_length_corr(spark, sf_dir).collect()[0]
+    assert 0 <= r["abs_corr_1e4"] <= 10000
+    assert r["corr_sign"] in (-1, 0, 1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n = np.array([len(d["text"].split(" ")) for d in docs], dtype=float)
+    q = {
+        row["doc_id"]: round(row["quality"] * 10000)
+        for row in llm_quality_score(spark, sf_dir).collect()
+    }
+    qv = np.array([q[d["doc_id"]] for d in docs], dtype=float)
+    rho = np.corrcoef(n, qv)[0, 1]
+    assert abs(abs(rho) * 10000 - r["abs_corr_1e4"]) <= 1
+    assert np.sign(rho) == r["corr_sign"]
