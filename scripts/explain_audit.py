@@ -80,6 +80,7 @@ ALLOWED_NESTED_LOOP = {
     "llm_span_corruption",  # pure per-row transforms
     "llm_bpb",  # composes llm_unigram_lm (1-row total cross)
     "rel_concurrency",  # bounded day-carry broadcast × edge stream
+    "rel_top_movers",  # composes rel_gapfill (its bounds cross)
 }
 
 
