@@ -151,6 +151,59 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_id_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(profile, floors) — the trained language-ID model in exact
+    micro-log10 integer units, shared by the batch query and the
+    streaming serving twin (which packs both into broadcast MAPs)."""
+    docs = table(spark, sf_dir, "documents")
+    tf = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    # Profile: P(token | lang) with add-one smoothing, one aggregate pass.
+    # lang totals and vocabulary size REDERIVE from the (lang, token)
+    # counts — same values (Σ n per lang ≡ token count; distinct tokens of
+    # lang_tok ≡ corpus vocabulary), but the inputs are the tiny profile
+    # aggregate instead of two more full passes over the exploded corpus.
+    lang_tok = tf.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    lang_tot = lang_tok.groupBy("lang").agg(F.sum("n").alias("tot"))
+    vocab_n = lang_tok.select("token").distinct().agg(
+        F.count("*").alias("v")
+    )
+    # Integer pinning (the llm_unigram_lm convention): per-token log-probs
+    # become micro-log10 BIGINTs, so every downstream sum is exact integer
+    # math — order-independent across partitions AND engines.
+    lp = F.floor(
+        F.log10(
+            (F.col("n") + 1).cast("double")
+            / (F.col("tot") + F.col("v")).cast("double")
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    profile = (
+        lang_tok.join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(F.col("lang").alias("model_lang"), "token", lp.alias("lp"))
+    )
+    # Smoothed floor per candidate language for UNSEEN (lang, token)
+    # pairs: log10(1 / (tot + V)) in the same integer units. An inner join
+    # would silently drop these terms and reward languages that never saw
+    # the doc's tokens.
+    fl = F.floor(
+        F.log10(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double"))
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    floors = (
+        lang_tot.crossJoin(F.broadcast(vocab_n))
+        .select(F.col("lang").alias("model_lang"), fl.alias("fl"))
+    )
+    return profile, floors
+
+
+
 @register(
     "llm_lang_id",
     tier="T3",
@@ -219,45 +272,7 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = docs.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
-    # Profile: P(token | lang) with add-one smoothing, one aggregate pass.
-    # lang totals and vocabulary size REDERIVE from the (lang, token)
-    # counts — same values (Σ n per lang ≡ token count; distinct tokens of
-    # lang_tok ≡ corpus vocabulary), but the inputs are the tiny profile
-    # aggregate instead of two more full passes over the exploded corpus.
-    lang_tok = tf.groupBy("lang", "token").agg(F.count("*").alias("n"))
-    lang_tot = lang_tok.groupBy("lang").agg(F.sum("n").alias("tot"))
-    vocab_n = lang_tok.select("token").distinct().agg(
-        F.count("*").alias("v")
-    )
-    # Integer pinning (the llm_unigram_lm convention): per-token log-probs
-    # become micro-log10 BIGINTs, so every downstream sum is exact integer
-    # math — order-independent across partitions AND engines.
-    lp = F.floor(
-        F.log10(
-            (F.col("n") + 1).cast("double")
-            / (F.col("tot") + F.col("v")).cast("double")
-        )
-        * 1000000
-        + 0.5
-    ).cast("bigint")
-    profile = (
-        lang_tok.join(F.broadcast(lang_tot), "lang")
-        .crossJoin(F.broadcast(vocab_n))
-        .select(F.col("lang").alias("model_lang"), "token", lp.alias("lp"))
-    )
-    # Smoothed floor per candidate language for UNSEEN (lang, token)
-    # pairs: log10(1 / (tot + V)) in the same integer units. An inner join
-    # would silently drop these terms and reward languages that never saw
-    # the doc's tokens.
-    fl = F.floor(
-        F.log10(F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double"))
-        * 1000000
-        + 0.5
-    ).cast("bigint")
-    floors = (
-        lang_tot.crossJoin(F.broadcast(vocab_n))
-        .select(F.col("lang").alias("model_lang"), fl.alias("fl"))
-    )
+    profile, floors = lang_id_model(spark, sf_dir)
     # Sparse scoring: Σ_tokens logp_eff decomposes as
     #   Σ_seen logp  +  floor × (n_tok − n_seen)
     # so only (token occurrence × languages-that-SAW-the-token) rows flow

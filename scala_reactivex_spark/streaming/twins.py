@@ -1595,3 +1595,51 @@ def twin_budget_gate(sdf: DataFrame, gate: DataFrame) -> DataFrame:
         )
     )
     return stateless.unionByName(gated)
+
+
+def twin_lang_id(
+    sdf: DataFrame, profile: DataFrame, floors: DataFrame
+) -> DataFrame:
+    """Streaming language-ID serving [T3 — live twin of llm_lang_id]:
+    the batch-trained profiles pack into one broadcast MAP keyed
+    'lang|token' (plus a per-lang floor MAP and the candidate list);
+    each arriving document scores EVERY candidate language per row —
+    the token loop, map lookups, floor fallback and integer sum all
+    run inside array HOFs, and the argmax is an array_min over
+    (-score, lang) structs, reproducing the batch (score DESC, lang) "
+    "tie order.  Stateless append: classification at ingest time with "
+    "zero state."""
+    prof_packed = profile.agg(
+        F.map_from_arrays(
+            F.collect_list(F.concat_ws("|", "model_lang", "token")),
+            F.collect_list("lp"),
+        ).alias("pm")
+    )
+    floor_packed = floors.agg(
+        F.map_from_arrays(
+            F.collect_list("model_lang"), F.collect_list("fl")
+        ).alias("fm"),
+        F.sort_array(F.collect_list("model_lang")).alias("langs"),
+    )
+    scored = (
+        sdf.select("doc_id", F.col("lang").alias("lang_true"), "text")
+        .crossJoin(F.broadcast(prof_packed))
+        .crossJoin(F.broadcast(floor_packed))
+        .withColumn(
+            "best",
+            F.expr(
+                "array_min(transform(langs, l -> struct("
+                "-aggregate(split(lower(text), ' '), CAST(0 AS BIGINT), "
+                "(acc, t) -> acc + coalesce("
+                "element_at(pm, concat(l, '|', t)), element_at(fm, l)))"
+                " AS ns, l AS lang)))"
+            ),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang_true",
+        F.col("best.lang").alias("lang_pred"),
+        (-F.col("best.ns")).cast("bigint").alias("best_score_1e6"),
+        (F.col("lang_true") == F.col("best.lang")).alias("correct"),
+    )

@@ -738,3 +738,26 @@ def test_twin_budget_gate_equals_batch_up_to_order(
         assert stream_marginal_kept <= rem
         assert stream_marginal_kept > rem - max_marginal_doc
         assert batch_marginal_kept <= rem
+
+
+def test_twin_lang_id_equals_batch(spark, sf_dir, docs_stream_src, ckpt):
+    """Per-row streaming classification against the broadcast profile
+    maps equals the batch language-ID table exactly (same scores, same
+    argmax tie order)."""
+    from scala_reactivex_spark.operators.llm_text import (
+        lang_id_model,
+        llm_lang_id,
+    )
+
+    profile, floors = lang_id_model(spark, sf_dir)
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_lang_id(sdf, profile, floors), "t_lid", ckpt
+    )
+    key = lambda r: (  # noqa: E731
+        r["doc_id"], r["lang_true"], r["lang_pred"],
+        r["best_score_1e6"], r["correct"],
+    )
+    assert {key(r) for r in out.collect()} == {
+        key(r) for r in llm_lang_id(spark, sf_dir).collect()
+    }
