@@ -174,6 +174,7 @@ BEYOND_BASELINE = {
     "rel_join_asof_nearest",
     "rel_top_movers",
     "llm_quality_length_corr",
+    "llm_hll_portable",
 }
 
 

@@ -1338,3 +1338,125 @@ SELECT d.lang,
 FROM documents d JOIN scores s ON d.doc_id = s.doc_id
 GROUP BY d.lang
 """
+
+
+HLL_M = 64  # registers
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007 constant)
+
+
+@register(
+    "llm_hll_portable",
+    tier="T3",
+    doc="Portable HyperLogLog (Flajolet et al. 2007): distinct-document "
+    f"cardinality estimated from {HLL_M} registers of the Karp-Rabin "
+    "content hash — register = h mod m, rank = 26 - bitlength(h div m) "
+    "(leading-zero form; bin() has no leading zeros in either engine), "
+    "register maxima folded IN REGISTER ORDER so the harmonic-mean "
+    "double sum is bit-identical cross-engine.  Unlike rel_agg_approx "
+    "(engine HLL behind an error-band contract), every register and "
+    "the estimate itself are hash-graded.  Emits m, exact count, the "
+    "estimate, zero-register count and a ±25%% check.  Scale shape: "
+    "one hash aggregate to m registers (mergeable by max — the "
+    "distributed-sketch property), a register-domain spine, one fold.",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT {kr31_duck_expr('text')} AS hv FROM documents
+), r AS (
+  SELECT hv % {HLL_M} AS reg,
+         CASE WHEN hv // {HLL_M} = 0 THEN 26
+              ELSE 26 - length(bin(hv // {HLL_M})) END AS rho
+  FROM h
+), regs AS (
+  SELECT s.reg, coalesce(max(r.rho), 0) AS mr
+  FROM (SELECT unnest(range(0, {HLL_M})) AS reg) s
+  LEFT JOIN r ON s.reg = r.reg GROUP BY s.reg
+), folded AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list(mr ORDER BY reg),
+                            v -> pow(2.0, -v))),
+           (acc, x) -> acc + x) AS z,
+         CAST(count(*) FILTER (WHERE mr = 0) AS BIGINT) AS zeros
+  FROM regs
+), est AS (
+  SELECT CAST(floor({HLL_ALPHA} * {HLL_M} * {HLL_M} / z) AS BIGINT)
+           AS raw_est,
+         zeros
+  FROM folded
+), ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h
+)
+SELECT CAST({HLL_M} AS BIGINT) AS m, ex.n_exact,
+       CASE WHEN est.raw_est <= {int(2.5 * HLL_M)} AND est.zeros > 0
+            THEN CAST(floor({HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                         / est.zeros)) AS BIGINT)
+            ELSE est.raw_est END AS est,
+       est.zeros,
+       CAST(abs(CASE WHEN est.raw_est <= {int(2.5 * HLL_M)}
+                          AND est.zeros > 0
+                     THEN CAST(floor({HLL_M} * ln(CAST({HLL_M} AS DOUBLE)
+                                    / est.zeros)) AS BIGINT)
+                     ELSE est.raw_est END - ex.n_exact) * 4
+            <= ex.n_exact AS INT) AS band_ok
+FROM est CROSS JOIN ex
+""",
+)
+def llm_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.functions.portable_hash import (
+        kr31_spark_expr,
+    )
+
+    h = (
+        table(spark, sf_dir, "documents")
+        .select(F.expr(kr31_spark_expr("text")).alias("hv"))
+        .distinct()
+    )
+    r = h.select(
+        (F.col("hv") % HLL_M).alias("reg"),
+        F.expr(
+            f"CASE WHEN hv DIV {HLL_M} = 0 THEN 26"
+            f" ELSE 26 - length(bin(hv DIV {HLL_M})) END"
+        ).alias("rho"),
+    )
+    spine = spark.range(0, HLL_M).select(F.col("id").alias("reg"))
+    regs = (
+        spine.join(r, "reg", "left")
+        .groupBy("reg")
+        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("mr"))
+    )
+    folded = regs.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(reg, mr))), s -> pow(2.0D, -s.mr)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("z"),
+        F.count(F.when(F.col("mr") == 0, 1)).cast("bigint").alias(
+            "zeros"
+        ),
+    )
+    ex = h.agg(F.count("*").cast("bigint").alias("n_exact"))
+    est_raw = F.expr(
+        f"CAST(floor({HLL_ALPHA} * {HLL_M} * {HLL_M} / z) AS BIGINT)"
+    )
+    lin = F.expr(
+        f"CAST(floor({HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / zeros))"
+        " AS BIGINT)"
+    )
+    corrected = F.when(
+        (est_raw <= int(2.5 * HLL_M)) & (F.col("zeros") > 0), lin
+    ).otherwise(est_raw)
+    return (
+        folded.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(HLL_M).cast("bigint").alias("m"),
+            "n_exact",
+            corrected.alias("est"),
+            "zeros",
+            (
+                F.abs(corrected - F.col("n_exact")) * 4
+                <= F.col("n_exact")
+            )
+            .cast("int")
+            .alias("band_ok"),
+        )
+    )

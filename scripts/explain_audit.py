@@ -81,6 +81,8 @@ ALLOWED_NESTED_LOOP = {
     "llm_bpb",  # composes llm_unigram_lm (1-row total cross)
     "rel_concurrency",  # bounded day-carry broadcast × edge stream
     "rel_top_movers",  # composes rel_gapfill (its bounds cross)
+    "llm_hll_portable",  # 1-row exact-count broadcast × 1-row fold
+    "llm_quality_length_corr",  # single-row moment aggregate
 }
 
 

@@ -386,3 +386,43 @@ def test_bpb_plausible_and_consistent(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r["n_bytes"] for r in rows) == tot
+
+
+def test_hll_portable_accuracy_and_merge_property(spark, sf_dir):
+    """The portable HLL must land within the asserted ±25% band (the
+    theoretical σ is 1.04/√64 ≈ 13%), and register maxima must be
+    mergeable: the sketch of the corpus equals the max-merge of two
+    half-corpus sketches."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.functions.portable_hash import (
+        kr31_spark_expr,
+    )
+    from scala_reactivex_spark.operators.llm_signals import (
+        HLL_M,
+        llm_hll_portable,
+    )
+
+    r = llm_hll_portable(spark, sf_dir).collect()[0]
+    assert r["band_ok"] == 1
+    assert abs(r["est"] - r["n_exact"]) * 4 <= r["n_exact"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def regs(df):
+        h = df.select(F.expr(kr31_spark_expr("text")).alias("hv")).distinct()
+        out = {}
+        for row in h.select(
+            (F.col("hv") % HLL_M).alias("reg"),
+            F.expr(
+                f"CASE WHEN hv DIV {HLL_M} = 0 THEN 26"
+                f" ELSE 26 - length(bin(hv DIV {HLL_M})) END"
+            ).alias("rho"),
+        ).collect():
+            out[row["reg"]] = max(out.get(row["reg"], 0), row["rho"])
+        return out
+
+    whole = regs(docs)
+    a = regs(docs.where("doc_id % 2 = 0"))
+    b = regs(docs.where("doc_id % 2 = 1"))
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == whole
