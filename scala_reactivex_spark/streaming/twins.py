@@ -1643,3 +1643,30 @@ def twin_lang_id(
         (-F.col("best.ns")).cast("bigint").alias("best_score_1e6"),
         (F.col("lang_true") == F.col("best.lang")).alias("correct"),
     )
+
+
+def twin_hll(sdf: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog maintenance [T3 — live twin of
+    llm_hll_portable's register build]: arriving documents hash per
+    row and a streaming grouped MAX keeps each register's rank
+    current in complete mode — like twin_count_min, the state is the
+    sketch itself (64 integers, constant forever), and register maxima
+    merge associatively across micro-batches, executors and days —
+    the distributed-cardinality workhorse."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        kr31_spark_expr,
+    )
+    from scala_reactivex_spark.operators.llm_signals import HLL_M
+
+    return (
+        sdf.select(F.expr(kr31_spark_expr("text")).alias("hv"))
+        .select(
+            (F.col("hv") % HLL_M).alias("reg"),
+            F.expr(
+                f"CASE WHEN hv DIV {HLL_M} = 0 THEN 26"
+                f" ELSE 26 - length(bin(hv DIV {HLL_M})) END"
+            ).alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mr"))
+    )

@@ -761,3 +761,40 @@ def test_twin_lang_id_equals_batch(spark, sf_dir, docs_stream_src, ckpt):
     assert {key(r) for r in out.collect()} == {
         key(r) for r in llm_lang_id(spark, sf_dir).collect()
     }
+
+
+def test_twin_hll_equals_batch_registers(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """The streamed register maxima equal the batch sketch exactly for
+    every touched register (max is associative — any micro-batch
+    slicing converges to the same state)."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.functions.portable_hash import (
+        kr31_spark_expr,
+    )
+    from scala_reactivex_spark.operators.llm_signals import HLL_M
+
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_hll(sdf), "t_hll", ckpt, output_mode="complete"
+    )
+    got = {(r["reg"], r["mr"]) for r in out.collect()}
+    want = {
+        (r["reg"], r["mr"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(f"{kr31_spark_expr('text')} AS hv")
+        .distinct()
+        .select(
+            (F.col("hv") % HLL_M).alias("reg"),
+            F.expr(
+                f"CASE WHEN hv DIV {HLL_M} = 0 THEN 26"
+                f" ELSE 26 - length(bin(hv DIV {HLL_M})) END"
+            ).alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("mr"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
