@@ -216,3 +216,52 @@ def test_kr31_portable_hash_three_way_parity(spark, tokens):
     )
     for t in tokens:
         assert got_spark[t] == got_duck[t] == pure(t), repr(t)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=(1 << 31) - 2),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_fold31_and_affine_three_way_parity(spark, vals, k):
+    """The band-bucket fold and the affine permutation family must agree
+    between Spark columns, DuckDB SQL and pure Python for arbitrary
+    31-bit inputs — the other half of every LSH oracle's portability."""
+    import duckdb
+
+    from scala_reactivex_spark.functions.portable_hash import (
+        FOLD_BASE,
+        P31,
+        affine_seeds,
+        fold31,
+        fold31_duck,
+    )
+
+    acc = 0
+    for v in vals:
+        acc = (acc * FOLD_BASE + v) % P31
+    cols = [F.lit(v).cast("long") for v in vals]
+    got_spark = spark.range(1).select(fold31(cols).alias("f")).collect()[
+        0
+    ]["f"]
+    con = duckdb.connect()
+    lst = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in vals) + "]"
+    got_duck = con.execute(
+        f"SELECT {fold31_duck(lst)}"
+    ).fetchone()[0]
+    assert got_spark == got_duck == acc
+
+    a, b = affine_seeds(k)[-1]
+    h = vals[0]
+    want = (a * h + b) % P31
+    gs = spark.range(1).selectExpr(
+        f"(CAST({a} AS BIGINT) * {h} + {b}) % {P31} AS g"
+    ).collect()[0]["g"]
+    gd = con.execute(
+        f"SELECT (CAST({a} AS BIGINT) * {h} + {b}) % {P31}"
+    ).fetchone()[0]
+    assert gs == gd == want
