@@ -175,6 +175,7 @@ BEYOND_BASELINE = {
     "rel_top_movers",
     "llm_quality_length_corr",
     "llm_hll_portable",
+    "rel_decay_sum",
 }
 
 

@@ -857,3 +857,67 @@ SELECT event_type, CAST(rnk AS BIGINT) AS rnk, day,
        CAST(delta AS BIGINT) AS delta
 FROM ranked WHERE rnk <= {TOP_MOVERS_K}
 """
+
+
+DECAY_HALF_LIFE_DAYS = 7
+
+
+@register(
+    "rel_decay_sum",
+    tier="T2",
+    doc="Exponential time-decay aggregation — the recency-weighted "
+    "score behind trending/ranking feeds: each event contributes "
+    f"value × 2^(-age_days/{DECAY_HALF_LIFE_DAYS}) relative to the "
+    "corpus max day.  Weights pin per ROW to integer 1e6 (identical "
+    "pow doubles of identical integer ages), 2-dp values lift to "
+    "integer cents, so the per-type decayed total is an EXACT integer "
+    "sum — order-proof despite the floats inside.  Scale shape: one "
+    "1-row max-day broadcast, one hash aggregate; weights never "
+    "require a sort.",
+    oracle=f"""
+WITH mx AS (
+  SELECT max(epoch_ms(ts)) // 86400000 AS maxd FROM events
+), w AS (
+  SELECT e.event_type,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         CAST(floor(pow(2.0, -CAST(mx.maxd - epoch_ms(e.ts) // 86400000
+                                   AS DOUBLE) / {DECAY_HALF_LIFE_DAYS})
+                    * 1000000 + 0.5) AS BIGINT) AS w1e6
+  FROM events e CROSS JOIN mx
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents * w1e6) AS BIGINT) AS decayed_micro_cents,
+       CAST(sum(cents) AS BIGINT) AS raw_cents
+FROM w GROUP BY event_type
+""",
+)
+def rel_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.expr("max(ms) DIV 86400000").alias("maxd"))
+    w = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.floor(
+            F.pow(
+                F.lit(2.0),
+                -(
+                    (F.col("maxd") - F.expr("ms DIV 86400000")).cast(
+                        "double"
+                    )
+                )
+                / DECAY_HALF_LIFE_DAYS,
+            )
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w1e6"),
+    )
+    return w.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("cents") * F.col("w1e6"))
+        .cast("bigint")
+        .alias("decayed_micro_cents"),
+        F.sum("cents").cast("bigint").alias("raw_cents"),
+    )

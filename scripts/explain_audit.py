@@ -83,6 +83,7 @@ ALLOWED_NESTED_LOOP = {
     "rel_top_movers",  # composes rel_gapfill (its bounds cross)
     "llm_hll_portable",  # 1-row exact-count broadcast × 1-row fold
     "llm_quality_length_corr",  # single-row moment aggregate
+    "rel_decay_sum",  # 1-row max-day broadcast × weighted stream
 }
 
 

@@ -372,3 +372,16 @@ def test_top_movers_rank_and_delta(spark, sf_dir):
         for d, dl in all_deltas.items():
             if d not in reported:
                 assert abs(dl) <= floor
+
+
+def test_decay_sum_bounds(spark, sf_dir):
+    """Decayed totals are bounded above by the raw totals (weights ≤ 1)
+    and below by raw × smallest possible weight; the most recent day's
+    events carry weight exactly 1e6."""
+    from scala_reactivex_spark.operators.timeseries import rel_decay_sum
+
+    rows = rel_decay_sum(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["decayed_micro_cents"] <= r["raw_cents"] * 1_000_000
+        assert r["decayed_micro_cents"] > 0
