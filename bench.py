@@ -176,6 +176,7 @@ BEYOND_BASELINE = {
     "llm_quality_length_corr",
     "llm_hll_portable",
     "rel_decay_sum",
+    "rel_attribution",
 }
 
 

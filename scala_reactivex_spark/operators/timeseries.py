@@ -921,3 +921,95 @@ def rel_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("decayed_micro_cents"),
         F.sum("cents").cast("bigint").alias("raw_cents"),
     )
+
+
+ATTR_CHANNELS = 10  # channel = JSON props.k mod 10
+
+
+@register(
+    "rel_attribution",
+    tier="T2",
+    doc="Last-touch attribution — the marketing rollup every revenue "
+    "dashboard runs: each purchase's value (integer cents) attributes "
+    "to the CHANNEL of its as-of click (rel_join_asof's most-recent-"
+    "click-at-or-before semantics; channel = the click's JSON props.k "
+    f"mod {ATTR_CHANNELS}); purchases with no prior click land in the "
+    "'organic' bucket (-1).  Composes the graded as-of machinery with "
+    "JSON extraction on the dimension side.  Scale shape: the union-"
+    "tag as-of pass is one user-keyed shuffle; the rollup is one hash "
+    "aggregate on the bounded channel key.",
+    oracle=f"""
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+     best AS (
+       SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+              p.value, max(c.ts) AS c_ts
+       FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+       GROUP BY p.event_id, p.user_id, p.ts, p.value
+     ), pick AS (
+       SELECT b.p_event_id, b.value,
+              max(c.event_id) AS c_event_id
+       FROM best b LEFT JOIN c
+         ON c.user_id = b.user_id AND c.ts = b.c_ts
+       GROUP BY b.p_event_id, b.value
+     ), attr AS (
+       SELECT pk.p_event_id, pk.value,
+              CASE WHEN pk.c_event_id IS NULL THEN -1
+                   ELSE TRY_CAST(json_extract_string(c.props, '$.k')
+                                 AS INTEGER) % {ATTR_CHANNELS} END
+                AS channel
+       FROM pick pk LEFT JOIN c ON pk.c_event_id = c.event_id
+     )
+SELECT CAST(channel AS BIGINT) AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM attr GROUP BY channel
+""",
+)
+def rel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("double").alias("pvalue"),
+        F.expr(
+            f"try_cast(get_json_object(props, '$.k') AS INT)"
+            f" % {ATTR_CHANNELS}"
+        ).alias("ch"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.col("value").alias("pvalue"),
+        F.lit(None).cast("int").alias("ch"),
+    )
+    u = clicks.unionByName(purchases).select(
+        "*", F.when(F.col("kind") == 0, F.col("ch")).alias("click_ch")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = (
+        u.withColumn(
+            "attr_ch", F.last("click_ch", ignorenulls=True).over(w)
+        )
+        .where(F.col("kind") == 1)
+        .select(
+            F.coalesce("attr_ch", F.lit(-1)).alias("channel"), "pvalue"
+        )
+    )
+    return attributed.groupBy(
+        F.col("channel").cast("bigint").alias("channel")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum(F.round(F.col("pvalue") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )

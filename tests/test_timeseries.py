@@ -385,3 +385,32 @@ def test_decay_sum_bounds(spark, sf_dir):
     for r in rows:
         assert r["decayed_micro_cents"] <= r["raw_cents"] * 1_000_000
         assert r["decayed_micro_cents"] > 0
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    """Attribution is a repartition of purchase revenue: channel cells
+    re-sum to total purchase cents and counts to total purchases; the
+    organic bucket matches purchases whose as-of click is NULL."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.timeseries import (
+        rel_attribution,
+        rel_join_asof,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = rel_attribution(spark, sf_dir).collect()
+    p = table(spark, sf_dir, "events").where("event_type = 'purchase'")
+    tot = p.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("c"),
+    ).collect()[0]
+    assert sum(r["n_purchases"] for r in rows) == tot["n"]
+    assert sum(r["revenue_cents"] for r in rows) == tot["c"]
+    organic = {r["channel"]: r for r in rows}.get(-1)
+    n_no_click = sum(
+        1
+        for r in rel_join_asof(spark, sf_dir).collect()
+        if r["c_event_id"] is None
+    )
+    assert (organic["n_purchases"] if organic else 0) == n_no_click
