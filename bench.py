@@ -177,6 +177,7 @@ BEYOND_BASELINE = {
     "llm_hll_portable",
     "rel_decay_sum",
     "rel_attribution",
+    "llm_source_lang_entropy",
 }
 
 

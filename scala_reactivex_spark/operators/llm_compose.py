@@ -404,3 +404,53 @@ def llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (band_in | marginal_in).cast("int").alias("keep"),
     )
+
+
+@register(
+    "llm_source_lang_entropy",
+    tier="T3",
+    doc="Per-source language-mix entropy — the single number that "
+    "separates a monolingual feed from a mixed crawl: Shannon entropy "
+    "of each source's language distribution, summed from per-(source, "
+    "lang) terms −p·log10(p) pinned to 1e6 integers (identical doubles "
+    "of identical integer ratios; exact integer cell sums — the "
+    "llm_token_entropy convention at the source level).  Scale shape: "
+    "one hash aggregate to the bounded source×lang grid, one rollup.",
+    oracle="""
+WITH g AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+), t AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY source
+), cells AS (
+  SELECT g.source, g.n, t.tot,
+         CAST(floor(-(CAST(g.n AS DOUBLE) / t.tot)
+                    * log10(CAST(g.n AS DOUBLE) / t.tot)
+                    * 1000000 + 0.5) AS BIGINT) AS h
+  FROM g JOIN t ON g.source = t.source
+)
+SELECT source,
+       CAST(max(tot) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(sum(h) AS BIGINT) AS entropy_1e6
+FROM cells GROUP BY source
+""",
+)
+def llm_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    t = g.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = F.col("n").cast("double") / F.col("tot")
+    h = F.floor(-p * F.log10(p) * 1_000_000 + F.lit(0.5)).cast("bigint")
+    return (
+        g.join(t, "source")
+        .select("source", "tot", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.sum("h").cast("bigint").alias("entropy_1e6"),
+        )
+    )

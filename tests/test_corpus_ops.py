@@ -603,3 +603,23 @@ def test_quality_length_corr_matches_numpy(spark, sf_dir):
     rho = np.corrcoef(n, qv)[0, 1]
     assert abs(abs(rho) * 10000 - r["abs_corr_1e4"]) <= 1
     assert np.sign(rho) == r["corr_sign"]
+
+
+def test_source_lang_entropy_bounds(spark, sf_dir):
+    """Entropy bounds: 0 for a monolingual source, at most log10(L) for
+    L languages (within per-cell floor slack), docs partition the
+    corpus."""
+    import math
+
+    from scala_reactivex_spark.operators.llm_compose import (
+        llm_source_lang_entropy,
+    )
+
+    rows = llm_source_lang_entropy(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        if r["n_langs"] == 1:
+            assert r["entropy_1e6"] == 0
+        cap = math.log10(r["n_langs"]) * 1_000_000 + r["n_langs"]
+        assert 0 <= r["entropy_1e6"] <= cap
