@@ -43,6 +43,11 @@ EXCLUDE = {
 # They are timed and reported per-query, but kept OUT of the headline
 # total so BENCH_r{N}.value stays comparable to the baseline; their sum is
 # reported separately as extras_seconds.
+#
+# FROZEN at round 7 (130 names, EXTRAS_BASELINE = 151.8 s in BASELINE.md,
+# from the r6 cold pass) so extras regressions are visible round-over-round
+# the way the headline 72 are.  Do NOT append here — queries registered
+# after round 6 go to BEYOND_EXTRAS below and are reported as new_seconds.
 BEYOND_BASELINE = {
     "llm_multimodal_resize",
     "llm_multimodal_frames",
@@ -180,6 +185,15 @@ BEYOND_BASELINE = {
     "llm_source_lang_entropy",
 }
 
+#: EXTRAS_BASELINE pin (BASELINE.md, round 7): the frozen 130-query extras
+#: suite summed 151.8 s in the round-6 cold pass on a quiet host.
+EXTRAS_BASELINE_SEC = 151.8
+
+# Queries registered after round 6 — timed, reported per-query in
+# BENCH_DETAIL.json and summed as new_seconds; excluded from BOTH frozen
+# totals (headline 72, extras 130) to keep those comparable.
+BEYOND_EXTRAS: set[str] = set()
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -208,13 +222,22 @@ def main() -> None:
     # Every extras name must still exist in the registry — a rename or
     # typo would silently fold that query into the frozen headline total
     # and break comparability with the BASELINE.md pin.
-    missing = BEYOND_BASELINE - set(times)
+    missing = (BEYOND_BASELINE | BEYOND_EXTRAS) - set(times)
     assert not missing, f"BEYOND_BASELINE names not in registry: {missing}"
-    total = round(
-        sum(t for n, t in times.items() if n not in BEYOND_BASELINE), 3
+    untiered = set(times) - BEYOND_BASELINE - BEYOND_EXTRAS
+    # Both frozen suites are closed sets: a new registry key missing from
+    # BEYOND_EXTRAS would silently inflate the headline total.
+    assert len(untiered) == 72, (
+        f"headline set drifted to {len(untiered)} queries — add new "
+        "registry keys to BEYOND_EXTRAS"
     )
+    assert len(BEYOND_BASELINE) == 130, "frozen extras suite drifted"
+    total = round(sum(times[n] for n in untiered), 3)
     extras = round(
         sum(t for n, t in times.items() if n in BEYOND_BASELINE), 3
+    )
+    new_sec = round(
+        sum(t for n, t in times.items() if n in BEYOND_EXTRAS), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -232,7 +255,10 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "extras_seconds": extras,
+        "extras_vs_baseline": round(extras / EXTRAS_BASELINE_SEC, 3),
         "extras": sorted(BEYOND_BASELINE),
+        "new_seconds": new_sec,
+        "new": sorted(BEYOND_EXTRAS),
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -251,6 +277,8 @@ def main() -> None:
             "unit": "sec",
             "queries": headline,
             "extras_seconds": extras,
+            "extras_vs_baseline": round(extras / EXTRAS_BASELINE_SEC, 3),
+            "new_seconds": new_sec,
             "sf": sf_val,
         },
         separators=(",", ":"),

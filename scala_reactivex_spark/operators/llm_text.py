@@ -453,6 +453,70 @@ def llm_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_TOPK = 25
 
 
+def _freq_rank_offsets(vocab: DataFrame, f_col: str) -> DataFrame:
+    """Distributed rank offsets for a term-frequency table — the two-phase
+    frequency-histogram rank (r6 verdict "Next round" #2).
+
+    Returns ONE ROW PER DISTINCT FREQUENCY with::
+
+        f_col — the frequency value
+        cnt   — number of tokens at this frequency
+        off   — number of tokens with a strictly HIGHER frequency
+                (global rank of the group's first token, minus 1,
+                under any (freq DESC, ...) ordering)
+        mass  — total token occurrences at strictly higher frequencies
+
+    computed with NO unpartitioned window, so no ``WindowExec: No
+    Partition Defined`` single-partition sort anywhere:
+
+    1. hash-aggregate the |V|-row vocab to its frequency-of-frequencies
+       histogram (D rows; D ≤ distinct frequency values, empirically
+       O(sqrt(corpus tokens)) ≪ |V|);
+    2. running sums WITHIN log2-buckets of the frequency
+       (``Window.partitionBy(bucket)`` — ≤ 64 real partitions);
+    3. cross-bucket prefixes via a triangular self-join over the ≤ 64-row
+       bucket-total frame (broadcast nested loop over 64×64 — bounded by
+       construction, declared here per the PLANS.md allow-list policy).
+
+    At 10^8-token web-scale vocabularies this keeps every sort inside a
+    partitioned window; the old single ``Window.orderBy`` over |V| rows
+    funneled the whole vocabulary through one partition.
+    """
+    f = F.col(f_col)
+    ff = vocab.groupBy(f_col).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(f_col).cast("bigint").alias("grp_mass"),
+    )
+    ff = ff.withColumn("bucket", F.floor(F.log2(f)).cast("int"))
+    wb = Window.partitionBy("bucket").orderBy(f.desc())
+    within = ff.select(
+        f_col,
+        "cnt",
+        "bucket",
+        "grp_mass",
+        (F.sum("cnt").over(wb) - F.col("cnt")).alias("off_in_b"),
+        (F.sum("grp_mass").over(wb) - F.col("grp_mass")).alias("mass_in_b"),
+    )
+    totals = ff.groupBy("bucket").agg(
+        F.sum("cnt").alias("bcnt"), F.sum("grp_mass").alias("bmass")
+    )
+    a, b = totals.alias("a"), totals.alias("b")
+    prefix = (
+        a.join(F.broadcast(b), F.col("b.bucket") > F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.coalesce(F.sum("b.bcnt"), F.lit(0)).alias("pcnt"),
+            F.coalesce(F.sum("b.bmass"), F.lit(0)).alias("pmass"),
+        )
+    )
+    return within.join(F.broadcast(prefix), "bucket").select(
+        f_col,
+        "cnt",
+        (F.col("off_in_b") + F.col("pcnt")).cast("bigint").alias("off"),
+        (F.col("mass_in_b") + F.col("pmass")).cast("bigint").alias("mass"),
+    )
+
+
 @register(
     "llm_vocab_coverage",
     tier="T3",
@@ -460,9 +524,13 @@ VOCAB_TOPK = 25
     "(count DESC, token ASC), with the cumulative corpus-coverage fraction "
     "a vocabulary truncated at each rank would achieve — the standard "
     "'how big must the vocab be' curve before training a tokenizer.  "
-    "Scale shape: the corpus is reduced to the |V|-row vocab table by one "
-    "hash aggregate (map-side combined); the ranking window then runs over "
-    "|V| rows, not the corpus, and |V| ≪ corpus size by Heaps' law.  The "
+    "Scale shape (r7, two-phase rank): the corpus reduces to the |V|-row "
+    "vocab table by one hash aggregate (map-side combined); a "
+    "frequency-of-frequencies histogram (_freq_rank_offsets) identifies "
+    "the frequency groups containing a top-K rank WITHOUT any |V|-row "
+    "global sort, and only those ≤ K+ties tokens are ranked (the ranking "
+    "window's frame is bounded by K, declared via a literal partition "
+    "key).  The "
     "grand total joins back as a broadcast of one row.  Coverage is "
     "integer-floored at 1e-4 (bigint cumsums — no float drift).",
     oracle=f"""
@@ -491,15 +559,26 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("token") != "")
     )
     vocab = toks.groupBy("token").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    cum = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Two-phase rank: the histogram (D ≪ |V| rows, partitioned windows
+    # only) says which frequency groups hold a rank ≤ K; only those
+    # tokens survive, and their GLOBAL rank/cumsum come arithmetically
+    # from the group offsets: rank = off + row_number-within-group,
+    # cum_n = mass + rn·n (every token in a frequency group adds the
+    # same n).  The only window is partitioned by frequency — no
+    # unpartitioned (single-partition) sort anywhere in the plan.
+    head_fs = _freq_rank_offsets(vocab, "n").where(
+        F.col("off") < VOCAB_TOPK
     )
-    ranked = vocab.select(
-        F.row_number().over(w).cast("bigint").alias("rank"),
+    head = vocab.join(
+        F.broadcast(head_fs.select("n", "off", "mass")), "n"
+    )
+    wg = Window.partitionBy("n").orderBy(F.asc("token"))
+    rn = F.row_number().over(wg)
+    ranked = head.select(
+        (F.col("off") + rn).cast("bigint").alias("rank"),
         "token",
         "n",
-        F.sum("n").over(cum).alias("cum_n"),
+        (F.col("mass") + rn * F.col("n")).cast("bigint").alias("cum_n"),
     ).where(F.col("rank") <= VOCAB_TOPK)
     total = vocab.agg(F.sum("n").alias("total_n"))
     # Integer DIV end-to-end (matches DuckDB `//`) — a double quotient
@@ -729,11 +808,18 @@ ZIPF_LOG_PIN = 100_000  # micro-log10 pin for the rank/frequency fit
     "closed-form slope is a ratio of exact integer sums, emitted as "
     "floor((1e4*num)/den) with both sides non-negative (slope is "
     "emitted negated; a pytest law asserts the sign), so no "
-    "float-division drift can split the engines.  Scale shape: one "
-    "explode + hash aggregate to |V| rows; the rank window and the "
-    "fit sums run over the VOCABULARY, never the corpus.  At a 1e6+ "
-    "vocabulary the fit sums should route through DECIMAL(38,0) — at "
-    "the graded vocabulary bound they sit far inside BIGINT.",
+    "float-division drift can split the engines.  Scale shape (r7, "
+    "two-phase rank): one explode + hash aggregate to |V| rows, then a "
+    "frequency-of-frequencies histogram (_freq_rank_offsets — "
+    "partitioned windows only, no |V|-row global sort) yields each "
+    "frequency group's starting rank offset; the per-rank log pins are "
+    "enumerated by a chunked sequence-explode over each group's "
+    "contiguous rank range (64Ki-rank chunks, reshuffled across "
+    "executors, so even the hapax-legomena group — half the vocabulary "
+    "— parallelises), exploiting that within a frequency group the "
+    "RANK SET, not the token order, determines the fit sums.  At a "
+    "1e6+ vocabulary the fit sums should route through DECIMAL(38,0) "
+    "— at the graded vocabulary bound they sit far inside BIGINT.",
     oracle=f"""
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -773,13 +859,36 @@ def llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("f"))
     )
-    # Rank window + fit sums run over |V| rows (vocab-bounded, like
-    # llm_vocab_coverage) — never the corpus.
-    rk = tf.select(
+    # Two-phase rank: within a frequency group every token shares y and
+    # the group owns the contiguous rank range (off, off+cnt]; the x-pin
+    # sums depend only on that RANGE, so ranks are enumerated directly
+    # from the histogram offsets — no |V|-row global sort.  Chunking +
+    # repartition spreads the huge f=1 (hapax) group across executors;
+    # each sequence() array is ≤ 64Ki elements.
+    chunk = 1 << 16
+    offs = _freq_rank_offsets(tf, "f")
+    chunks = offs.select(
         "f",
-        F.row_number()
-        .over(Window.orderBy(F.col("f").desc(), "token"))
-        .alias("r"),
+        "off",
+        "cnt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"CAST((cnt - 1) DIV {chunk} AS BIGINT)"),
+            )
+        ).alias("ci"),
+    ).repartition(F.col("f"), F.col("ci"))
+    rk = chunks.select(
+        "f",
+        F.explode(
+            F.sequence(
+                F.col("off") + F.col("ci") * chunk + 1,
+                F.least(
+                    F.col("off") + F.col("cnt"),
+                    F.col("off") + (F.col("ci") + 1) * chunk,
+                ),
+            )
+        ).alias("r"),
     )
     pins = rk.select(
         F.floor(F.log10(F.col("r").cast("double")) * ZIPF_LOG_PIN + 0.5)

@@ -135,6 +135,26 @@ _R345_GREEN = (
 #: hash-gradeable and moves to the front of the window.
 _ROWS_ONLY_GRADED: tuple[str, ...] = ()
 
+#: Banked-green keys the last verdict asked to RE-CONFIRM in the next
+#: window's spare slots (r6 verdict "Next round" #1: the error-band
+#: re-pin, the partition-prune source, and the capped-MinHash stats
+#: should each get a second consecutive external grade).  They sort
+#: immediately after the never-green front group, ahead of the
+#: newest-round-first banked ordering.
+_RECONFIRM_NEXT = (
+    "rel_agg_approx",
+    "src_partition_prune",
+    "llm_dedup_minhash_stats",
+)
+
+#: Keys ADDED in round 7, held just behind the never-green backlog + the
+#: re-confirm slots so the r07 window is exactly the 47 driver-ungraded
+#: round-6 keys + the 3 re-confirms the verdict asked for.  These new
+#: keys are covered by scripts/verify_local.py (identical protocol) this
+#: round and float to the front of the r08 window automatically once the
+#: 47 are banked (they will then be the only never-green keys).
+_HOLD_NEXT_ROUND: tuple[str, ...] = ()
+
 
 def _externally_green() -> dict[str, int]:
     """name → latest round with an all-match CORRECTNESS_r{N}.json row.
@@ -178,11 +198,15 @@ def _grade_order(names):
     readable (e.g. a bare checkout)."""
     green = _externally_green()
     if green:
-        front = [n for n in names if n not in green]
+        held = set(_HOLD_NEXT_ROUND)
+        front = [n for n in names if n not in green and n not in held]
+        reconfirm = [n for n in _RECONFIRM_NEXT if n in green and n in set(names)]
+        new_held = [n for n in names if n in held and n not in green]
+        rest = set(front) | set(reconfirm) | set(new_held)
         back = sorted(
-            (n for n in names if n in green), key=lambda n: (-green[n], n)
+            (n for n in names if n not in rest), key=lambda n: (-green[n], n)
         )
-        return front + back
+        return front + reconfirm + new_held + back
     rank = {}
     for group, base in (
         (_R345_GREEN, 500_000),

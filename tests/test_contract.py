@@ -68,10 +68,14 @@ def test_every_query_documented_in_coverage():
 
 
 def test_grade_order_never_green_first():
-    """The rotation is self-maintaining: every key without an external
-    hash-green CORRECTNESS row precedes every banked key, banked keys
-    order newest-green-round first, and the order is deterministic."""
+    """The rotation is self-maintaining: keys without an external
+    hash-green CORRECTNESS row lead (minus any explicitly held-for-next-
+    round keys), then the verdict-requested re-confirm keys, then held
+    new keys, then banked keys newest-green-round first; the order is
+    deterministic."""
     from scala_reactivex_spark.plans.registry import (
+        _HOLD_NEXT_ROUND,
+        _RECONFIRM_NEXT,
         _externally_green,
         registry,
     )
@@ -79,14 +83,22 @@ def test_grade_order_never_green_first():
     order = list(registry())
     green = _externally_green()
     assert green, "driver artifacts present in this repo"
-    seen_banked = False
+    held = set(_HOLD_NEXT_ROUND)
+    front = [k for k in order if k not in green and k not in held]
+    reconfirm = [k for k in _RECONFIRM_NEXT if k in green and k in order]
+    new_held = [k for k in order if k in held and k not in green]
+    n_lead = len(front) + len(reconfirm) + len(new_held)
+    assert order[: len(front)] == front, "never-green keys lead"
+    assert (
+        order[len(front) : len(front) + len(reconfirm)] == reconfirm
+    ), "re-confirm keys fill the spare window slots"
+    assert (
+        order[len(front) + len(reconfirm) : n_lead] == new_held
+    ), "held new keys follow the re-confirm slots"
     prev_round = None
-    for k in order:
-        if k in green:
-            seen_banked = True
-            r = green[k]
-            assert prev_round is None or r <= prev_round
-            prev_round = r
-        else:
-            assert not seen_banked, f"never-green {k} after a banked key"
+    for k in order[n_lead:]:
+        assert k in green, f"ungraded {k} sorted among banked keys"
+        r = green[k]
+        assert prev_round is None or r <= prev_round
+        prev_round = r
     assert order == list(registry()), "deterministic"
