@@ -181,14 +181,18 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comparisons are exact-integer (1e6-pinned components, 1e4-pinned "
     "τ ratio via integer cross-multiplication — no division). Scale: "
     "one aggregate over the assignment + one broadcast join back; the "
-    "expensive part is the k-means it composes.",
+    "expensive part is the k-means it composes.  The cross-multiplied "
+    "predicate routes through DECIMAL(38,0)/HUGEINT: d²·n_vecs·10⁴ "
+    "tops 2⁶³ once clusters reach a few thousand members (caught by "
+    "the r7 sf1 probe as an ANSI ARITHMETIC_OVERFLOW), and Σd² itself "
+    "overflows BIGINT at ~10⁹-member web-scale clusters.",
     oracle=_kmeans_oracle().replace(
         f"\nSELECT vec_id, cluster_id, dist2 FROM a{KMEANS_ITERS}",
         f""", fin AS (
   SELECT vec_id, cluster_id, dist2 AS d2 FROM a{KMEANS_ITERS}
 ), stats AS (
   SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-         CAST(SUM(d2) AS BIGINT) AS sum_d2,
+         CAST(SUM(CAST(d2 AS HUGEINT)) AS HUGEINT) AS sum_d2,
          MIN(d2) AS min_d2
   FROM fin GROUP BY cluster_id
 ), keeper AS (
@@ -199,7 +203,8 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT f.vec_id, f.cluster_id, CAST(f.d2 AS BIGINT) AS dist2,
        CASE WHEN f.vec_id = k.keep_id THEN 1 ELSE 0 END AS is_keeper,
        CASE WHEN f.vec_id <> k.keep_id
-                 AND f.d2 * s.n_vecs * 10000 < {SEMDEDUP_TAU_1E4} * s.sum_d2
+                 AND CAST(f.d2 AS HUGEINT) * s.n_vecs * 10000
+                     < {SEMDEDUP_TAU_1E4} * s.sum_d2
             THEN 1 ELSE 0 END AS is_dropped
 FROM fin f
 JOIN stats s ON f.cluster_id = s.cluster_id
@@ -210,7 +215,8 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = _kmeans_assignment(spark, sf_dir).withColumnRenamed("dist2", "d2")
     stats = fin.groupBy(F.col("cluster_id").alias("s_cluster")).agg(
         F.count("*").cast("bigint").alias("n_vecs"),
-        F.sum("d2").cast("bigint").alias("sum_d2"),
+        # DECIMAL(38,0) sum: Σd² tops BIGINT at web-scale cluster sizes.
+        F.sum(F.col("d2").cast("decimal(38,0)")).alias("sum_d2"),
         F.min("d2").alias("min_d2"),
     )
     keeper = (
@@ -222,7 +228,12 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         (F.col("vec_id") != F.col("keep_id"))
         & (
-            F.col("d2") * F.col("n_vecs") * F.lit(10_000)
+            # DECIMAL(38,0) cross-multiply: the BIGINT form overflows
+            # (ANSI ARITHMETIC_OVERFLOW) once d²·n_vecs·10⁴ > 2⁶³ —
+            # hit at the 10× sf1 probe already (SCALING.md r7).
+            F.col("d2").cast("decimal(38,0)")
+            * F.col("n_vecs")
+            * F.lit(10_000)
             < F.lit(SEMDEDUP_TAU_1E4) * F.col("sum_d2")
         )
     ).cast("int")

@@ -375,24 +375,42 @@ FROM final WHERE rnk <= {RRF_TOPK}
 """,
 )
 def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scala_reactivex_spark.operators.llm_similarity import (
-        cosine_with_norms,
-        norm_col,
-    )
-
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    e = table(spark, sf_dir, "embeddings")
-    docs = d.join(e, d.doc_id == e.vec_id).select(
-        "doc_id", "toks", "embedding", norm_col("embedding").alias("nrm")
-    )
+    docs = hybrid_corpus(spark, sf_dir)
     probes = docs.where(F.col("doc_id") < RRF_PROBES).select(
         F.col("doc_id").alias("probe_id"),
         F.col("toks").alias("ptoks"),
         F.col("embedding").alias("pe"),
         F.col("nrm").alias("pn"),
     )
+    return rrf_fuse(probes, docs)
+
+
+def hybrid_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static hybrid-retrieval index: every doc's distinct token set
+    (lexical side) + embedding with its precomputed norm (semantic
+    side).  Shared by the batch operator and the streaming serving twin
+    (streaming/twins.py run_hybrid_rrf_serving)."""
+    from scala_reactivex_spark.operators.llm_similarity import norm_col
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "toks", "embedding", norm_col("embedding").alias("nrm")
+    )
+
+
+def rrf_fuse(probes: DataFrame, docs: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (token Jaccard) and
+    semantic (cosine) rankings for ``probes`` (probe_id, ptoks, pe, pn)
+    against the ``docs`` corpus frame — the scoring core shared by
+    ``llm_hybrid_rrf`` and its serving twin.  Probes broadcast; the
+    corpus streams through once; rank windows partition per probe."""
+    from scala_reactivex_spark.operators.llm_similarity import (
+        cosine_with_norms,
+    )
+
     isz = F.size(F.array_intersect("ptoks", "toks"))
     cand = (
         F.broadcast(probes)

@@ -1670,3 +1670,53 @@ def twin_hll(sdf: DataFrame) -> DataFrame:
         .groupBy("reg")
         .agg(F.max("rho").alias("mr"))
     )
+
+
+def twin_hybrid_rrf(
+    sdf: DataFrame, corpus: DataFrame, out_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming hybrid-retrieval serving [T3 retrieval — live twin of
+    llm_hybrid_rrf's fusion]: probe queries ARRIVE (the file doc stream,
+    one file per micro-batch), the hybrid index STANDS (``hybrid_corpus``
+    — per-doc token sets for the lexical leg + normed embeddings for the
+    semantic leg).  Per-probe rank windows are batch semantics, so the
+    fusion runs inside ``foreachBatch`` where each micro-batch is a
+    bounded frame: the arriving probes fetch their embedding from the
+    static index (the query-encoder lookup), broadcast against one
+    corpus pass, and the RRF top-k commits through the idempotent
+    parquet sink — a replayed batch is skipped on its _COMMITTED marker,
+    so serving is effectively-once end-to-end.  Each probe's result
+    depends only on the static corpus, never on other arrivals, so the
+    union over micro-batches equals the batch operator restricted to the
+    probe set (asserted in tests/test_retrieval_subdoc.py).  Returns the
+    committed results as a batch frame."""
+    from scala_reactivex_spark.operators.llm_retrieval import rrf_fuse
+    from scala_reactivex_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    spark = sdf.sparkSession
+    commit = idempotent_parquet_sink(out_dir)
+    enc = corpus.select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pn"),
+    )
+
+    def fuse_batch(batch_df: DataFrame, batch_id: int) -> None:
+        probes = batch_df.select(
+            F.col("doc_id").alias("probe_id"),
+            F.array_distinct(F.split("text", " ")).alias("ptoks"),
+        ).join(enc, "probe_id")
+        commit(rrf_fuse(probes, corpus), batch_id)
+
+    query = (
+        sdf.writeStream.foreachBatch(fuse_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "probe_id", "rnk", "doc_id", "r_lex", "r_sem", "rrf_1e6"
+    )

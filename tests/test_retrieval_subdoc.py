@@ -544,3 +544,41 @@ def test_template_detect_matches_pure_python(spark, sf_dir):
     assert got == want
     for r in llm_template_detect(spark, sf_dir).collect():
         assert r["share_1e4"] == r["n_docs"] * 10000 // len(docs)
+
+
+def test_twin_hybrid_rrf_serving_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming probe queries fused against the static hybrid index
+    (foreachBatch + idempotent sink) reproduce the batch RRF operator
+    exactly, and a replay with the same checkpoint commits nothing new
+    (effectively-once serving)."""
+    from pyspark.sql import functions as F
+
+    from scala_reactivex_spark.operators.llm_retrieval import (
+        RRF_PROBES,
+        hybrid_corpus,
+        llm_hybrid_rrf,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "probe_src")
+    (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < RRF_PROBES)
+        .repartition(3)  # ≥2 files → multiple micro-batches
+        .write.parquet(src)
+    )
+    out_dir = str(tmp_path / "fused")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = hybrid_corpus(spark, sf_dir)
+    got_df = twins.twin_hybrid_rrf(
+        twins.docs_stream(spark, src), corpus, out_dir, ckpt
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in llm_hybrid_rrf(spark, sf_dir).collect()}
+    assert got == want and got
+    # Replay: same checkpoint, same source — the drained query has no new
+    # files, and committed batch markers make any replays no-ops.
+    again_df = twins.twin_hybrid_rrf(
+        twins.docs_stream(spark, src), corpus, out_dir, ckpt
+    )
+    assert {tuple(r) for r in again_df.collect()} == got
