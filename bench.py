@@ -192,7 +192,12 @@ EXTRAS_BASELINE_SEC = 151.8
 # Queries registered after round 6 — timed, reported per-query in
 # BENCH_DETAIL.json and summed as new_seconds; excluded from BOTH frozen
 # totals (headline 72, extras 130) to keep those comparable.
-BEYOND_EXTRAS: set[str] = set()
+BEYOND_EXTRAS: set[str] = {
+    # round 7
+    "llm_chunk_overlap",
+    "src_bucketed_join",
+    "llm_bpe_fertility",
+}
 
 
 def main() -> None:

