@@ -197,6 +197,9 @@ BEYOND_EXTRAS: set[str] = {
     "llm_chunk_overlap",
     "src_bucketed_join",
     "llm_bpe_fertility",
+    "llm_chunk_retrieval_recall",
+    "src_schema_evolution",
+    "rel_join_skew_salted",
 }
 
 

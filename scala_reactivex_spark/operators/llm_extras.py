@@ -90,9 +90,15 @@ FROM e
 """,
 )
 def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_overlap_frame(table(spark, sf_dir, "documents"))
+
+
+def chunk_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, ci, chunk) sliding-window chunks of a documents frame —
+    shared by the graded operator, the retrieval-recall eval, and the
+    streaming twin (identical expressions on batch or stream input)."""
     d = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("toks"))
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
         .withColumn("n", F.size("toks"))
         .withColumn(
             "nc",
@@ -107,13 +113,25 @@ def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         F.explode(F.expr("sequence(0L, nc - 1L)")).alias("ci"),
     )
-    chunk = F.expr(f"slice(toks, ci * {CHUNK_S} + 1, {CHUNK_W})")
     return e.select(
+        "doc_id",
+        "ci",
+        F.expr(f"slice(toks, ci * {CHUNK_S} + 1, {CHUNK_W})").alias(
+            "chunk"
+        ),
+    )
+
+
+def chunk_overlap_frame(docs: DataFrame) -> DataFrame:
+    """The graded chunk projection over any documents frame."""
+    return chunk_frame(docs).select(
         "doc_id",
         F.col("ci").cast("bigint").alias("chunk_idx"),
         (F.col("ci") * CHUNK_S + 1).cast("bigint").alias("start_tok"),
-        F.size(chunk).cast("bigint").alias("n_tok"),
-        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_md5"),
+        F.size("chunk").cast("bigint").alias("n_tok"),
+        F.md5(F.concat_ws(" ", "chunk").cast("binary")).alias(
+            "chunk_md5"
+        ),
     )
 
 
@@ -242,3 +260,241 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          AS ratio_1e4
 FROM j GROUP BY lang
 """
+
+
+RAG_TOPK = 5  # retrieved chunks per probe query
+
+
+@register(
+    "llm_chunk_retrieval_recall",
+    tier="T3",
+    doc="RAG retrieval acceptance eval — the check that closes the "
+    "chunking loop: a deterministic quarter of the held-out "
+    "'test'-split documents (content-hash routing as llm_doc_split, "
+    "then doc_id % 4 — acceptance evals SAMPLE; the fixture's 31-word "
+    "vocabulary makes every query term match nearly every chunk, the "
+    "same documented pathology as llm_bm25, so the eval corpus stays "
+    "bounded) each issue their leading 4 distinct words as a query "
+    "against the FULL chunk "
+    "corpus (llm_chunk_overlap geometry); chunks rank by distinct-term "
+    f"overlap (ties → doc_id, chunk_idx) and the top {RAG_TOPK} are "
+    "emitted with hit = the chunk comes from the query's own document "
+    "— recall@k over own-document chunks is the standard sanity bound "
+    "a chunk index must clear before production.  Scale shape: "
+    "inverted-index equi-join on the term key (query side bounded — "
+    "an eval corpus), per-(query, chunk) hash aggregate, top-k window "
+    "partitioned per query; identical to llm_bm25's shape.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= {CHUNK_W} THEN 1
+              ELSE 1 + (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}
+         END AS nc
+  FROM d
+), e AS (
+  SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM c
+), ct AS (
+  SELECT doc_id, ci AS chunk_idx,
+         unnest(list_distinct(list_slice(toks, ci * {CHUNK_S} + 1,
+                                         ci * {CHUNK_S} + {CHUNK_W})))
+           AS tok
+  FROM e
+), q AS (
+  SELECT doc_id AS q_id,
+         unnest(list_distinct(list_slice(toks, 1, 4))) AS tok
+  FROM d WHERE substr(md5(text), 1, 1) >= 'e' AND doc_id % 4 = 0
+), ov AS (
+  SELECT q.q_id, ct.doc_id, ct.chunk_idx,
+         CAST(count(*) AS BIGINT) AS overlap
+  FROM q JOIN ct ON q.tok = ct.tok
+  GROUP BY q.q_id, ct.doc_id, ct.chunk_idx
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY overlap DESC, doc_id, chunk_idx)
+            AS rnk
+  FROM ov
+)
+SELECT q_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx, overlap,
+       CAST(doc_id = q_id AS INT) AS hit
+FROM ranked WHERE rnk <= {RAG_TOPK}
+""",
+)
+def llm_chunk_retrieval_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from scala_reactivex_spark.operators.llm_retrieval import _split_expr
+
+    docs = table(spark, sf_dir, "documents")
+    ct = chunk_frame(docs).select(
+        "doc_id",
+        F.col("ci").alias("chunk_idx"),
+        F.explode(F.array_distinct("chunk")).alias("tok"),
+    )
+    nib = F.expr(_split_expr("spark"))
+    q = (
+        docs.where(nib >= "e")
+        .where(F.col("doc_id") % 4 == 0)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(
+                F.array_distinct(F.slice(F.split("text", " "), 1, 4))
+            ).alias("tok"),
+        )
+    )
+    ov = (
+        q.join(ct, "tok")
+        .groupBy("q_id", "doc_id", "chunk_idx")
+        .agg(F.count("*").cast("bigint").alias("overlap"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("overlap").desc(), "doc_id", "chunk_idx"
+    )
+    return (
+        ov.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= RAG_TOPK)
+        .select(
+            "q_id",
+            "rnk",
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            "overlap",
+            (F.col("doc_id") == F.col("q_id")).cast("int").alias("hit"),
+        )
+    )
+
+
+def _evolved_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture dir) a two-generation parquet layout
+    of events under ``<repo>/.cache``: generation v1 carries the original
+    columns, generation v2 adds a ``vlen`` column — the schema-drift
+    shape every long-lived 100 TB dataset accumulates as producers
+    evolve."""
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(repo_root, ".cache", f"events_evolved_{base}")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "props"
+        )
+        v1 = ev.where(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "value"
+        )
+        v2 = ev.where(F.col("event_id") % 2 == 1).select(
+            "event_id",
+            "user_id",
+            "value",
+            F.length("props").cast("bigint").alias("vlen"),
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(out, "gen=v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(out, "gen=v2"))
+        open(marker, "w").close()
+    return out
+
+
+@register(
+    "src_schema_evolution",
+    tier="T2",
+    doc="Schema-evolution read: the events table written as two parquet "
+    "generations (v1 without, v2 with a later-added ``vlen`` column), "
+    "read back in ONE scan with ``mergeSchema`` — rows from the old "
+    "generation surface NULL for the new column, exactly how a "
+    "long-lived dataset behaves as producers evolve.  The rollup "
+    "groups by column presence and reconciles counts/sums across "
+    "generations.  Scale note: mergeSchema footer reconciliation is "
+    "a one-time planning cost per scan; production pins the merged "
+    "schema in a catalog so the read path stays footer-free.",
+    oracle="""
+WITH unioned AS (
+  SELECT event_id, user_id, value, NULL AS vlen
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, user_id, value, CAST(len(props) AS BIGINT) AS vlen
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT CAST(vlen IS NOT NULL AS INT) AS has_new_col,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+         AS total_value,
+       CAST(coalesce(sum(vlen), 0) AS BIGINT) AS sum_vlen
+FROM unioned GROUP BY 1
+""",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _evolved_events(spark, sf_dir)
+    ev = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "false")
+        .parquet(path)
+    )
+    return ev.groupBy(
+        F.col("vlen").isNotNull().cast("int").alias("has_new_col")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        dsum("value").alias("total_value"),
+        F.coalesce(F.sum("vlen"), F.lit(0)).cast("bigint").alias(
+            "sum_vlen"
+        ),
+    )
+
+
+SALT_BUCKETS = 8  # fan-out for the salted skew join
+
+
+@register(
+    "rel_join_skew_salted",
+    tier="T2",
+    doc="Salted skew join — the standard remedy when one join key "
+    "dominates a fact-to-fact shuffle and AQE's skew splitting cannot "
+    f"apply (e.g. pre-3.0 sinks, bucketed layouts): the big side salts "
+    f"its key into {SALT_BUCKETS} deterministic sub-keys "
+    "(l_linenumber % S — any per-row value works), the smaller side "
+    "replicates once per salt via sequence+explode, and the join runs "
+    "on (key, salt) so a hot key's rows spread over S partitions "
+    "instead of one straggler.  Results are provably identical to the "
+    "unsalted join (the oracle IS the plain join; a pytest also "
+    "asserts the salted exchange hashes on both key and salt).  "
+    "Replication cost: S× the SMALLER side only — the knob a 100 TB "
+    "job tunes against its hottest key's share.  Output: status × "
+    "ship-year revenue rollup, decimal-exact.",
+    oracle="""
+SELECT o_orderstatus, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus, year(l_shipdate)
+""",
+)
+def rel_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % SALT_BUCKETS).cast("int")
+    )
+    od = table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    )
+    j = li.hint("merge").join(
+        od.hint("merge"),
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (li["salt"] == od["salt"]),
+    )
+    return j.groupBy(
+        "o_orderstatus",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )

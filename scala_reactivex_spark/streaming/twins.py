@@ -1720,3 +1720,18 @@ def twin_hybrid_rrf(
     return spark.read.parquet(out_dir).select(
         "probe_id", "rnk", "doc_id", "r_lex", "r_sem", "rrf_1e6"
     )
+
+
+def twin_chunk_overlap(sdf: DataFrame) -> DataFrame:
+    """Streaming RAG chunking [T3 — live twin of llm_chunk_overlap]:
+    arriving documents chunk into overlapping sliding windows with the
+    IDENTICAL expressions as the batch operator (chunk_overlap_frame —
+    scan → generate → project, completely stateless), so the chunk
+    stream feeds a live retrieval index exactly as the batch job builds
+    the offline one.  Append mode, no watermark, no state store: the
+    canonical embarrassingly-parallel ingest stage."""
+    from scala_reactivex_spark.operators.llm_extras import (
+        chunk_overlap_frame,
+    )
+
+    return chunk_overlap_frame(sdf)

@@ -108,3 +108,83 @@ def test_bpe_fertility_consistent_with_per_doc_table(spark, sf_dir):
     for r in rows:
         assert r["syms_after"] <= r["syms_before"]
         assert 0 < r["ratio_1e4"] <= 10_000
+
+
+def test_twin_chunk_overlap_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming chunker emits exactly the batch chunk set (stateless
+    projection — micro-batch boundaries cannot matter)."""
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "docs_src")
+    table(spark, sf_dir, "documents").repartition(3).write.parquet(src)
+    out = twins.run_stream_to_table(
+        twins.twin_chunk_overlap(twins.docs_stream(spark, src)),
+        "t_chunks",
+        str(tmp_path / "ckpt"),
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in llm_chunk_overlap(spark, sf_dir).collect()}
+    assert got == want and got
+
+
+def test_chunk_retrieval_recall_shape(spark, sf_dir):
+    """Eval-table laws: every test-split query gets exactly min(k, cands)
+    contiguous ranks, overlap is bounded by the query width, and hit
+    flags agree with the doc identity."""
+    from scala_reactivex_spark.operators.llm_extras import (
+        RAG_TOPK,
+        llm_chunk_retrieval_recall,
+    )
+
+    rows = llm_chunk_retrieval_recall(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RAG_TOPK
+        for r in rs:
+            assert 1 <= r["overlap"] <= 4
+            assert r["hit"] == int(r["doc_id"] == q_id)
+
+
+def test_salted_join_spreads_key_and_matches_plain(spark, sf_dir):
+    """Salting must (a) hash the shuffle on (key, salt) so a hot key
+    spans SALT_BUCKETS partitions, and (b) not change the answer."""
+    from scala_reactivex_spark.operators.llm_extras import (
+        rel_join_skew_salted,
+    )
+    from scala_reactivex_spark.functions.determinism import dsum
+
+    df = rel_join_skew_salted(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        and ("l_orderkey" in line or "o_orderkey" in line)
+    ]
+    assert join_exchanges, plan
+    assert all("salt" in e for e in join_exchanges), join_exchanges
+
+    got = {tuple(r) for r in df.collect()}
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    want = {
+        tuple(r)
+        for r in li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderstatus",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want
