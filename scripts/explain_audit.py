@@ -84,6 +84,7 @@ ALLOWED_NESTED_LOOP = {
     "llm_hll_portable",  # 1-row exact-count broadcast × 1-row fold
     "llm_quality_length_corr",  # single-row moment aggregate
     "rel_decay_sum",  # 1-row max-day broadcast × weighted stream
+    "llm_bpe_fertility",  # composes llm_bpe_apply (1-row merge-rule crosses)
 }
 
 
@@ -232,6 +233,14 @@ def audit() -> int:
                 )
             )
             f.write(f"### {name}\n```\n{scan.strip()}\n```\n\n")
+
+        # Manually-curated audit notes survive regeneration: everything
+        # in scripts/plans_notes.md is appended verbatim.
+        import os
+
+        notes = os.path.join(os.path.dirname(__file__), "plans_notes.md")
+        if os.path.exists(notes):
+            f.write(open(notes).read())
 
     ok_all = all(ok for _, ok in checks)
     for desc, ok in checks:
