@@ -200,6 +200,7 @@ BEYOND_EXTRAS: set[str] = {
     "llm_chunk_retrieval_recall",
     "src_schema_evolution",
     "rel_join_skew_salted",
+    "llm_chunk_dedup",
 }
 
 

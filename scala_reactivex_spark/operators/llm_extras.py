@@ -498,3 +498,64 @@ def rel_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+CHUNK_DUP_MIN_DOCS = 2  # a chunk is boilerplate when ≥ this many docs share it
+
+
+@register(
+    "llm_chunk_dedup",
+    tier="T3",
+    doc="Chunk-level cross-document dedup — the stage between chunking "
+    "and indexing: identical chunks appearing in "
+    f"≥{CHUNK_DUP_MIN_DOCS} distinct documents are boilerplate "
+    "(headers, licenses, navigation) that would dominate retrieval "
+    "results; the profile lists each such chunk's content hash, total "
+    "occurrences, distinct-document span and an example document.  "
+    "Complements llm_line_dedup (line granularity) and "
+    "llm_dedup_substring (intra-document runs): retrieval indexes "
+    "dedup at exactly the retrieval unit.  Scale shape: chunk "
+    "generation is shuffle-free; the profile is ONE hash aggregate "
+    "keyed on the chunk md5 — linear, map-side combined.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN n <= {CHUNK_W} THEN 1
+              ELSE 1 + (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}
+         END AS nc
+  FROM d
+), e AS (
+  SELECT doc_id, toks, unnest(range(0, nc)) AS ci FROM c
+), ch AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, ci * {CHUNK_S} + 1,
+                                        ci * {CHUNK_S} + {CHUNK_W}), ' '))
+           AS chunk_md5
+  FROM e
+)
+SELECT chunk_md5,
+       CAST(count(*) AS BIGINT) AS n_occur,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS example_doc
+FROM ch GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) >= {CHUNK_DUP_MIN_DOCS}
+""",
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = chunk_frame(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "chunk").cast("binary")).alias("chunk_md5"),
+    )
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occur"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= CHUNK_DUP_MIN_DOCS)
+    )

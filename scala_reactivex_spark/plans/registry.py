@@ -163,6 +163,7 @@ _HOLD_NEXT_ROUND: tuple[str, ...] = (
     "llm_chunk_retrieval_recall",
     "src_schema_evolution",
     "rel_join_skew_salted",
+    "llm_chunk_dedup",
 )
 
 

@@ -188,3 +188,28 @@ def test_salted_join_spreads_key_and_matches_plain(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_chunk_dedup_reconciles_with_chunk_table(spark, sf_dir):
+    """Every reported boilerplate chunk really spans ≥2 documents, and
+    its occurrence count matches the raw chunk table."""
+    from collections import defaultdict
+
+    from scala_reactivex_spark.operators.llm_extras import (
+        CHUNK_DUP_MIN_DOCS,
+        llm_chunk_dedup,
+    )
+
+    rows = llm_chunk_dedup(spark, sf_dir).collect()
+    assert rows
+    chunk_rows = llm_chunk_overlap(spark, sf_dir).collect()
+    occur: dict[str, int] = defaultdict(int)
+    docs: dict[str, set] = defaultdict(set)
+    for c in chunk_rows:
+        occur[c["chunk_md5"]] += 1
+        docs[c["chunk_md5"]].add(c["doc_id"])
+    for r in rows:
+        assert r["n_occur"] == occur[r["chunk_md5"]]
+        assert r["n_docs"] == len(docs[r["chunk_md5"]])
+        assert r["n_docs"] >= CHUNK_DUP_MIN_DOCS
+        assert r["example_doc"] == min(docs[r["chunk_md5"]])
