@@ -212,7 +212,14 @@ JOIN keeper k ON f.cluster_id = k.cluster_id""",
     ),
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fin = _kmeans_assignment(spark, sf_dir).withColumnRenamed("dist2", "d2")
+    # The assignment frame feeds FOUR subtrees (fin, stats, keeper via fin
+    # + stats, final join) and Spark does not share common subplans across
+    # joins — unpersisted, the whole Lloyd chain executed ~4×.
+    fin = (
+        _kmeans_assignment(spark, sf_dir)
+        .withColumnRenamed("dist2", "d2")
+        .persist()
+    )
     stats = fin.groupBy(F.col("cluster_id").alias("s_cluster")).agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         # DECIMAL(38,0) sum: Σd² tops BIGINT at web-scale cluster sizes.
