@@ -1,23 +1,39 @@
-"""Round-7 additions: RAG chunking, bucketed co-located join, tokenizer
-fertility (SURVEY.md §2.10 family extensions).
+"""Round-7 additions (SURVEY.md §2.10 family extensions): the RAG loop,
+data-layout joins, schema evolution, tokenizer fertility.
+
+The RAG loop (chunk → dedup → retrieve → evaluate):
 
 - ``llm_chunk_overlap``: overlapping sliding-window chunking — the RAG
   ingestion primitive (fixed window, fixed stride, trailing partial
   chunk).  Distinct from ``llm_doc_split`` (hash train/val/test routing)
   and ``llm_cdc_chunks`` (content-defined boundaries): RAG retrieval
   wants uniform spans with overlap so no answer straddles a boundary.
+  Streaming twin: ``streaming/twins.twin_chunk_overlap``.
+- ``llm_chunk_dedup``: chunk-level cross-document boilerplate profile —
+  dedup at exactly the retrieval unit before indexing.
+- ``llm_chunk_retrieval_recall``: the acceptance eval — sampled
+  held-out queries against the full chunk corpus, own-document hit
+  flags in the overlap-ranked top-k.
+
+Data layout at 100 TB:
+
 - ``src_bucketed_join``: the shuffle-free co-located fact-to-fact join —
   lineitem and orders written ONCE as bucketed tables on their join key
   (8 buckets, sorted), then joined with zero Exchange on the keys
-  (pytest asserts the executed plan).  At 100 TB this is the difference
-  between re-shuffling both fact tables per query and reading
-  co-partitioned buckets; the bucket layout is the materialized
-  partitioning every repeated big join should ride.
-- ``llm_bpe_fertility``: per-language tokenizer fertility — symbols per
-  word before/after the learned BPE merges, the metric that tells a
-  tokenizer owner which languages pay the most symbols per word (the
-  multilingual-fairness number).  Composes the graded ``llm_bpe_apply``
-  per-doc table; its oracle embeds that operator's green oracle.
+  (pytest asserts the executed plan): pay the bucketing write once,
+  skip both sides' shuffles on every later join on that key.
+- ``rel_join_skew_salted``: the standard hot-key remedy — deterministic
+  salt on the big side, small-side replication per salt, provably equal
+  to the plain join (the oracle IS the plain join).
+- ``src_schema_evolution``: two parquet generations (one adds a
+  column), one mergeSchema scan, cross-generation reconciliation.
+
+Tokenizer diagnostics:
+
+- ``llm_bpe_fertility``: per-language symbols before/after the learned
+  BPE merges — which languages pay the most symbols per word under a
+  shared vocabulary.  Composes the graded ``llm_bpe_apply`` per-doc
+  table; its oracle embeds that operator's green oracle.
 
 These keys are listed in registry._HOLD_NEXT_ROUND for round 7 so the
 driver window stays exactly the 47 banked-pending keys + 3 re-confirms;

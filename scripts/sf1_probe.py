@@ -55,6 +55,10 @@ PROBE = (
     "llm_bm25",
     "llm_dedup_incremental",
     "rel_q21_waiting",
+    # round-7 additions (follow-up probe, SCALING.md)
+    "rel_join_skew_salted",
+    "llm_chunk_overlap",
+    "llm_chunk_retrieval_recall",
 )
 
 
