@@ -171,6 +171,7 @@ def _bucketed_table(
         r"[^0-9a-zA-Z]", "_", os.path.basename(os.path.normpath(sf_dir))
     )
     name = f"bucketdemo.{tbl}_{base}"
+    loc = os.path.join(warehouse, f"{tbl}_{base}")
     spark.sql(
         f"CREATE DATABASE IF NOT EXISTS bucketdemo LOCATION '{warehouse}'"
     )
@@ -183,9 +184,12 @@ def _bucketed_table(
             f"CREATE TABLE {name} ({ddl}) USING PARQUET "
             f"CLUSTERED BY ({key}) SORTED BY ({key}) "
             f"INTO {N_BUCKETS} BUCKETS "
-            f"LOCATION '{os.path.join(warehouse, f'{tbl}_{base}')}'"
+            f"LOCATION '{loc}'"
         )
-        if not spark.table(name).head(1):
+        # Populate only when no COMPLETED write exists: _SUCCESS lands
+        # last, so a concurrent session's in-flight write is not
+        # mistaken for data (head(1) on partial files would be).
+        if not os.path.exists(os.path.join(loc, "_SUCCESS")):
             src.write.mode("overwrite").insertInto(name)
     return spark.table(name)
 
