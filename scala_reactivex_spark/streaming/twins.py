@@ -1735,3 +1735,47 @@ def twin_chunk_overlap(sdf: DataFrame) -> DataFrame:
     )
 
     return chunk_overlap_frame(sdf)
+
+
+def twin_schema_evolution(spark: SparkSession, evolved_dir: str) -> DataFrame:
+    """Streaming schema-evolution read [live twin of src_schema_evolution]:
+    a file-source stream CANNOT mergeSchema mid-query (the schema is
+    fixed at start), so the production pattern is to declare the EVOLVED
+    superset schema up front — parquet fills columns absent from old
+    generations with NULL, exactly like the batch mergeSchema scan.
+    Reads both generations of the evolved events layout (recursive
+    lookup, explicit superset schema) and maintains the same
+    new-column-presence rollup as the batch operator (complete mode);
+    batch equivalence is pytest-asserted."""
+    configure_session(spark)
+    sdf = (
+        spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, value DOUBLE, vlen BIGINT"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(evolved_dir)
+    )
+    # Distinct aggregates are unsupported on streams, so the live state
+    # is the per-(generation, user) grain; the batch rollup below
+    # (schema_evolution_view) derives the distinct-user count from the
+    # materialized table — same split as twin_topk_window/topk_view.
+    return sdf.groupBy(
+        F.col("vlen").isNotNull().cast("int").alias("has_new_col"),
+        "user_id",
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("value_dec"),
+        F.coalesce(F.sum("vlen"), F.lit(0)).cast("bigint").alias("vlen_sum"),
+    )
+
+
+def schema_evolution_view(materialized: DataFrame) -> DataFrame:
+    """Rollup view over twin_schema_evolution's sink table — decimal
+    sums re-aggregate exactly, so the view equals the batch operator."""
+    return materialized.groupBy("has_new_col").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.sum("value_dec").cast("double"), 4).alias("total_value"),
+        F.sum("vlen_sum").cast("bigint").alias("sum_vlen"),
+    )

@@ -213,3 +213,24 @@ def test_chunk_dedup_reconciles_with_chunk_table(spark, sf_dir):
         assert r["n_docs"] == len(docs[r["chunk_md5"]])
         assert r["n_docs"] >= CHUNK_DUP_MIN_DOCS
         assert r["example_doc"] == min(docs[r["chunk_md5"]])
+
+
+def test_twin_schema_evolution_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming with the declared superset schema over both parquet
+    generations converges to the batch mergeSchema rollup exactly."""
+    from scala_reactivex_spark.operators.llm_extras import (
+        _evolved_events,
+        src_schema_evolution,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    evolved = _evolved_events(spark, sf_dir)
+    out = twins.run_stream_to_table(
+        twins.twin_schema_evolution(spark, evolved),
+        "t_schema_evo",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    got = {tuple(r) for r in twins.schema_evolution_view(out).collect()}
+    want = {tuple(r) for r in src_schema_evolution(spark, sf_dir).collect()}
+    assert got == want and len(got) == 2
