@@ -201,6 +201,8 @@ BEYOND_EXTRAS: set[str] = {
     "src_schema_evolution",
     "rel_join_skew_salted",
     "llm_chunk_dedup",
+    "llm_kanon_audit",
+    "llm_cluster_purity",
 }
 
 

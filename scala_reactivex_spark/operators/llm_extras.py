@@ -51,9 +51,10 @@ from pyspark.sql import functions as F
 
 from scala_reactivex_spark.functions.determinism import dsum
 
-# Importing llm_subdoc guarantees llm_bpe_apply's @register block ran
-# before the peek() at the bottom of this module, regardless of whether
-# this module is imported directly or via load_all().
+# Importing the composed-from modules guarantees their @register blocks
+# ran before the peek()s at the bottom of this module, regardless of
+# whether this module is imported directly or via load_all().
+from scala_reactivex_spark.operators import llm_cluster  # noqa: F401
 from scala_reactivex_spark.operators import llm_subdoc  # noqa: F401
 from scala_reactivex_spark.plans.registry import peek, register
 from scala_reactivex_spark.sources.catalog import table
@@ -579,3 +580,121 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= CHUNK_DUP_MIN_DOCS)
     )
+
+
+KANON_K = 10  # minimum group size for quasi-identifier release
+KANON_BAND = 200  # n_chars banding width (coarse length bucket)
+
+
+@register(
+    "llm_kanon_audit",
+    tier="T3",
+    doc="k-anonymity audit over quasi-identifiers — the privacy-release "
+    "check before publishing corpus slices or metadata: every "
+    f"(lang, source, length-band of {KANON_BAND} chars) group with "
+    f"fewer than k={KANON_K} documents is a re-identification risk and "
+    "must be suppressed or generalized before release; the audit lists "
+    "exactly those groups with their sizes.  PII scrubbing "
+    "(llm_pii_scrub) removes direct identifiers; this catches the "
+    "INDIRECT ones (the combination of innocuous attributes that "
+    "isolates a document).  Scale shape: one hash aggregate over the "
+    "quasi-identifier tuple + a size filter — linear, map-side "
+    "combined; the violating-group list is output-bounded.",
+    oracle=f"""
+SELECT lang, source,
+       CAST(n_chars // {KANON_BAND} AS BIGINT) AS len_band,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY lang, source, n_chars // {KANON_BAND}
+HAVING count(*) < {KANON_K}
+""",
+)
+def llm_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(
+            "lang",
+            "source",
+            F.expr(f"CAST(n_chars DIV {KANON_BAND} AS BIGINT)").alias(
+                "len_band"
+            ),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") < KANON_K)
+    )
+
+
+@register(
+    "llm_cluster_purity",
+    tier="T3",
+    doc="Clustering-evaluation purity: the k-means assignment "
+    "(llm_kmeans, whose green oracle this one embeds) joined to the "
+    "embedding labels — per cluster, the member count, distinct-label "
+    "count, majority label (ties → smallest label) and integer purity "
+    "share.  THE standard external-validation number for any corpus "
+    "bucketing: low purity means the clusters don't track the labels "
+    "and downstream per-cluster decisions (semdedup drops, mixture "
+    "weights) inherit noise.  Scale shape: the |corpus|-row assignment "
+    "aggregates to (K × labels) cells, then K rows.",
+    oracle=None,  # assigned below (embeds llm_kmeans' oracle)
+)
+def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.operators.llm_cluster import (
+        _kmeans_assignment,
+    )
+
+    asg = _kmeans_assignment(spark, sf_dir)
+    lab = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lc = (
+        asg.join(lab, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = lc.groupBy("cluster_id").agg(
+        F.sum("c").cast("bigint").alias("n_vecs"),
+        F.count("*").cast("bigint").alias("n_labels"),
+        F.max("c").alias("mc"),
+    )
+    maj = (
+        lc.join(agg, "cluster_id")
+        .where(F.col("c") == F.col("mc"))
+        .groupBy("cluster_id")
+        .agg(F.min("label").cast("bigint").alias("maj_label"))
+    )
+    return (
+        agg.join(maj, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "n_labels",
+            "maj_label",
+            F.col("mc").cast("bigint").alias("maj_n"),
+            F.expr("CAST(mc * 10000 DIV n_vecs AS BIGINT)").alias(
+                "purity_1e4"
+            ),
+        )
+    )
+
+
+peek("llm_cluster_purity").oracle = f"""
+WITH asg AS (
+{peek("llm_kmeans").oracle}
+), j AS (
+  SELECT a.cluster_id, e.label
+  FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id
+), lc AS (
+  SELECT cluster_id, label, count(*) AS c FROM j GROUP BY 1, 2
+), agg AS (
+  SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n_vecs,
+         CAST(count(*) AS BIGINT) AS n_labels, max(c) AS mc
+  FROM lc GROUP BY cluster_id
+), maj AS (
+  SELECT l.cluster_id, CAST(MIN(l.label) AS BIGINT) AS maj_label
+  FROM lc l JOIN agg a ON l.cluster_id = a.cluster_id AND l.c = a.mc
+  GROUP BY l.cluster_id
+)
+SELECT a.cluster_id, a.n_vecs, a.n_labels, m.maj_label,
+       CAST(a.mc AS BIGINT) AS maj_n,
+       CAST(a.mc * 10000 // a.n_vecs AS BIGINT) AS purity_1e4
+FROM agg a JOIN maj m ON a.cluster_id = m.cluster_id
+"""

@@ -164,6 +164,8 @@ _HOLD_NEXT_ROUND: tuple[str, ...] = (
     "src_schema_evolution",
     "rel_join_skew_salted",
     "llm_chunk_dedup",
+    "llm_kanon_audit",
+    "llm_cluster_purity",
 )
 
 

@@ -234,3 +234,56 @@ def test_twin_schema_evolution_equals_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in twins.schema_evolution_view(out).collect()}
     want = {tuple(r) for r in src_schema_evolution(spark, sf_dir).collect()}
     assert got == want and len(got) == 2
+
+
+def test_kanon_audit_flags_only_small_groups(spark, sf_dir):
+    """Every flagged group is genuinely below k, and the flagged set is
+    exactly the sub-k subset of the full quasi-identifier histogram."""
+    from scala_reactivex_spark.operators.llm_extras import (
+        KANON_BAND,
+        KANON_K,
+        llm_kanon_audit,
+    )
+
+    flagged = {
+        (r["lang"], r["source"], r["len_band"]): r["n_docs"]
+        for r in llm_kanon_audit(spark, sf_dir).collect()
+    }
+    full = {
+        (r["lang"], r["source"], r["len_band"]): r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .groupBy(
+            "lang",
+            "source",
+            F.expr(f"CAST(n_chars DIV {KANON_BAND} AS BIGINT)").alias(
+                "len_band"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert flagged == {k: v for k, v in full.items() if v < KANON_K}
+    assert flagged  # the fixture has sub-k groups by construction
+
+
+def test_cluster_purity_reconciles_with_assignment(spark, sf_dir):
+    """Purity rows cover every cluster, member counts sum to the corpus,
+    and the majority share is consistent (purity in (0, 1e4])."""
+    from scala_reactivex_spark.operators.llm_cluster import (
+        _kmeans_assignment,
+    )
+    from scala_reactivex_spark.operators.llm_extras import (
+        llm_cluster_purity,
+    )
+
+    rows = llm_cluster_purity(spark, sf_dir).collect()
+    asg = _kmeans_assignment(spark, sf_dir).collect()
+    assert {r["cluster_id"] for r in rows} == {
+        a["cluster_id"] for a in asg
+    }
+    assert sum(r["n_vecs"] for r in rows) == len(asg)
+    for r in rows:
+        assert 1 <= r["maj_n"] <= r["n_vecs"]
+        assert r["n_labels"] >= 1
+        assert 0 < r["purity_1e4"] <= 10_000
+        assert r["purity_1e4"] == r["maj_n"] * 10_000 // r["n_vecs"]
