@@ -278,9 +278,10 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    headline = {
-        n: round(t, 2) for n, t in times.items() if n not in BEYOND_BASELINE
-    }
+    # ONLY the frozen 72-query headline set goes to stdout (the comment
+    # below explains the driver's tail window); extras and new-tier
+    # per-query times live in BENCH_DETAIL.json.
+    headline = {n: round(times[n], 2) for n in untiered}
     line = json.dumps(
         {
             "metric": "headline_suite_wall_seconds",

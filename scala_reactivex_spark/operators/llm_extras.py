@@ -35,6 +35,13 @@ Tokenizer diagnostics:
   shared vocabulary.  Composes the graded ``llm_bpe_apply`` per-doc
   table; its oracle embeds that operator's green oracle.
 
+Release / evaluation audits:
+
+- ``llm_kanon_audit``: k-anonymity over quasi-identifiers — the
+  indirect-identifier release check complementing ``llm_pii_scrub``.
+- ``llm_cluster_purity``: external clustering validation (k-means
+  assignment × embedding labels, majority share per cluster).
+
 These keys are listed in registry._HOLD_NEXT_ROUND for round 7 so the
 driver window stays exactly the 47 banked-pending keys + 3 re-confirms;
 they are verified by the identical local protocol this round and float

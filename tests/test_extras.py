@@ -287,3 +287,33 @@ def test_cluster_purity_reconciles_with_assignment(spark, sf_dir):
         assert r["n_labels"] >= 1
         assert 0 < r["purity_1e4"] <= 10_000
         assert r["purity_1e4"] == r["maj_n"] * 10_000 // r["n_vecs"]
+
+
+def test_chunk_geometry_closed_form_tiles_any_length():
+    """Property: for every doc length n, the closed-form chunk count
+    yields windows that (a) start in-bounds, (b) reach exactly the last
+    token, (c) never emit a fully-redundant trailing chunk (the
+    second-to-last window must NOT already cover the end)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scala_reactivex_spark.operators.llm_extras import (
+        CHUNK_S,
+        CHUNK_W,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=1_000_000))
+    def check(n):
+        if n <= CHUNK_W:
+            nc = 1
+        else:
+            nc = 1 + (n - CHUNK_W + CHUNK_S - 1) // CHUNK_S
+        last_start = (nc - 1) * CHUNK_S + 1
+        assert last_start <= n  # last window starts in-bounds
+        assert last_start + CHUNK_W - 1 >= n  # last window reaches the end
+        if nc > 1:
+            prev_end = (nc - 2) * CHUNK_S + CHUNK_W
+            assert prev_end < n  # no fully-redundant trailing chunk
+
+    check()
