@@ -1779,3 +1779,37 @@ def schema_evolution_view(materialized: DataFrame) -> DataFrame:
         F.round(F.sum("value_dec").cast("double"), 4).alias("total_value"),
         F.sum("vlen_sum").cast("bigint").alias("sum_vlen"),
     )
+
+
+def twin_kanon_gate(sdf: DataFrame, violating: DataFrame) -> DataFrame:
+    """Streaming k-anonymity release gate [live twin of llm_kanon_audit]:
+    arriving documents probe the BATCH-built violating-group list (the
+    audit's output — quasi-identifier groups below k in the released
+    corpus) and are flagged ``suppress`` when their (lang, source,
+    length-band) lands in a sub-k group — the privacy gate a release
+    pipeline runs at ingest so a new document cannot silently join an
+    identifiable slice.  Stateless per arrival: one stream-static
+    equi-join on the quasi-identifier key (the static side is the
+    output-bounded audit table, broadcast-sized)."""
+    from scala_reactivex_spark.operators.llm_extras import KANON_BAND
+
+    probe = sdf.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(f"CAST(n_chars DIV {KANON_BAND} AS BIGINT)").alias(
+            "len_band"
+        ),
+    )
+    flag = violating.select(
+        "lang", "source", "len_band", F.lit(1).alias("hit")
+    )
+    return probe.join(
+        flag, ["lang", "source", "len_band"], "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "len_band",
+        F.coalesce("hit", F.lit(0)).cast("int").alias("suppress"),
+    )

@@ -317,3 +317,41 @@ def test_chunk_geometry_closed_form_tiles_any_length():
             assert prev_end < n  # no fully-redundant trailing chunk
 
     check()
+
+
+def test_twin_kanon_gate_equals_batch_membership(spark, sf_dir, tmp_path):
+    """The streaming gate's suppress flags equal membership of each
+    document's quasi-identifier tuple in the batch audit's sub-k list."""
+    from scala_reactivex_spark.operators.llm_extras import (
+        KANON_BAND,
+        llm_kanon_audit,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "docs_src")
+    table(spark, sf_dir, "documents").repartition(3).write.parquet(src)
+    violating = llm_kanon_audit(spark, sf_dir)
+    out = twins.run_stream_to_table(
+        twins.twin_kanon_gate(twins.docs_stream(spark, src), violating),
+        "t_kanon",
+        str(tmp_path / "ckpt"),
+    )
+    got = {(r["doc_id"], r["suppress"]) for r in out.collect()}
+    bad = {
+        (r["lang"], r["source"], r["len_band"])
+        for r in violating.collect()
+    }
+    want = {
+        (r["doc_id"], int((r["lang"], r["source"], r["lb"]) in bad))
+        for r in table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(f"CAST(n_chars DIV {KANON_BAND} AS BIGINT)").alias(
+                "lb"
+            ),
+        )
+        .collect()
+    }
+    assert got == want and any(s for _, s in got)
