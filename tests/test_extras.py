@@ -355,3 +355,40 @@ def test_twin_kanon_gate_equals_batch_membership(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and any(s for _, s in got)
+
+
+def test_freq_rank_offsets_matches_reference(spark, sf_dir):
+    """The two-phase histogram rank (llm_text._freq_rank_offsets) must
+    reproduce, for seeded random frequency multisets, exactly the
+    offsets/masses a naive sorted scan computes — including duplicate
+    frequencies, singletons, and power-law-ish skew."""
+    import random
+
+    from scala_reactivex_spark.operators.llm_text import (
+        _freq_rank_offsets,
+    )
+
+    rng = random.Random(42)
+    for case in range(6):
+        n_tokens = rng.randint(1, 60)
+        freqs = [
+            max(1, int(rng.paretovariate(1.1))) for _ in range(n_tokens)
+        ]
+        vocab = spark.createDataFrame(
+            [(f"t{i}", f) for i, f in enumerate(freqs)], "token string, n long"
+        )
+        got = {
+            r["n"]: (r["cnt"], r["off"], r["mass"])
+            for r in _freq_rank_offsets(vocab, "n").collect()
+        }
+        # reference: sort descending, walk groups
+        want = {}
+        off = mass = 0
+        from itertools import groupby
+
+        for f, grp in groupby(sorted(freqs, reverse=True)):
+            cnt = len(list(grp))
+            want[f] = (cnt, off, mass)
+            off += cnt
+            mass += cnt * f
+        assert got == want, f"case {case}: {got} != {want}"
