@@ -102,6 +102,17 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     ).withColumn("ms", F.expr("ts div 1000000"))
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (canonical derived
+    columns included), so users can drive the engine with raw
+    ``spark.sql`` — the same table names the DuckDB oracles use.  Views
+    are lazy: registration costs one footer read per table, and Catalyst
+    still pushes filters/prunes columns through them (asserted in
+    tests/test_api.py)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table (used by bench / exploratory sessions)."""
     return {name: table(spark, sf_dir, name) for name in TABLES}

@@ -193,3 +193,27 @@ def test_replay_honors_storage_level(spark, sf_dir):
         assert lvl.useDisk and not lvl.useMemory
     finally:
         replayed.unpersist()
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """Raw spark.sql over the registered views works, matches the
+    DataFrame path, and keeps pushdown/pruning through the view."""
+    from scala_reactivex_spark.sources.catalog import register_views, table
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHERE value > 100 GROUP BY event_type"
+    )
+    want = {
+        (r["event_type"], r["n"])
+        for r in table(spark, sf_dir, "events")
+        .where(F.col("value") > 100)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {(r["event_type"], r["n"]) for r in got.collect()} == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(value,100.0)" in plan
