@@ -1813,3 +1813,89 @@ def twin_kanon_gate(sdf: DataFrame, violating: DataFrame) -> DataFrame:
         "len_band",
         F.coalesce("hit", F.lit(0)).cast("int").alias("suppress"),
     )
+
+
+def twin_ann_ivf(
+    sdf: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming IVF ANN serving [live twin of llm_ann_ivf's search]:
+    query vectors ARRIVE (the embeddings file stream), the learned IVF
+    index STANDS (persisted vector frame + centroids + bucket
+    assignment from ``_ivf_index`` — built once, exactly the offline
+    artifact a vector-serving tier loads).  Each micro-batch assigns
+    its queries to their nearest centroid (broadcast centroids, hash
+    aggregate), gathers ONLY that bucket's candidates from the static
+    index (1/K of the corpus per query — the whole point of IVF), and
+    emits the cosine top-k; per-query rank windows are batch semantics,
+    so the scoring runs in ``foreachBatch`` with the idempotent parquet
+    sink (replays are no-ops).  Batch-equivalence is pytest-asserted
+    against llm_ann_ivf for the same probe set."""
+    from scala_reactivex_spark.operators.llm_similarity import (
+        TOPK,
+        _assign_buckets,
+        _ivf_index,
+        cosine_with_norms,
+        norm_col,
+    )
+    from scala_reactivex_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+    from pyspark.sql import Window
+
+    ev, cent, assignment = _ivf_index(spark, sf_dir)
+    commit = idempotent_parquet_sink(out_dir)
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        q = batch_df.select(
+            "vec_id", "embedding", norm_col("embedding").alias("vn")
+        )
+        qb = _assign_buckets(q, cent)
+        probes = q.join(qb, "vec_id").select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("bucket").alias("pbucket"),
+            F.col("embedding").alias("pe"),
+            F.col("vn").alias("pn"),
+        )
+        cands = (
+            F.broadcast(probes)
+            .join(
+                assignment.alias("a"),
+                (F.col("a.bucket") == F.col("pbucket"))
+                & (F.col("a.vec_id") != F.col("probe_id")),
+            )
+            .join(ev.alias("em"), F.col("a.vec_id") == F.col("em.vec_id"))
+            .select(
+                "probe_id",
+                F.col("a.vec_id").alias("neighbor_id"),
+                F.round(
+                    cosine_with_norms(
+                        "pe", F.col("em.embedding"), "pn", F.col("em.vn")
+                    ),
+                    4,
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        commit(
+            cands.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOPK)
+            .select("probe_id", "neighbor_id", "cos_sim", "rnk"),
+            batch_id,
+        )
+
+    query = (
+        sdf.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "probe_id", "neighbor_id", "cos_sim", "rnk"
+    )

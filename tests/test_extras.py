@@ -392,3 +392,34 @@ def test_freq_rank_offsets_matches_reference(spark, sf_dir):
             off += cnt
             mass += cnt * f
         assert got == want, f"case {case}: {got} != {want}"
+
+
+def test_twin_ann_ivf_serving_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming query vectors against the static IVF index reproduce
+    the batch search exactly for the same probe set, and a replay with
+    the same checkpoint commits nothing new."""
+    from scala_reactivex_spark.operators.llm_similarity import (
+        N_PROBES,
+        llm_ann_ivf,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "emb_src")
+    (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_PROBES)
+        .repartition(2)
+        .write.parquet(src)
+    )
+    out_dir = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+    got_df = twins.twin_ann_ivf(
+        twins.embeddings_stream(spark, src), spark, sf_dir, out_dir, ckpt
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in llm_ann_ivf(spark, sf_dir).collect()}
+    assert got == want and got
+    again = twins.twin_ann_ivf(
+        twins.embeddings_stream(spark, src), spark, sf_dir, out_dir, ckpt
+    )
+    assert {tuple(r) for r in again.collect()} == got
