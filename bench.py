@@ -203,6 +203,7 @@ BEYOND_EXTRAS: set[str] = {
     "llm_chunk_dedup",
     "llm_kanon_audit",
     "llm_cluster_purity",
+    "llm_ivf_stats",
 }
 
 

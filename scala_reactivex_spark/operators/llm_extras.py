@@ -705,3 +705,57 @@ SELECT a.cluster_id, a.n_vecs, a.n_labels, m.maj_label,
        CAST(a.mc * 10000 // a.n_vecs AS BIGINT) AS purity_1e4
 FROM agg a JOIN maj m ON a.cluster_id = m.cluster_id
 """
+
+
+@register(
+    "llm_ivf_stats",
+    tier="T3",
+    doc="IVF index health: bucket-size envelope and imbalance factor "
+    "(max bucket / average bucket, 1e4 units) over the learned-centroid "
+    "assignment that llm_ann_ivf searches — THE acceptance number for "
+    "an IVF deployment, because probe latency is the HOT bucket's size: "
+    "an imbalance of 3x means worst-case queries scan 3x the 1/K "
+    "average and the centroid training needs rebalancing.  Oracle "
+    "reuses the graded IVF oracle's assignment prefix verbatim (same "
+    "split-reuse as llm_ann_ivf_mp).  Scale shape: the |corpus|-row "
+    "assignment hash-aggregates to K rows, then one row.",
+    oracle=None,  # assigned below (reuses llm_ann_ivf's oracle prefix)
+)
+def llm_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.operators.llm_similarity import _ivf_index
+
+    _, _, assignment = _ivf_index(spark, sf_dir)
+    sizes = assignment.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_vecs")
+    )
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("n_vecs").cast("bigint").alias("n_total"),
+        F.max("n_vecs").cast("bigint").alias("max_bucket"),
+        F.min("n_vecs").cast("bigint").alias("min_bucket"),
+        F.expr(
+            "CAST(max(n_vecs) * count(*) * 10000 DIV sum(n_vecs)"
+            " AS BIGINT)"
+        ).alias("imbalance_1e4"),
+    )
+
+
+def _ivf_assignment_prefix() -> str:
+    from scala_reactivex_spark.operators import llm_similarity
+
+    return llm_similarity._IVF_ORACLE.split("), probes AS (")[0] + ")"
+
+
+peek("llm_ivf_stats").oracle = f"""
+{_ivf_assignment_prefix()}, sizes AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
+  FROM assignment GROUP BY bucket
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n_vecs) AS BIGINT) AS n_total,
+       CAST(max(n_vecs) AS BIGINT) AS max_bucket,
+       CAST(min(n_vecs) AS BIGINT) AS min_bucket,
+       CAST(max(n_vecs) * count(*) * 10000 // sum(n_vecs) AS BIGINT)
+         AS imbalance_1e4
+FROM sizes
+"""

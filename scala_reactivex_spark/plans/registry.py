@@ -166,6 +166,7 @@ _HOLD_NEXT_ROUND: tuple[str, ...] = (
     "llm_chunk_dedup",
     "llm_kanon_audit",
     "llm_cluster_purity",
+    "llm_ivf_stats",
 )
 
 

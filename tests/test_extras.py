@@ -423,3 +423,29 @@ def test_twin_ann_ivf_serving_equals_batch(spark, sf_dir, tmp_path):
         twins.embeddings_stream(spark, src), spark, sf_dir, out_dir, ckpt
     )
     assert {tuple(r) for r in again.collect()} == got
+
+
+def test_ivf_stats_reconciles_with_assignment(spark, sf_dir):
+    """The health row reconciles with the raw assignment: totals match
+    the corpus, the envelope brackets every bucket, and the imbalance
+    factor is >= 1 by construction."""
+    from scala_reactivex_spark.operators.llm_extras import llm_ivf_stats
+    from scala_reactivex_spark.operators.llm_similarity import _ivf_index
+
+    row = llm_ivf_stats(spark, sf_dir).collect()[0]
+    _, _, assignment = _ivf_index(spark, sf_dir)
+    sizes = [
+        r["n"]
+        for r in assignment.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert row["n_buckets"] == len(sizes)
+    assert row["n_total"] == sum(sizes)
+    assert row["max_bucket"] == max(sizes)
+    assert row["min_bucket"] == min(sizes)
+    assert row["imbalance_1e4"] >= 10_000
+    assert (
+        row["imbalance_1e4"]
+        == max(sizes) * len(sizes) * 10_000 // sum(sizes)
+    )
