@@ -532,26 +532,11 @@ def _pq_assign(x: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "llm_ann_pq",
-    tier="T3",
-    doc=f"Product-quantization ANN (Jégou et al. 2011, public paper — "
-    f"the 100 TB memory story: {PQ_M} one-byte codes replace "
-    f"{PQ_M * PQ_SUBDIM} floats per vector, a 32× compression).  "
-    f"{PQ_M} subspaces × {PQ_CODES}-code codebooks trained with the "
-    "seeded-init + one-Lloyd-round recipe of llm_kmeans in exact "
-    "integer 1e6-pinned space; corpus vectors encode to (m, code) "
-    "rows; probes score via asymmetric distance — a bounded "
-    f"{N_PROBES}×{PQ_M}×{PQ_CODES} lookup table of partial squared "
-    "distances broadcast onto the code-keyed corpus, summed per "
-    "(probe, vector), top-10 per probe.  Everything is integer "
-    "arithmetic; the oracle unrolls the identical train/encode/LUT "
-    "chain.  Scale shape: training touches the corpus twice "
-    "(assign + update), encoding once; the serving join never reads "
-    "raw vectors — only the 8-row-per-vector code table.",
-    oracle=_pq_oracle(),
-)
-def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Build the PQ index once: pinned exploded vectors, trained
+    codebooks (one assign/update round), and the encoded corpus (the
+    8-codes-per-vector compressed table a PQ serving tier holds) —
+    shared by the batch search and the streaming serving twin."""
     dim = PQ_M * PQ_SUBDIM
     x = (
         table(spark, sf_dir, "embeddings")
@@ -583,6 +568,31 @@ def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     enc = _pq_assign(x, c1)
+    return x, c1, enc
+
+
+
+@register(
+    "llm_ann_pq",
+    tier="T3",
+    doc=f"Product-quantization ANN (Jégou et al. 2011, public paper — "
+    f"the 100 TB memory story: {PQ_M} one-byte codes replace "
+    f"{PQ_M * PQ_SUBDIM} floats per vector, a 32× compression).  "
+    f"{PQ_M} subspaces × {PQ_CODES}-code codebooks trained with the "
+    "seeded-init + one-Lloyd-round recipe of llm_kmeans in exact "
+    "integer 1e6-pinned space; corpus vectors encode to (m, code) "
+    "rows; probes score via asymmetric distance — a bounded "
+    f"{N_PROBES}×{PQ_M}×{PQ_CODES} lookup table of partial squared "
+    "distances broadcast onto the code-keyed corpus, summed per "
+    "(probe, vector), top-10 per probe.  Everything is integer "
+    "arithmetic; the oracle unrolls the identical train/encode/LUT "
+    "chain.  Scale shape: training touches the corpus twice "
+    "(assign + update), encoding once; the serving join never reads "
+    "raw vectors — only the 8-row-per-vector code table.",
+    oracle=_pq_oracle(),
+)
+def llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x, c1, enc = _pq_index(spark, sf_dir)
     lut = (
         x.where(F.col("vec_id") < N_PROBES)
         .withColumnRenamed("vec_id", "probe_id")

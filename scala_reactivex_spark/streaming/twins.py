@@ -1899,3 +1899,91 @@ def twin_ann_ivf(
     return spark.read.parquet(out_dir).select(
         "probe_id", "neighbor_id", "cos_sim", "rnk"
     )
+
+
+def twin_ann_pq(
+    sdf: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming PQ ANN serving [live twin of llm_ann_pq's ADC scan]:
+    query vectors ARRIVE, the COMPRESSED index STANDS (trained
+    codebooks + the 8-codes-per-vector encoded corpus from
+    ``_pq_index`` — raw vectors never touched at query time, the whole
+    point of product quantization).  Each micro-batch pins its queries
+    to integer units, builds the per-query M×codes lookup table of
+    partial squared distances against the broadcast codebooks, joins it
+    to the code table and sums — the asymmetric-distance (ADC) scan —
+    then commits the top-k through the idempotent sink inside
+    ``foreachBatch``.  Batch-equivalence pytest-asserted against
+    llm_ann_pq for the same probes."""
+    from pyspark.sql import Window
+
+    from scala_reactivex_spark.operators.llm_similarity import (
+        PQ_M,
+        PQ_SUBDIM,
+        TOPK,
+        _pq_index,
+    )
+    from scala_reactivex_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    _, c1, enc = _pq_index(spark, sf_dir)
+    commit = idempotent_parquet_sink(out_dir)
+    dim = PQ_M * PQ_SUBDIM
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        q = (
+            batch_df.select(
+                "vec_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .where(F.col("pos") < dim)
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("pos").cast("bigint").alias("pos"),
+                (F.col("pos").cast("bigint") / PQ_SUBDIM)
+                .cast("bigint")
+                .alias("m"),
+                F.floor(
+                    F.col("val").cast("double") * 1_000_000 + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("v"),
+            )
+        )
+        lut = (
+            q.join(F.broadcast(c1), ["m", "pos"])
+            .groupBy("probe_id", "m", "code")
+            .agg(
+                F.sum(
+                    (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+                ).alias("ld2")
+            )
+        )
+        adc = (
+            enc.join(F.broadcast(lut), ["m", "code"])
+            .where(F.col("vec_id") != F.col("probe_id"))
+            .groupBy("probe_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.sum("ld2").cast("bigint").alias("adc_d2"))
+        )
+        w = Window.partitionBy("probe_id").orderBy("adc_d2", "neighbor_id")
+        commit(
+            adc.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOPK)
+            .select("probe_id", "neighbor_id", "adc_d2", "rnk"),
+            batch_id,
+        )
+
+    query = (
+        sdf.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "probe_id", "neighbor_id", "adc_d2", "rnk"
+    )

@@ -449,3 +449,31 @@ def test_ivf_stats_reconciles_with_assignment(spark, sf_dir):
         row["imbalance_1e4"]
         == max(sizes) * len(sizes) * 10_000 // sum(sizes)
     )
+
+
+def test_twin_ann_pq_serving_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming ADC scan over the static compressed index equals
+    the batch PQ search for the same probe set."""
+    from scala_reactivex_spark.operators.llm_similarity import (
+        N_PROBES,
+        llm_ann_pq,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "emb_src")
+    (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_PROBES)
+        .repartition(2)
+        .write.parquet(src)
+    )
+    got_df = twins.twin_ann_pq(
+        twins.embeddings_stream(spark, src),
+        spark,
+        sf_dir,
+        str(tmp_path / "pq"),
+        str(tmp_path / "ckpt"),
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in llm_ann_pq(spark, sf_dir).collect()}
+    assert got == want and got
