@@ -242,3 +242,36 @@ def test_orderdate_contract_across_parquet_types(spark, tmp_path):
             (r.o_orderkey, r.o_orderdate) for r in df.collect()
         )
     assert results["date"] == results["ts_ntz"]
+
+
+def test_half_written_batch_overwritten_on_replay(spark, stream_src2, tmp_path):
+    """Crash mid-write: a batch directory left with PARTIAL parquet and
+    NO _COMMITTED marker must be fully overwritten on replay — the
+    mode=overwrite half of the exactly-once contract (a marker-only
+    check would leave the torn files in place)."""
+    out = str(tmp_path / "out3")
+    # Simulate the torn state a mid-write crash leaves behind: partial
+    # data for batch 0, marker absent.
+    torn = f"{out}/batch_id=0"
+    spark.range(3).selectExpr(
+        "id AS event_id"
+    ).write.mode("overwrite").parquet(torn)
+    assert not glob.glob(f"{torn}/_COMMITTED")
+
+    sdf = twins.events_stream(spark, stream_src2).select("event_id")
+    sinks.run_with_idempotent_sink(sdf, out, str(tmp_path / "c3"))
+
+    got = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    want = {
+        r["event_id"]
+        for r in twins.events_stream(spark, stream_src2)
+        .select("event_id")
+        .sparkSession.read.parquet(stream_src2)
+        .collect()
+    }
+    # The torn rows (0, 1, 2 from spark.range) must be GONE unless they
+    # are genuine events; the committed output is exactly the source.
+    assert got == want
+    assert glob.glob(f"{torn}/_COMMITTED") or glob.glob(
+        f"{out}/batch_id=*/_COMMITTED"
+    )
