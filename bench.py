@@ -231,6 +231,28 @@ def main() -> None:
         ).save()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    # Warm-median pass (round-7 verdict "Next round" #4): re-run the
+    # slowest WARM_TOPN queries WARM_REPS times and record the median, so
+    # the round artifact is SELF-ARBITRATING — a cold-pass host blip (the
+    # r6→r7 +2.9 s noise) is distinguishable from a code regression
+    # without a separate WARM_r{N} session.  Full map → BENCH_DETAIL.json
+    # (committed); stdout gets only the one-number warm20 total (the
+    # driver's 2000-char tail window cannot fit a second per-query map).
+    warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "3"))
+    warm_topn = int(os.environ.get("SPARK_GRAFT_WARM_TOPN", "20"))
+    warm: dict[str, float] = {}
+    if warm_reps > 0:
+        slowest = sorted(times, key=times.get, reverse=True)[:warm_topn]
+        for name in sorted(slowest):
+            reps = []
+            for _ in range(warm_reps):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                reps.append(time.perf_counter() - t0)
+            warm[name] = round(sorted(reps)[len(reps) // 2], 3)
+
     # Every extras name must still exist in the registry — a rename or
     # typo would silently fold that query into the frozen headline total
     # and break comparability with the BASELINE.md pin.
@@ -267,11 +289,21 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "extras_seconds": extras,
-        "extras_vs_baseline": round(extras / EXTRAS_BASELINE_SEC, 3),
+        # The EXTRAS_BASELINE_SEC pin was recorded at sf0.1 — the ratio
+        # is meaningless against any other fixture scale (round-7
+        # ADVICE), so it is emitted only for sf0.1 runs.
+        "extras_vs_baseline": (
+            round(extras / EXTRAS_BASELINE_SEC, 3) if sf_val == 0.1 else None
+        ),
         "extras": sorted(BEYOND_BASELINE),
         "new_seconds": new_sec,
         "new": sorted(BEYOND_EXTRAS),
         "sf": sf_val,
+        # Warm medians of the slowest-N queries (median of warm_reps
+        # re-runs in the same session) — the self-arbitrating companion
+        # to the cold map above; see BASELINE.md "Variance protocol".
+        "warm_medians": warm,
+        "warm_reps": warm_reps,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -290,8 +322,15 @@ def main() -> None:
             "unit": "sec",
             "queries": headline,
             "extras_seconds": extras,
-            "extras_vs_baseline": round(extras / EXTRAS_BASELINE_SEC, 3),
+            "extras_vs_baseline": (
+                round(extras / EXTRAS_BASELINE_SEC, 3)
+                if sf_val == 0.1
+                else None
+            ),
             "new_seconds": new_sec,
+            # One-number warm aggregate (sum of the slowest-20 warm
+            # medians); the per-query warm map is in BENCH_DETAIL.json.
+            "warm20_sec": round(sum(warm.values()), 2),
             "sf": sf_val,
         },
         separators=(",", ":"),

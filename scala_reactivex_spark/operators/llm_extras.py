@@ -42,10 +42,10 @@ Release / evaluation audits:
 - ``llm_cluster_purity``: external clustering validation (k-means
   assignment × embedding labels, majority share per cluster).
 
-These keys are listed in registry._HOLD_NEXT_ROUND for round 7 so the
-driver window stays exactly the 47 banked-pending keys + 3 re-confirms;
-they are verified by the identical local protocol this round and float
-to the front of the round-8 window automatically.
+These keys were held behind the round-7 window (registry
+_HOLD_NEXT_ROUND, cleared for round 8) and now lead the round-8 driver
+window as the only never-green keys; they were verified by the identical
+local protocol (scripts/verify_local.py) in round 7.
 """
 
 from __future__ import annotations
@@ -65,6 +65,31 @@ from scala_reactivex_spark.operators import llm_cluster  # noqa: F401
 from scala_reactivex_spark.operators import llm_subdoc  # noqa: F401
 from scala_reactivex_spark.plans.registry import peek, register
 from scala_reactivex_spark.sources.catalog import table
+
+
+def _fixture_tag(sf_dir: str, tbl: str) -> str:
+    """Cache key fragment for a fixture table: dir basename + an 8-hex
+    content fingerprint (total size + newest mtime of the parquet files).
+    A regenerated fixture, or two fixture dirs sharing a basename, then
+    key DIFFERENT cache entries instead of silently serving stale rows
+    (round-7 ADVICE)."""
+    import hashlib
+
+    path = os.path.join(sf_dir, f"{tbl}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(path):
+        for root_, _dirs, files in sorted(os.walk(path)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root_, fn))
+                parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{int(st.st_mtime)}")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
+    base = re.sub(
+        r"[^0-9a-zA-Z]", "_", os.path.basename(os.path.normpath(sf_dir))
+    )
+    return f"{base}_{fp}"
 
 #: RAG chunking geometry: 24-token windows, stride 16 (8-token overlap).
 CHUNK_W = 24
@@ -175,9 +200,7 @@ def _bucketed_table(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     warehouse = os.path.join(repo_root, ".cache", "bucketdemo")
-    base = re.sub(
-        r"[^0-9a-zA-Z]", "_", os.path.basename(os.path.normpath(sf_dir))
-    )
+    base = _fixture_tag(sf_dir, tbl)
     name = f"bucketdemo.{tbl}_{base}"
     loc = os.path.join(warehouse, f"{tbl}_{base}")
     spark.sql(
@@ -407,7 +430,7 @@ def _evolved_events(spark: SparkSession, sf_dir: str) -> str:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    base = os.path.basename(os.path.normpath(sf_dir))
+    base = _fixture_tag(sf_dir, "events")
     out = os.path.join(repo_root, ".cache", f"events_evolved_{base}")
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
@@ -741,9 +764,12 @@ def llm_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_assignment_prefix() -> str:
+    """The shared seed→Lloyd→assignment CTE chain, composed from the
+    named constant in llm_similarity (no string-splitting of oracle
+    text — round-7 ADVICE)."""
     from scala_reactivex_spark.operators import llm_similarity
 
-    return llm_similarity._IVF_ORACLE.split("), probes AS (")[0] + ")"
+    return llm_similarity._IVF_ASSIGNMENT_CTES
 
 
 peek("llm_ivf_stats").oracle = f"""

@@ -139,35 +139,17 @@ _R345_GREEN = (
 _ROWS_ONLY_GRADED: tuple[str, ...] = ()
 
 #: Banked-green keys the last verdict asked to RE-CONFIRM in the next
-#: window's spare slots (r6 verdict "Next round" #1: the error-band
-#: re-pin, the partition-prune source, and the capped-MinHash stats
-#: should each get a second consecutive external grade).  They sort
-#: immediately after the never-green front group, ahead of the
-#: newest-round-first banked ordering.
-_RECONFIRM_NEXT = (
-    "rel_agg_approx",
-    "src_partition_prune",
-    "llm_dedup_minhash_stats",
-)
+#: window's spare slots.  Empty for round 8: the r07 verdict's three
+#: re-confirms all banked in CORRECTNESS_r07.json, and the r08 plan is
+#: never-green-first + OLDEST banked greens in the spare slots (their
+#: grades are the most stale).
+_RECONFIRM_NEXT: tuple[str, ...] = ()
 
-#: Keys ADDED in round 7, held just behind the never-green backlog + the
-#: re-confirm slots so the r07 window is exactly the 47 driver-ungraded
-#: round-6 keys + the 3 re-confirms the verdict asked for.  These new
-#: keys are covered by scripts/verify_local.py (identical protocol) this
-#: round and float to the front of the r08 window automatically once the
-#: 47 are banked (they will then be the only never-green keys).
-_HOLD_NEXT_ROUND: tuple[str, ...] = (
-    "llm_chunk_overlap",
-    "src_bucketed_join",
-    "llm_bpe_fertility",
-    "llm_chunk_retrieval_recall",
-    "src_schema_evolution",
-    "rel_join_skew_salted",
-    "llm_chunk_dedup",
-    "llm_kanon_audit",
-    "llm_cluster_purity",
-    "llm_ivf_stats",
-)
+#: Keys to HOLD behind the never-green backlog for one round (used in r7
+#: to keep the window exactly the 47 ungraded round-6 keys).  Cleared for
+#: round 8 per the r07 verdict "Next round" #1: the 10 round-7 additions
+#: are now the only never-green keys and must lead the r08 window.
+_HOLD_NEXT_ROUND: tuple[str, ...] = ()
 
 
 def _externally_green() -> dict[str, int]:
@@ -206,9 +188,10 @@ def _externally_green() -> dict[str, int]:
 
 def _grade_order(names):
     """Never-green-first ordering: keys with no external hash-green row
-    lead (they can improve their grade), banked greens follow newest
-    round first (they re-confirm while window slots remain).  Falls back
-    to the hardcoded round-1..5 tuples when no CORRECTNESS artifacts are
+    lead (they can improve their grade), banked greens follow OLDEST
+    round first (an r01 grade is the most stale, so it re-confirms while
+    window slots remain — r07 verdict "Next round" #1).  Falls back to
+    the hardcoded round-1..5 tuples when no CORRECTNESS artifacts are
     readable (e.g. a bare checkout)."""
     green = _externally_green()
     if green:
@@ -218,7 +201,7 @@ def _grade_order(names):
         new_held = [n for n in names if n in held and n not in green]
         rest = set(front) | set(reconfirm) | set(new_held)
         back = sorted(
-            (n for n in names if n not in rest), key=lambda n: (-green[n], n)
+            (n for n in names if n not in rest), key=lambda n: (green[n], n)
         )
         return front + reconfirm + new_held + back
     rank = {}

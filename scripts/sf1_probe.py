@@ -153,7 +153,14 @@ def main() -> None:
             {
                 "metric": "sf1_probe",
                 "copies": COPIES,
-                "worst_vs_linear": max(r["vs_linear"] for r in rows),
+                "worst_vs_linear": max(
+                    (
+                        r["vs_linear"]
+                        for r in rows
+                        if r["vs_linear"] is not None
+                    ),
+                    default=None,
+                ),
                 "rows": rows,
             }
         )
