@@ -417,6 +417,80 @@ def twin_decontaminate_bloom(sdf: DataFrame, bloom: DataFrame) -> DataFrame:
     )
 
 
+def twin_contamination_gate(sdf: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Per-document contamination ingest GATE [live twin of
+    llm_decontaminate_bloom's per-doc rollup]: each arriving document is
+    admitted or quarantined in ONE row-local decision — its n-grams,
+    their Karp-Rabin hashes, the K Bloom positions and the membership
+    test all run as higher-order array functions over the words array,
+    so there is NO explode, NO streaming shuffle and NO state: pure
+    append mode, the same shape as twin_kanon_gate (privacy) and the
+    dedup gate — completing the three-gate ingest screen.  Emits
+    (doc_id, n_grams, n_flagged, quarantine); n_flagged counts gram
+    OCCURRENCES whose K positions are all set, identical to the batch
+    op's n_bloom_hits."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        KR_BASE,
+        P31,
+        affine_seeds,
+    )
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        BLOOM_K,
+        BLOOM_M,
+        DECON_W,
+    )
+
+    packed = bloom.agg(F.collect_list("pos").alias("ps")).select(
+        F.expr("map_from_arrays(ps, array_repeat(true, size(ps)))").alias(
+            "bits"
+        )
+    )
+
+    def kr31(g):  # Karp-Rabin fold of a lambda-var gram string
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(g)),
+            F.lit(0).cast("long"),
+            lambda acc, i: (acc * KR_BASE + F.ascii(g.substr(i, F.lit(1))))
+            % P31,
+        )
+
+    def all_set(h):  # every affine Bloom position of hash h is in the map
+        cond = F.lit(True)
+        for a, b in affine_seeds(BLOOM_K):
+            pos = ((F.lit(a) * h + F.lit(b)) % P31) % BLOOM_M
+            cond = cond & F.coalesce(
+                F.element_at(F.col("bits"), pos), F.lit(False)
+            )
+        return cond
+
+    words = F.split("text", " ")
+    grams = F.when(
+        F.size(words) >= DECON_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (DECON_W - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, DECON_W)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    return (
+        sdf.select("doc_id", grams.alias("grams"))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            F.size(
+                F.filter(
+                    F.transform(F.col("grams"), kr31), all_set
+                )
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .withColumn(
+            "quarantine", (F.col("n_flagged") > 0).cast("int")
+        )
+    )
+
+
 def _pack_fn(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],

@@ -114,6 +114,11 @@ def build_fixture(sf01: str) -> None:
 
 def main() -> None:
     sf01 = os.environ.get("SPARK_GRAFT_SF01", "/root/testdata/sf0.1")
+    # Probe-set override for follow-up batches (comma-separated names),
+    # e.g. the round-8 capped dedup-pair campaign.
+    probe = tuple(
+        n for n in os.environ.get("SPARK_GRAFT_PROBE", "").split(",") if n
+    ) or PROBE
     build_fixture(sf01)
 
     from scala_reactivex_spark.plans.registry import registry
@@ -135,7 +140,7 @@ def main() -> None:
     run("rel_q1_pricing", SF1_DIR)
 
     rows = []
-    for name in PROBE:
+    for name in probe:
         t_small = run(name, sf01)
         t_big = run(name, SF1_DIR)
         ratio = round(t_big / t_small, 2) if t_small > 0 else None

@@ -425,6 +425,62 @@ def test_twin_ann_ivf_serving_equals_batch(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in again.collect()} == got
 
 
+def test_twin_ann_ivf_crash_restart_replay(spark, sf_dir, tmp_path):
+    """Checkpoint-restart replay probe for the ANN serving path (the
+    twin_cdc_upsert torn-write pattern): drain a first probe batch, then
+    simulate a crash that left the NEXT batch half-written (partial
+    parquet, no _COMMITTED marker), deliver the remaining probes and
+    restart on the same checkpoint.  The final sink state must be
+    exactly the batch search over ALL probes — the torn rows gone, no
+    duplicates from the replay."""
+    import glob
+
+    from scala_reactivex_spark.operators.llm_similarity import (
+        N_PROBES,
+        llm_ann_ivf,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "emb_src")
+    probes = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_PROBES
+    )
+    # First tranche of probes arrives before the crash...
+    probes.where(F.col("vec_id") < 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    out_dir = str(tmp_path / "ann_cr")
+    ckpt = str(tmp_path / "ckpt_cr")
+    twins.twin_ann_ivf(
+        twins.embeddings_stream(spark, src), spark, sf_dir, out_dir, ckpt
+    )
+    assert glob.glob(f"{out_dir}/batch_id=*/_COMMITTED")
+
+    # ...then the serving job dies MID-WRITE of the next batch: partial
+    # garbage under its directory, marker absent.
+    torn = f"{out_dir}/batch_id=1"
+    spark.range(3).selectExpr(
+        "CAST(id + 900 AS BIGINT) AS probe_id",
+        "CAST(id AS BIGINT) AS neighbor_id",
+        "CAST(0.0 AS DOUBLE) AS cos_sim",
+        "CAST(1 AS INT) AS rnk",
+    ).write.mode("overwrite").parquet(torn)
+    assert not glob.glob(f"{torn}/_COMMITTED")
+
+    # The remaining probes land in the source; the job restarts on the
+    # SAME checkpoint and must overwrite the torn batch, not append.
+    probes.where(F.col("vec_id") >= 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    final = twins.twin_ann_ivf(
+        twins.embeddings_stream(spark, src), spark, sf_dir, out_dir, ckpt
+    )
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in llm_ann_ivf(spark, sf_dir).collect()}
+    assert got == want and got
+    assert not any(p >= 900 for p, *_ in got)  # torn rows purged
+
+
 def test_ivf_stats_reconciles_with_assignment(spark, sf_dir):
     """The health row reconciles with the raw assignment: totals match
     the corpus, the envelope brackets every bucket, and the imbalance
@@ -477,3 +533,52 @@ def test_twin_ann_pq_serving_equals_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in got_df.collect()}
     want = {tuple(r) for r in llm_ann_pq(spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_twin_ann_pq_crash_restart_replay(spark, sf_dir, tmp_path):
+    """Same checkpoint-restart replay probe as the IVF twin, for the
+    compressed serving path: first tranche drains, the next batch is
+    left torn (partial parquet, no marker), remaining probes arrive,
+    restart on the same checkpoint → final sink equals the batch ADC
+    scan over all probes with the torn rows purged."""
+    import glob
+
+    from scala_reactivex_spark.operators.llm_similarity import (
+        N_PROBES,
+        llm_ann_pq,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "emb_src")
+    probes = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_PROBES
+    )
+    probes.where(F.col("vec_id") < 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    out_dir = str(tmp_path / "pq_cr")
+    ckpt = str(tmp_path / "ckpt_cr")
+    twins.twin_ann_pq(
+        twins.embeddings_stream(spark, src), spark, sf_dir, out_dir, ckpt
+    )
+    assert glob.glob(f"{out_dir}/batch_id=*/_COMMITTED")
+
+    torn = f"{out_dir}/batch_id=1"
+    spark.range(3).selectExpr(
+        "CAST(id + 900 AS BIGINT) AS probe_id",
+        "CAST(id AS BIGINT) AS neighbor_id",
+        "CAST(0 AS BIGINT) AS adc_d2",
+        "CAST(1 AS INT) AS rnk",
+    ).write.mode("overwrite").parquet(torn)
+    assert not glob.glob(f"{torn}/_COMMITTED")
+
+    probes.where(F.col("vec_id") >= 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    final = twins.twin_ann_pq(
+        twins.embeddings_stream(spark, src), spark, sf_dir, out_dir, ckpt
+    )
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in llm_ann_pq(spark, sf_dir).collect()}
+    assert got == want and got
+    assert not any(p >= 900 for p, *_ in got)

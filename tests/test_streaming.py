@@ -500,6 +500,51 @@ def test_twin_decontaminate_bloom_equals_batch_flagging(
     assert got == want
 
 
+def test_twin_contamination_gate_equals_batch_rollup(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """The per-document ingest gate (no explode, no shuffle, pure append)
+    reproduces the batch op's per-doc Bloom hit counts exactly: every
+    train doc's n_flagged equals its n_bloom_hits (docs absent from the
+    batch output have n_flagged = 0 and are admitted), and quarantine is
+    set iff the batch op would flag the doc."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        decon_bloom_positions,
+        llm_decontaminate_bloom,
+    )
+
+    bloom = decon_bloom_positions(spark, sf_dir)
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_contamination_gate(sdf, bloom), "t_congate", ckpt
+    )
+    train_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.substring(
+                F.md5(F.col("text").cast("binary")), 1, 1
+            ).alias("nib"),
+        )
+        .where(F.col("nib").between("0", "b"))
+        .collect()
+    }
+    got = {
+        r.doc_id: (r.n_flagged, r.quarantine)
+        for r in out.collect()
+        if r.doc_id in train_ids
+    }
+    want = {
+        r.doc_id: r.n_bloom_hits
+        for r in llm_decontaminate_bloom(spark, sf_dir).collect()
+    }
+    assert set(got) >= set(want)  # gate emits EVERY arrival
+    for doc_id, (n_flagged, quarantine) in got.items():
+        assert n_flagged == want.get(doc_id, 0)
+        assert quarantine == (1 if doc_id in want else 0)
+
+
 def test_twin_dedup_incremental_equals_batch(
     spark, sf_dir, docs_stream_src, ckpt
 ):
