@@ -1402,13 +1402,16 @@ FROM est CROSS JOIN ex
 """,
 )
 def llm_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole-document fold → the vectorized Arrow twin of the pinned
+    # Karp-Rabin hash (~5× over the interpreted aggregate() here; the
+    # token/gram sharers stay on the JVM fold — see kr31_pandas_udf).
     from scala_reactivex_spark.functions.portable_hash import (
-        kr31_spark_expr,
+        kr31_pandas_udf,
     )
 
     h = (
         table(spark, sf_dir, "documents")
-        .select(F.expr(kr31_spark_expr("text")).alias("hv"))
+        .select(kr31_pandas_udf()("text").alias("hv"))
         .distinct()
     )
     r = h.select(

@@ -1728,12 +1728,12 @@ def twin_hll(sdf: DataFrame) -> DataFrame:
     merge associatively across micro-batches, executors and days —
     the distributed-cardinality workhorse."""
     from scala_reactivex_spark.functions.portable_hash import (
-        kr31_spark_expr,
+        kr31_pandas_udf,
     )
     from scala_reactivex_spark.operators.llm_signals import HLL_M
 
     return (
-        sdf.select(F.expr(kr31_spark_expr("text")).alias("hv"))
+        sdf.select(kr31_pandas_udf()("text").alias("hv"))
         .select(
             (F.col("hv") % HLL_M).alias("reg"),
             F.expr(
