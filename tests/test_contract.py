@@ -71,7 +71,8 @@ def test_grade_order_never_green_first():
     """The rotation is self-maintaining: keys without an external
     hash-green CORRECTNESS row lead (minus any explicitly held-for-next-
     round keys), then the verdict-requested re-confirm keys, then held
-    new keys, then banked keys newest-green-round first; the order is
+    new keys, then banked keys OLDEST-green-round first (r8 policy: the
+    stalest grades re-confirm in the spare slots); the order is
     deterministic."""
     from scala_reactivex_spark.plans.registry import (
         _HOLD_NEXT_ROUND,
@@ -99,6 +100,6 @@ def test_grade_order_never_green_first():
     for k in order[n_lead:]:
         assert k in green, f"ungraded {k} sorted among banked keys"
         r = green[k]
-        assert prev_round is None or r <= prev_round
+        assert prev_round is None or r >= prev_round
         prev_round = r
     assert order == list(registry()), "deterministic"
