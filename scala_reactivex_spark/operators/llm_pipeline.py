@@ -419,7 +419,22 @@ FROM per_doc p LEFT JOIN exact e ON p.doc_id = e.doc_id
 def _decon_shingles_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, split, gram_idx, s, h): the split-tagged probe shingles
     with their portable Karp-Rabin hash — shared by the batch Bloom op
-    and the streaming twin's Bloom build."""
+    and the streaming twin's Bloom build.  Session-memoized AND
+    persisted: llm_decontaminate_bloom reads this frame from three
+    subtrees (Bloom build, train probe, exact-check probe set) and Spark
+    does not share common subplans across joins, so un-persisted the
+    explode + char-fold ran three times per invocation."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "decon_shingles",
+        lambda: _decon_shingles_build(spark, sf_dir).persist(),
+    )
+
+
+def _decon_shingles_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scala_reactivex_spark.functions.portable_hash import (
         kr31_spark_expr,
     )

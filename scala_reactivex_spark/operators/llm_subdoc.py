@@ -466,6 +466,18 @@ FROM docsym
 """,
 )
 def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session-memoized: the three greedy merge tables (t1/t2/t3, each a
+    # full pair-count scan) persist once and are shared with
+    # llm_bpe_fertility, which composes this chain — un-memoized it
+    # re-ran the three scans and stacked three more persisted frames.
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    return session_memo(
+        spark, sf_dir, "bpe_apply", lambda: _bpe_apply_build(spark, sf_dir)
+    )
+
+
+def _bpe_apply_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1, s2, s3 = BPE_SENTINELS
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
