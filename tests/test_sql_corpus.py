@@ -1,0 +1,52 @@
+"""Raw-SQL corpus law: every entry equals its DataFrame implementation.
+
+For each {name: sql} in ``sql_corpus()``, running the SQL through
+``spark.sql`` over the registered fixture views must produce the exact
+row multiset (order-insensitive, null-safe, same column names) as the
+registry's DataFrame implementation — the guarantee that makes the SQL
+surface a first-class way to drive the engine, not a parallel
+reimplementation that can drift.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scala_reactivex_spark.plans.registry import registry
+from scala_reactivex_spark.plans.sql_corpus import (
+    SPARK_SQL_OVERRIDES,
+    run_sql,
+    sql_corpus,
+)
+
+
+def _digest(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", sorted(sql_corpus()))
+def test_sql_corpus_entry_equals_dataframe_impl(spark, sf_dir, name):
+    got = run_sql(spark, sf_dir, name)
+    want = registry()[name].fn(spark, sf_dir)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _digest(got) == _digest(want)
+
+
+def test_overrides_do_not_shadow_portable_oracles():
+    """An override for a key whose oracle already runs in Spark would be
+    dead text that can silently drift — keep the two sets disjoint."""
+    from scala_reactivex_spark.plans.sql_corpus import PORTABLE_ORACLE_KEYS
+
+    assert not set(SPARK_SQL_OVERRIDES) & set(PORTABLE_ORACLE_KEYS)
+
+
+def test_corpus_covers_full_tpch_suite():
+    """All 22 TPC-H-shaped queries are runnable as raw SQL."""
+    names = set(sql_corpus())
+    missing = {
+        k
+        for k in registry()
+        if k.startswith("rel_q") and k not in names
+    }
+    assert not missing, f"TPC-H keys missing from SQL corpus: {missing}"
