@@ -51,6 +51,9 @@ ALLOWED_NESTED_LOOP = {
     "llm_bpe_merge",  # 1-row top-pair broadcasts chain the merge rounds
     "llm_ppl_filter",  # 1 broadcast (lo, hi) band-thresholds row × scores
     "llm_ann_recall",  # composes llm_ann_ivf/mp (their centroid crosses)
+    "llm_ivf_stats",  # reports on the shared IVF index (same 8-centroid
+    # broadcast cross as llm_ann_ivf; surfaced here once the r8 session
+    # memo made the index lineage literally shared across consumers)
     "llm_bpe_apply",  # 1-row learned-merge-rule broadcasts (as bpe_merge)
     "llm_embed_pca",  # 1-row max-renormalization broadcast per round
     "llm_textrank",  # 1-row (r0, base) scalar broadcast × vocab node frame
