@@ -128,6 +128,443 @@ FROM big
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 """,
+    # ---- time-series / distribution family.  The events view exposes
+    # the canonical derived columns (ts = bigint NANOSECONDS, tsm =
+    # timestamp, ms = bigint millis — sources/catalog._normalize_events),
+    # so DuckDB's epoch_ms(ts) becomes the ms column and calendar parts
+    # read tsm.  quantile_disc(x, q) ≡ percentile_disc(q) WITHIN GROUP.
+    "rel_percentiles": """
+SELECT o_orderpriority,
+       count(*) AS n,
+       min(o_totalprice) AS min_price,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+       percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+       percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice) AS p95,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    "rel_window_range": """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS BIGINT)
+           AS od_day,
+       count(*) OVER w AS n_90d,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w
+           AS DOUBLE), 4) AS spend_90d
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY CAST(datediff(to_date(o_orderdate), DATE '1970-01-01')
+                  AS BIGINT)
+    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+""",
+    "rel_topk_window": """
+WITH g AS (
+  SELECT (ms DIV 86400000) * 86400000 AS bucket_ms, user_id,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+             AS spend,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_ms
+                               ORDER BY spend DESC, user_id) AS rnk
+  FROM g
+)
+SELECT bucket_ms, user_id, spend, n, rnk FROM r WHERE rnk <= 3
+""",
+    "rel_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_signup,
+       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase,
+       CAST((SELECT count(*) FROM s2) * 10000
+            DIV NULLIF((SELECT count(*) FROM s1), 0) AS BIGINT)
+           AS click_conv_1e4,
+       CAST((SELECT count(*) FROM s3) * 10000
+            DIV NULLIF((SELECT count(*) FROM s1), 0) AS BIGINT)
+           AS purchase_conv_1e4
+""",
+    "rel_retention": """
+WITH u AS (
+  SELECT user_id, ms DIV 604800000 AS wk
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT user_id, min(wk) AS cw FROM u GROUP BY user_id
+), a AS (
+  SELECT c.cw AS cohort_week, u.wk - c.cw AS age_weeks,
+         count(*) AS n_active
+  FROM u JOIN c USING (user_id) GROUP BY 1, 2
+), s AS (
+  SELECT cw AS cohort_week, count(*) AS cohort_size FROM c GROUP BY 1
+)
+SELECT a.cohort_week, a.age_weeks,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.n_active * 10000 DIV s.cohort_size AS BIGINT)
+         AS retention_1e4
+FROM a JOIN s USING (cohort_week)
+""",
+    "rel_join_asof": """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+     best AS (
+       SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+              max(c.ts) AS c_ts
+       FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+       GROUP BY p.event_id, p.user_id, p.ts)
+SELECT b.p_event_id, b.user_id,
+       CAST(b.p_ts DIV 1000000 AS BIGINT) AS p_ms,
+       max(c.event_id) AS c_event_id,
+       CAST(b.c_ts DIV 1000000 AS BIGINT) AS c_ms
+FROM best b LEFT JOIN c ON c.user_id = b.user_id AND c.ts = b.c_ts
+GROUP BY b.p_event_id, b.user_id, b.p_ts, b.c_ts
+""",
+    "rel_mad_outliers": """
+WITH med AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type,
+         percentile_disc(0.5)
+             WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(max(m.med), 4) AS med,
+       ROUND(max(d.mad), 4) AS mad,
+       CAST(count(*) FILTER (WHERE abs(e.value - m.med) > 3 * d.mad)
+            AS BIGINT) AS n_outliers
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+GROUP BY e.event_type
+""",
+    "rel_scalar_battery": """
+SELECT event_id,
+       upper(event_type) AS etype_u,
+       substr(event_type, 1, 3) AS etype_3,
+       event_type || '_' || CAST(user_id AS STRING) AS label,
+       event_type LIKE 'p%' AS is_p,
+       regexp_extract(props, '([0-9]+)', 1) AS k_str,
+       TRY_CAST(get_json_object(props, '$.k') AS INT) AS k_int,
+       year(tsm) AS yr, month(tsm) AS mo, day(tsm) AS dom,
+       datediff(to_date(tsm), DATE '2024-01-01') AS days_since,
+       ROUND(abs(value - 100), 4) AS v_abs,
+       ROUND(value * value, 4) AS v_sq,
+       event_id % 7 AS id_mod
+FROM events
+""",
+    "rel_gapfill": """
+WITH d AS (
+  SELECT event_type, ms DIV 86400000 AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM d
+), spine AS (
+  SELECT t.event_type, s.day
+  FROM (SELECT DISTINCT event_type FROM d) t
+  CROSS JOIN (SELECT explode(sequence(
+      (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS day) s
+)
+SELECT sp.event_type, CAST(sp.day AS BIGINT) AS day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+       CAST(d.n IS NULL AS INT) AS is_gap
+FROM spine sp LEFT JOIN d
+  ON sp.event_type = d.event_type AND sp.day = d.day
+""",
+    "rel_decay_sum": """
+WITH mx AS (
+  SELECT max(ms) DIV 86400000 AS maxd FROM events
+), w AS (
+  SELECT e.event_type,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         CAST(floor(pow(2.0, -CAST(mx.maxd - e.ms DIV 86400000
+                                   AS DOUBLE) / 7)
+                    * 1000000 + 0.5) AS BIGINT) AS w1e6
+  FROM events e CROSS JOIN mx
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents * w1e6) AS BIGINT) AS decayed_micro_cents,
+       CAST(sum(cents) AS BIGINT) AS raw_cents
+FROM w GROUP BY event_type
+""",
+    "rel_top_movers": """
+WITH d0 AS (
+  SELECT event_type, ms DIV 86400000 AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(day) AS lo, max(day) AS hi FROM d0
+), spine AS (
+  SELECT t.event_type, s.day
+  FROM (SELECT DISTINCT event_type FROM d0) t
+  CROSS JOIN (SELECT explode(sequence(
+      (SELECT lo FROM bounds), (SELECT hi FROM bounds))) AS day) s
+), filled AS (
+  SELECT sp.event_type, CAST(sp.day AS BIGINT) AS day,
+         CAST(coalesce(d0.n, 0) AS BIGINT) AS n
+  FROM spine sp LEFT JOIN d0
+    ON sp.event_type = d0.event_type AND sp.day = d0.day
+), d AS (
+  SELECT event_type, day, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM filled
+), deltas AS (
+  SELECT event_type, day, n, prev_n, n - prev_n AS delta
+  FROM d WHERE prev_n IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(delta) DESC, day) AS rnk
+  FROM deltas
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, day,
+       CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(delta AS BIGINT) AS delta
+FROM ranked WHERE rnk <= 3
+""",
+    # ts is bigint NANOSECONDS on the Spark views: the 2-hour session
+    # gap is 7.2e12 ns, and epoch_ms(ts) is the ms column.
+    "rel_concurrency": """
+WITH x AS (
+  SELECT user_id, ts, ms, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= 7200000000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), y AS (
+  SELECT user_id, ms,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x
+), sess AS (
+  SELECT user_id, sid, min(ms) AS s_ms, max(ms) AS e_ms
+  FROM y GROUP BY user_id, sid
+), edges AS (
+  SELECT s_ms AS ms, 1 AS d FROM sess
+  UNION ALL
+  SELECT e_ms AS ms, -1 AS d FROM sess
+), carry AS (
+  SELECT day, coalesce(SUM(daysum) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cin
+  FROM (SELECT ms DIV 86400000 AS day, SUM(d) AS daysum
+        FROM edges GROUP BY 1)
+), sweep AS (
+  SELECT e.ms DIV 86400000 AS day, e.ms, e.d,
+         c.cin + SUM(e.d) OVER (PARTITION BY e.ms DIV 86400000
+             ORDER BY e.ms, e.d DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM edges e JOIN carry c ON e.ms DIV 86400000 = c.day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(max(conc) AS BIGINT) AS peak,
+       CAST(min(CASE WHEN conc = mx THEN ms END) AS BIGINT)
+         AS first_peak_ms
+FROM (SELECT *, max(conc) OVER (PARTITION BY day) AS mx FROM sweep)
+GROUP BY day
+""",
+    "rel_lateness_profile": """
+WITH o AS (
+  SELECT user_id, event_id, ms,
+         max(ms) OVER (PARTITION BY user_id
+             ORDER BY (event_id * 1103515245 + 12345) % 2147483648,
+                      event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS high
+  FROM events
+), lat AS (
+  SELECT CASE WHEN high IS NULL OR high <= ms THEN 0
+              ELSE (high - ms) DIV 1000 END AS late_s
+  FROM o
+), b AS (
+  SELECT CASE WHEN late_s = 0 THEN 0
+              ELSE length(bin(CAST(late_s AS BIGINT))) END AS bucket,
+         late_s
+  FROM lat
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(late_s) AS BIGINT) AS max_late_s
+FROM b GROUP BY bucket
+""",
+    "rel_attribution": """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+     best AS (
+       SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+              p.value, max(c.ts) AS c_ts
+       FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+       GROUP BY p.event_id, p.user_id, p.ts, p.value
+     ), pick AS (
+       SELECT b.p_event_id, b.value,
+              max(c.event_id) AS c_event_id
+       FROM best b LEFT JOIN c
+         ON c.user_id = b.user_id AND c.ts = b.c_ts
+       GROUP BY b.p_event_id, b.value
+     ), attr AS (
+       SELECT pk.p_event_id, pk.value,
+              CASE WHEN pk.c_event_id IS NULL THEN -1
+                   ELSE TRY_CAST(get_json_object(c.props, '$.k')
+                                 AS INT) % 10 END
+                AS channel
+       FROM pick pk LEFT JOIN c ON pk.c_event_id = c.event_id
+     )
+SELECT CAST(channel AS BIGINT) AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM attr GROUP BY channel
+""",
+    # The DuckDB form filters on a scalar subquery INSIDE an aggregate
+    # FILTER clause; Spark rejects that shape, so the max-|cusum| scalar
+    # joins in via a 1-row cross instead (same rows, same semantics).
+    "rel_cusum_changepoint": """
+WITH d AS (
+  SELECT ms DIV 86400000 AS day, count(*) AS n
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(sum(n) DIV count(*) AS BIGINT) AS mu FROM d
+), c AS (
+  SELECT d.day, d.n,
+         CAST(sum(d.n - m.mu) OVER (ORDER BY d.day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cusum
+  FROM d CROSS JOIN m
+), mxc AS (
+  SELECT max(abs(cusum)) AS mx FROM c
+), x AS (
+  SELECT min(day) AS cp_day FROM c CROSS JOIN mxc WHERE abs(cusum) = mx
+)
+SELECT c.day, CAST(c.n AS BIGINT) AS n, c.cusum,
+       CAST(c.day = x.cp_day AS INT) AS is_changepoint
+FROM c CROSS JOIN x
+""",
+    "rel_cdc_upsert": """
+WITH r AS (
+  SELECT user_id, event_type, event_id, ms, value,
+         CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT)
+             AS n_changes,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, n_changes, event_id, ms, value
+FROM r WHERE rn = 1
+""",
+    "rel_scd2": """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id, ms,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, event_type, ts, event_id, ms,
+         CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END
+             AS chg
+  FROM o),
+s AS (
+  SELECT user_id, event_type, ms,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+  FROM f),
+g AS (
+  SELECT user_id, seg, min(event_type) AS event_type,
+         CAST(min(ms) AS BIGINT) AS valid_from_ms,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, seg)
+SELECT user_id, seg, event_type, valid_from_ms,
+       lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY seg)
+           AS valid_to_ms,
+       n_events
+FROM g
+""",
+    "rel_ivm_merge": """
+WITH tagged AS (
+  SELECT user_id, value, ms,
+         (ms DIV 86400000) % 4 = 0 AS is_delta
+  FROM events
+), base AS (
+  SELECT user_id, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(38,6))) AS s, max(ms) AS m
+  FROM tagged WHERE NOT is_delta GROUP BY user_id
+), delta AS (
+  SELECT user_id, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(38,6))) AS s, max(ms) AS m
+  FROM tagged WHERE is_delta GROUP BY user_id
+), merged AS (
+  SELECT coalesce(b.user_id, d.user_id) AS user_id,
+         coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+         coalesce(b.s, 0) + coalesce(d.s, 0) AS s,
+         greatest(coalesce(b.m, 0), coalesce(d.m, 0)) AS m
+  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+), full_v AS (
+  SELECT user_id, count(*) AS n,
+         SUM(CAST(value AS DECIMAL(38,6))) AS s, max(ms) AS m
+  FROM tagged GROUP BY user_id
+)
+SELECT m.user_id, CAST(m.n AS BIGINT) AS n,
+       ROUND(CAST(m.s AS DOUBLE), 4) AS total,
+       CAST(m.m AS BIGINT) AS last_ms,
+       CAST(m.n = f.n AND m.s = f.s AND m.m = f.m AS INT) AS ivm_ok
+FROM merged m JOIN full_v f ON m.user_id = f.user_id
+""",
+    "rel_join_asof_nearest": """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click'),
+     cand AS (
+       SELECT p.event_id AS p_event_id, p.user_id,
+              p.ms AS p_ms,
+              c.event_id AS c_event_id, c.ms AS c_ms,
+              abs(c.ms - p.ms) AS dist
+       FROM p JOIN c ON p.user_id = c.user_id
+     ), best AS (
+       SELECT *, row_number() OVER (PARTITION BY p_event_id
+                 ORDER BY dist, c_ms, c_event_id) AS rn
+       FROM cand
+     )
+SELECT p_event_id, user_id, p_ms, c_event_id, c_ms,
+       CAST(dist AS BIGINT) AS dist_ms
+FROM best WHERE rn = 1
+""",
+    # Mirrors the engine's sketch-vs-exact band check (the DuckDB oracle
+    # pins the band result as a constant; the SQL surface runs the REAL
+    # approx_percentile sketch like the DataFrame implementation does).
+    "rel_agg_approx_pct": """
+WITH exact AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)
+             AS exact_p50,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+             AS exact_p95
+  FROM lineitem GROUP BY l_returnflag
+), ap AS (
+  SELECT l_returnflag,
+         approx_percentile(l_extendedprice, array(0.5, 0.95), 10000) AS ap
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT e.l_returnflag, e.n_lines, e.exact_p50, e.exact_p95,
+       abs(a.ap[0] - e.exact_p50) / e.exact_p50 <= 0.03
+       AND abs(a.ap[1] - e.exact_p95) / e.exact_p95 <= 0.03
+         AS approx_within_3pct
+FROM exact e JOIN ap a ON e.l_returnflag = a.l_returnflag
+""",
 }
 
 

@@ -41,12 +41,11 @@ def test_overrides_do_not_shadow_portable_oracles():
     assert not set(SPARK_SQL_OVERRIDES) & set(PORTABLE_ORACLE_KEYS)
 
 
-def test_corpus_covers_full_tpch_suite():
-    """All 22 TPC-H-shaped queries are runnable as raw SQL."""
+def test_corpus_covers_full_relational_substrate():
+    """EVERY §2.9 relational key (all 22 TPC-H shapes included) is
+    runnable as raw SQL — the substrate a SQL-only user reaches first."""
     names = set(sql_corpus())
     missing = {
-        k
-        for k in registry()
-        if k.startswith("rel_q") and k not in names
+        k for k in registry() if k.startswith("rel_") and k not in names
     }
-    assert not missing, f"TPC-H keys missing from SQL corpus: {missing}"
+    assert not missing, f"relational keys missing from SQL corpus: {missing}"
