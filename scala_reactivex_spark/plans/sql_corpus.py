@@ -28,6 +28,8 @@ DataFrame implementation (order-insensitive, null-safe).
 
 from __future__ import annotations
 
+import re
+
 #: Registry keys whose DuckDB oracle text is ANSI-portable: verified to
 #: parse in Spark SQL and produce order-insensitive hash-identical
 #: results vs the DataFrame implementation (round-8 discovery sweep at
@@ -568,12 +570,129 @@ FROM exact e JOIN ap a ON e.l_returnflag = a.l_returnflag
 }
 
 
+def _strip_call(sql: str, fn: str) -> list[tuple[int, int, str]]:
+    """All (start, end, inner) spans of balanced ``fn(...)`` calls."""
+    out = []
+    i = 0
+    needle = fn + "("
+    while True:
+        j = sql.find(needle, i)
+        if j < 0:
+            return out
+        depth = 0
+        for k in range(j + len(fn), len(sql)):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    out.append((j, k + 1, sql[j + len(needle) : k]))
+                    break
+        i = j + 1
+
+
+def _rewrite_call(sql: str, fn: str, make) -> str:
+    """Replace every balanced ``fn(inner)`` with ``make(inner)``
+    (right-to-left so earlier spans stay valid; ``make`` returning
+    None leaves that call untouched)."""
+    for s, e, inner in reversed(_strip_call(sql, fn)):
+        repl = make(inner)
+        if repl is not None:
+            sql = sql[:s] + repl + sql[e:]
+    return sql
+
+
+def spark_dialect(sql: str) -> str:
+    """Mechanical DuckDB→Spark dialect rewrite for EVENT-TIME oracles.
+
+    The Spark views expose ``ts`` as bigint NANOSECONDS (DuckDB sees a
+    real timestamp), so every DuckDB timestamp expression has an
+    ns-bigint twin and the rewrite is purely algebraic:
+
+    - ``epoch_ns(X)``  → ``(X)``            (ts already IS ns)
+    - ``epoch_ms(X)``  → ``((X) DIV 1000000)``
+    - ``date_trunc('day', X)`` → ``((X) DIV 86400000000000) *
+      86400000000000`` (day-floor in ns)
+    - ``//`` → `` DIV `` (integer division)
+
+    Only keys verified to produce hash-identical results against their
+    DataFrame implementation enter the corpus (``DIALECT_REWRITE_KEYS``
+    below, discovered empirically; re-asserted per-run by the corpus
+    test) — the transformer is mechanical, the guarantee is the test.
+    """
+    sql = _rewrite_call(
+        sql,
+        "date_trunc",
+        lambda inner: "(({x}) DIV 86400000000000) * 86400000000000".format(
+            x=inner.split(",", 1)[1].strip()
+        )
+        if inner.split(",", 1)[0].strip() in ("'day'", '"day"')
+        else None,
+    )
+    sql = _rewrite_call(sql, "epoch_ns", lambda inner: f"({inner})")
+    sql = _rewrite_call(sql, "epoch_ms", lambda inner: f"(({inner}) DIV 1000000)")
+    # DuckDB SELECT-position unnest ≡ Spark explode; DuckDB puts IGNORE
+    # NULLS inside the call parens, Spark after them.
+    sql = sql.replace("unnest(", "explode(")
+    sql = re.sub(r"\s+IGNORE NULLS\)", ") IGNORE NULLS", sql)
+    return sql.replace("//", " DIV ")
+
+
+#: Keys whose oracle becomes a correct Spark query under
+#: ``spark_dialect`` — discovered by running every rewritten oracle
+#: against the DataFrame implementation (order-insensitive digest
+#: equality) and pinned here; the corpus test re-verifies each entry on
+#: every run.
+DIALECT_REWRITE_KEYS: tuple[str, ...] = (
+    "llm_compaction_plan",
+    "llm_corpus_diff",
+    "llm_kanon_audit",
+    "llm_shard_assign",
+    "llm_stratified_sample",
+    "op_amb",
+    "op_combine_latest",
+    "op_concat",
+    "op_debounce",
+    "op_distinct",
+    "op_distinct_until_changed",
+    "op_filter",
+    "op_first_last",
+    "op_map",
+    "op_merge",
+    "op_pairwise",
+    "op_sample",
+    "op_scan_running_sum",
+    "op_skip",
+    "op_switch",
+    "op_take",
+    "op_take_last",
+    "op_take_until",
+    "op_take_while",
+    "op_throttle_first",
+    "op_time_interval",
+    "op_timeout_flag",
+    "op_window_toggle",
+    "op_window_tumbling",
+    "op_with_latest_from",
+    "op_zip",
+    "src_zonemap_profile",
+)
+
+
 def sql_corpus() -> dict[str, str]:
-    """{query name: Spark-runnable SQL} — portable oracles + overrides."""
+    """{query name: Spark-runnable SQL} — portable oracles, mechanical
+    dialect rewrites, then hand overrides (highest precedence)."""
     from scala_reactivex_spark.plans.registry import registry
 
     specs = registry()
     out = {k: specs[k].oracle for k in PORTABLE_ORACLE_KEYS if k in specs}
+    out.update(
+        {
+            k: spark_dialect(specs[k].oracle)
+            for k in DIALECT_REWRITE_KEYS
+            if k in specs
+        }
+    )
     out.update(SPARK_SQL_OVERRIDES)
     return out
 
