@@ -635,6 +635,47 @@ def spark_dialect(sql: str) -> str:
     # NULLS inside the call parens, Spark after them.
     sql = sql.replace("unnest(", "explode(")
     sql = re.sub(r"\s+IGNORE NULLS\)", ") IGNORE NULLS", sql)
+    # List-function family: DuckDB list_* ≡ Spark higher-order builtins.
+    # ``list_reduce(list_prepend(Z, L), F)`` is DuckDB's spelling of a
+    # seeded fold — Spark's is ``aggregate(L, Z, F)``.
+    def _split_args(inner):
+        args, depth, cur = [], 0, []
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                args.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        args.append("".join(cur))
+        return [a.strip() for a in args]
+
+    def _fold(inner):
+        args = _split_args(inner)
+        if len(args) != 2 or not args[0].startswith("list_prepend("):
+            return None
+        seed_lst = _split_args(args[0][len("list_prepend(") : -1])
+        if len(seed_lst) != 2:
+            return None
+        return f"aggregate({seed_lst[1]}, {seed_lst[0]}, {args[1]})"
+
+    sql = _rewrite_call(sql, "list_reduce", _fold)
+    sql = sql.replace("string_split(", "split(")
+    sql = sql.replace("list_transform(", "transform(")
+    sql = sql.replace("list_filter(", "filter(")
+    # range(a, b) is the half-open [a, b); sequence(a, b) is inclusive.
+    def _range(inner):
+        args = _split_args(inner)
+        return (
+            f"sequence({args[0]}, ({args[1]}) - 1)"
+            if len(args) == 2
+            else None
+        )
+
+    sql = _rewrite_call(sql, "range", _range)
     return sql.replace("//", " DIV ")
 
 
@@ -644,12 +685,28 @@ def spark_dialect(sql: str) -> str:
 #: equality) and pinned here; the corpus test re-verifies each entry on
 #: every run.
 DIALECT_REWRITE_KEYS: tuple[str, ...] = (
+    "llm_bpb",
     "llm_compaction_plan",
     "llm_corpus_diff",
+    "llm_index_gaps",
+    "llm_index_stats",
     "llm_kanon_audit",
+    "llm_lang_confusion",
+    "llm_lang_id",
+    "llm_neg_sampling",
+    "llm_ppl_filter",
+    "llm_quality_rules",
     "llm_shard_assign",
     "llm_stratified_sample",
+    "llm_text_tokens",
+    "llm_tfidf",
+    "llm_token_entropy",
+    "llm_unigram_lm",
+    "llm_vocab_coverage",
+    "llm_zipf",
     "op_amb",
+    "op_buffer_slide",
+    "op_flatmap",
     "op_combine_latest",
     "op_concat",
     "op_debounce",
