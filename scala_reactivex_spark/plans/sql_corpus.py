@@ -579,6 +579,9 @@ def _strip_call(sql: str, fn: str) -> list[tuple[int, int, str]]:
         j = sql.find(needle, i)
         if j < 0:
             return out
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            i = j + 1  # substring of a longer identifier, not a call
+            continue
         depth = 0
         for k in range(j + len(fn), len(sql)):
             if sql[k] == "(":
@@ -666,6 +669,28 @@ def spark_dialect(sql: str) -> str:
     sql = sql.replace("string_split(", "split(")
     sql = sql.replace("list_transform(", "transform(")
     sql = sql.replace("list_filter(", "filter(")
+    sql = sql.replace("list_distinct(", "array_distinct(")
+    sql = sql.replace("list_intersect(", "array_intersect(")
+    sql = sql.replace("list_max(", "array_max(")
+    sql = sql.replace("list_min(", "array_min(")
+    sql = sql.replace("array_to_string(", "array_join(")
+    sql = sql.replace("json_extract_string(", "get_json_object(")
+    # DuckDB ``ord``/``unicode`` both return the first code point;
+    # Spark's ``ascii`` does the same.
+    sql = re.sub(r"\b(?:ord|unicode)\(", "ascii(", sql)
+    # Scalar generate_series(a, b[, step]) is inclusive in both engines
+    # (table-valued FROM usage stays unresolved and is simply not pinned).
+    sql = sql.replace("generate_series(", "sequence(")
+    # list_sum has no Spark builtin; a seeded double fold is exact for
+    # the DOUBLE-element lists the oracles use it on.
+    sql = _rewrite_call(
+        sql,
+        "list_sum",
+        lambda inner: (
+            f"aggregate(({inner}), CAST(0 AS DOUBLE),"
+            " (s_, x_) -> s_ + CAST(x_ AS DOUBLE))"
+        ),
+    )
     # range(a, b) is the half-open [a, b); sequence(a, b) is inclusive.
     def _range(inner):
         args = _split_args(inner)
@@ -676,6 +701,44 @@ def spark_dialect(sql: str) -> str:
         )
 
     sql = _rewrite_call(sql, "range", _range)
+    # DuckDB list_slice / bracket slicing are 1-based INCLUSIVE of both
+    # ends; Spark's slice is (arr, start, LENGTH).
+    def _slice(inner):
+        args = _split_args(inner)
+        if len(args) != 3:
+            return None
+        a, lo, hi = args
+        return f"slice({a}, ({lo}), ({hi}) - ({lo}) + 1)"
+
+    sql = _rewrite_call(sql, "list_slice", _slice)
+    sql = re.sub(
+        r"\b(\w+)\[([^\[\]:]+):([^\[\]]+)\]",
+        r"slice(\1, (\2), (\3) - (\2) + 1)",
+        sql,
+    )
+    # DuckDB ``len`` is polymorphic (strings AND lists); Spark's only
+    # takes strings.  Rewrite to ``size`` exactly when the argument is
+    # visibly a list: an array-producing call or a known list alias the
+    # oracles bind (every entry is still hash-gated before pinning).
+    _ARRAY_CALLS = (
+        "split(", "transform(", "filter(", "sequence(", "slice(",
+        "array_distinct(", "array_intersect(", "regexp_extract_all(",
+        "flatten(", "collect_list(", "array_agg(", "array(",
+    )
+    _ARRAY_ALIASES = {
+        "words", "w", "fps", "embedding", "toks", "ptoks", "qv", "h",
+        "m", "wins", "grams", "shingles", "lines", "emb", "vec",
+    }
+
+    def _len(inner):
+        s = inner.strip()
+        if s.startswith(_ARRAY_CALLS) or s in _ARRAY_ALIASES or (
+            "." in s and s.split(".", 1)[1] in _ARRAY_ALIASES
+        ):
+            return f"size({inner})"
+        return None
+
+    sql = _rewrite_call(sql, "len", _len)
     return sql.replace("//", " DIV ")
 
 
@@ -685,36 +748,69 @@ def spark_dialect(sql: str) -> str:
 #: equality) and pinned here; the corpus test re-verifies each entry on
 #: every run.
 DIALECT_REWRITE_KEYS: tuple[str, ...] = (
+    "llm_bm25",
     "llm_bpb",
+    "llm_budget_select",
+    "llm_cdc_chunks",
+    "llm_chunk_dedup",
+    "llm_chunk_overlap",
+    "llm_chunk_retrieval_recall",
     "llm_compaction_plan",
     "llm_corpus_diff",
+    "llm_corpus_filter",
+    "llm_count_min",
+    "llm_curriculum",
+    "llm_decontaminate",
+    "llm_dedup_containment",
+    "llm_dedup_near",
+    "llm_dedup_simhash",
+    "llm_domain_mix",
+    "llm_embed_norm_stats",
     "llm_index_gaps",
     "llm_index_stats",
     "llm_kanon_audit",
     "llm_lang_confusion",
     "llm_lang_id",
+    "llm_line_dedup",
+    "llm_line_dedup_purge",
+    "llm_mix_budget",
+    "llm_mix_temperature",
     "llm_neg_sampling",
+    "llm_pack_sequences",
+    "llm_pipeline_e2e",
     "llm_ppl_filter",
+    "llm_quality_length_corr",
     "llm_quality_rules",
+    "llm_quality_score",
+    "llm_repetition_score",
+    "llm_seq_len_hist",
     "llm_shard_assign",
+    "llm_soft_sample",
+    "llm_source_scorecard",
     "llm_stratified_sample",
+    "llm_text_clean",
     "llm_text_tokens",
     "llm_tfidf",
     "llm_token_entropy",
     "llm_unigram_lm",
     "llm_vocab_coverage",
+    "llm_watermark_detect",
+    "llm_winnowing",
+    "llm_winnowing_match",
     "llm_zipf",
     "op_amb",
     "op_buffer_slide",
-    "op_flatmap",
     "op_combine_latest",
     "op_concat",
     "op_debounce",
     "op_distinct",
     "op_distinct_until_changed",
+    "op_error_return",
     "op_filter",
     "op_first_last",
+    "op_flatmap",
     "op_map",
+    "op_materialize",
     "op_merge",
     "op_pairwise",
     "op_sample",
@@ -728,6 +824,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_throttle_first",
     "op_time_interval",
     "op_timeout_flag",
+    "op_udf_textlen",
     "op_window_toggle",
     "op_window_tumbling",
     "op_with_latest_from",
