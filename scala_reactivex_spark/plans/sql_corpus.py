@@ -605,6 +605,28 @@ def _rewrite_call(sql: str, fn: str, make) -> str:
     return sql
 
 
+_CLAUSE_KW = re.compile(
+    r"\b(SELECT|FROM|JOIN|WHERE|GROUP BY|HAVING|ORDER BY|WINDOW|ON)\b",
+    re.IGNORECASE,
+)
+
+
+def _in_from_position(prefix: str) -> bool:
+    """True when a call at this point is a table-valued FROM item:
+    directly after FROM/JOIN, or after a comma whose governing clause
+    (the nearest preceding clause keyword) is FROM — a comma in a
+    SELECT list is NOT a from-position."""
+    p = prefix.rstrip()
+    if p.upper().endswith(("FROM", "JOIN")):
+        return True
+    if not p.endswith(","):
+        return False
+    last = None
+    for m in _CLAUSE_KW.finditer(prefix):
+        last = m.group(1).upper()
+    return last in ("FROM", "JOIN")
+
+
 def spark_dialect(sql: str) -> str:
     """Mechanical DuckDB→Spark dialect rewrite for EVENT-TIME oracles.
 
@@ -691,16 +713,184 @@ def spark_dialect(sql: str) -> str:
             " (s_, x_) -> s_ + CAST(x_ AS DOUBLE))"
         ),
     )
-    # range(a, b) is the half-open [a, b); sequence(a, b) is inclusive.
-    def _range(inner):
+    # Scalar range(...) is the half-open [a, b); sequence is inclusive.
+    # FROM-position range(a, b) is left alone: Spark's own range TVF has
+    # the identical half-open semantics (``FROM t, range(1, 65) t(i)``).
+    for s, e, inner in reversed(_strip_call(sql, "range")):
+        if _in_from_position(sql[:s]):
+            continue
         args = _split_args(inner)
-        return (
-            f"sequence({args[0]}, ({args[1]}) - 1)"
-            if len(args) == 2
+        if len(args) == 1:
+            repl = f"sequence(0, ({args[0]}) - 1)"
+        elif len(args) == 2:
+            repl = f"sequence({args[0]}, ({args[1]}) - 1)"
+        elif len(args) == 3:
+            repl = f"sequence({args[0]}, ({args[1]}) - 1, {args[2]})"
+        else:
+            continue
+        sql = sql[:s] + repl + sql[e:]
+    # A sequence(...) left in FROM position (renamed generate_series
+    # TVF) becomes a generator-function FROM item; when comma-joined it
+    # is usually correlated with the preceding item → LATERAL.
+    for s, e, inner in reversed(_strip_call(sql, "sequence")):
+        if _in_from_position(sql[:s]):
+            kw = "LATERAL " if sql[:s].rstrip().endswith(",") else ""
+            sql = sql[:s] + f"{kw}explode(sequence({inner}))" + sql[e:]
+    # A comma-joined explode(...) FROM item (DuckDB's lateral unnest)
+    # must be an explicit LATERAL join in Spark.
+    for s, e, inner in reversed(_strip_call(sql, "explode")):
+        if sql[:s].rstrip().endswith(",") and _in_from_position(sql[:s]):
+            sql = sql[:s] + f"LATERAL explode({inner})" + sql[e:]
+    # DuckDB xor(a, b) ≡ Spark's ^ operator.
+    sql = _rewrite_call(
+        sql,
+        "xor",
+        lambda inner: (
+            "(({}) ^ ({}))".format(*_split_args(inner))
+            if len(_split_args(inner)) == 2
             else None
+        ),
+    )
+    # Calendar parts of the ns-bigint ts read the view's tsm twin.
+    for part in ("day", "month", "year", "hour", "minute", "dayofweek"):
+        sql = _rewrite_call(
+            sql,
+            part,
+            lambda inner, p=part: f"{p}(tsm)"
+            if inner.strip() == "ts"
+            else None,
         )
+    # Interval arithmetic on the ns-bigint ts: INTERVAL n UNIT → ns.
+    # Skipped when the oracle builds real TIMESTAMP series, where the
+    # interval must stay an interval.
+    if "TIMESTAMP '" not in sql:
+        _NS = {
+            "SECOND": 10**9,
+            "MINUTE": 60 * 10**9,
+            "HOUR": 3600 * 10**9,
+            "DAY": 86400 * 10**9,
+        }
+        sql = re.sub(
+            r"INTERVAL\s+'?(\d+)'?\s+(SECOND|MINUTE|HOUR|DAY)S?",
+            lambda m: str(int(m.group(1)) * _NS[m.group(2)]),
+            sql,
+        )
+    # Ordered aggregates.  DuckDB allows ORDER BY inside the agg call;
+    # Spark spells string_agg as listagg ... WITHIN GROUP, and ordered
+    # list() as a post-sorted collect_list (struct-keyed when the sort
+    # key differs from the value).
+    def _split_order(inner):
+        depth = 0
+        up = inner.upper()
+        for i in range(len(inner)):
+            if inner[i] == "(":
+                depth += 1
+            elif inner[i] == ")":
+                depth -= 1
+            elif depth == 0 and up.startswith(" ORDER BY ", i):
+                return inner[:i], inner[i + len(" ORDER BY ") :].strip()
+        return inner, None
 
-    sql = _rewrite_call(sql, "range", _range)
+    def _string_agg(inner):
+        body, order = _split_order(inner)
+        if order is None:
+            return None
+        return f"listagg({body}) WITHIN GROUP (ORDER BY {order})"
+
+    sql = _rewrite_call(sql, "string_agg", _string_agg)
+
+    def _list_agg(inner):
+        body, order = _split_order(inner)
+        if order is None:
+            return f"collect_list({inner})"
+        desc = order.upper().endswith(" DESC")
+        key = order[:-5].strip() if desc else order
+        if key.strip() == body.strip():
+            out = f"array_sort(collect_list({body}))"
+        else:
+            out = (
+                f"transform(array_sort(collect_list("
+                f"struct(({key}) AS o_, ({body}) AS v_))), s_ -> s_.v_)"
+            )
+        return f"reverse({out})" if desc else out
+
+    sql = _rewrite_call(sql, "list", _list_agg)
+    # DuckDB ``[a, b, ...]`` list literals → array(...).  A ``[`` opens
+    # a literal when the previous significant char cannot end an
+    # indexable expression; single-quoted strings are left untouched.
+    i, in_str = 0, False
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str and ch == "[":
+            prev = sql[:i].rstrip()[-1:] or "("
+            if not (prev.isalnum() or prev in ")]_"):
+                depth, j, instr2 = 0, i, False
+                while j < len(sql):
+                    c = sql[j]
+                    if c == "'":
+                        instr2 = not instr2
+                    elif not instr2 and c == "[":
+                        depth += 1
+                    elif not instr2 and c == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                if j < len(sql):
+                    inner = sql[i + 1 : j]
+                    sql = sql[:i] + "array(" + inner + ")" + sql[j + 1 :]
+                    i += len("array(")
+                    continue
+        i += 1
+    # Indexing/slicing of a CALL RESULT: ``f(...)[...]``.
+    while True:
+        m = re.search(r"\)\[([^\[\]]+)\]", sql)
+        if not m:
+            break
+        close = m.start()
+        depth = 0
+        k = close
+        while k >= 0:
+            if sql[k] == ")":
+                depth += 1
+            elif sql[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        j = k
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "._"):
+            j -= 1
+        expr = sql[j : close + 1]
+        idx = m.group(1)
+        if ":" in idx:
+            lo, hi = idx.split(":", 1)
+            repl = f"slice({expr}, ({lo}), ({hi}) - ({lo}) + 1)"
+        else:
+            repl = f"element_at({expr}, CAST(({idx}) AS INT))"
+        sql = sql[:j] + repl + sql[m.end() :]
+    # DuckDB HUGEINT (int128) → the widest Spark integer container;
+    # bare VARCHAR casts → STRING.
+    sql = sql.replace("HUGEINT", "DECIMAL(38,0)")
+    sql = re.sub(r"\bAS VARCHAR\b", "AS STRING", sql)
+    # DuckDB regexp_replace global flag: Spark replaces all by default.
+    def _re_replace(inner):
+        args = _split_args(inner)
+        if len(args) == 4 and args[3] in ("'g'", '"g"'):
+            return f"regexp_replace({args[0]}, {args[1]}, {args[2]})"
+        return None
+
+    sql = _rewrite_call(sql, "regexp_replace", _re_replace)
+    # DuckDB 1-arg encode(s) is UTF-8; Spark requires the charset.
+    sql = _rewrite_call(
+        sql,
+        "encode",
+        lambda inner: f"encode({inner}, 'UTF-8')"
+        if len(_split_args(inner)) == 1
+        else None,
+    )
     # DuckDB list_slice / bracket slicing are 1-based INCLUSIVE of both
     # ends; Spark's slice is (arr, start, LENGTH).
     def _slice(inner):
@@ -716,6 +906,29 @@ def spark_dialect(sql: str) -> str:
         r"slice(\1, (\2), (\3) - (\2) + 1)",
         sql,
     )
+    # DuckDB bracket indexing is 1-BASED; Spark's [] is 0-based but
+    # element_at is 1-based.  Fixpoint loop resolves chains (a[i][j]).
+    _IDX = re.compile(r"\b((?:\w+\.)?\w+)\[([^\[\]:]+)\]")
+
+    def _elem(m):
+        name, idx = m.group(1), m.group(2).strip()
+        if idx.startswith(("'", '"')):  # map key — leave untyped
+            return f"element_at({name}, {idx})"
+        return f"element_at({name}, CAST(({idx}) AS INT))"
+
+    for _ in range(5):
+        sql2 = _IDX.sub(_elem, sql)
+        if sql2 == sql:
+            break
+        sql = sql2
+    # DuckDB regexp_extract_all defaults to group 0; Spark to group 1.
+    sql = _rewrite_call(
+        sql,
+        "regexp_extract_all",
+        lambda inner: f"regexp_extract_all({inner}, 0)"
+        if len(_split_args(inner)) == 2
+        else None,
+    )
     # DuckDB ``len`` is polymorphic (strings AND lists); Spark's only
     # takes strings.  Rewrite to ``size`` exactly when the argument is
     # visibly a list: an array-producing call or a known list alias the
@@ -726,7 +939,7 @@ def spark_dialect(sql: str) -> str:
         "flatten(", "collect_list(", "array_agg(", "array(",
     )
     _ARRAY_ALIASES = {
-        "words", "w", "fps", "embedding", "toks", "ptoks", "qv", "h",
+        "words", "fps", "embedding", "toks", "ptoks", "qv", "h",
         "m", "wins", "grams", "shingles", "lines", "emb", "vec",
     }
 
@@ -748,47 +961,80 @@ def spark_dialect(sql: str) -> str:
 #: equality) and pinned here; the corpus test re-verifies each entry on
 #: every run.
 DIALECT_REWRITE_KEYS: tuple[str, ...] = (
+    "llm_ann_pq",
     "llm_bm25",
+    "llm_boilerplate",
     "llm_bpb",
+    "llm_bpe_apply",
+    "llm_bpe_fertility",
+    "llm_bpe_merge",
+    "llm_bpe_pairs",
     "llm_budget_select",
     "llm_cdc_chunks",
     "llm_chunk_dedup",
     "llm_chunk_overlap",
     "llm_chunk_retrieval_recall",
+    "llm_cluster_purity",
     "llm_compaction_plan",
+    "llm_containment_lsh",
     "llm_corpus_diff",
     "llm_corpus_filter",
     "llm_count_min",
+    "llm_crossdup_sources",
     "llm_curriculum",
     "llm_decontaminate",
     "llm_dedup_containment",
+    "llm_dedup_incremental",
+    "llm_dedup_minhash",
+    "llm_dedup_minhash_stats",
     "llm_dedup_near",
+    "llm_dedup_recall",
+    "llm_dedup_shingle",
     "llm_dedup_simhash",
+    "llm_dedup_simhash_nn",
+    "llm_dedup_substring",
+    "llm_doc_fingerprint",
     "llm_domain_mix",
+    "llm_dsir",
+    "llm_embed_centroid",
     "llm_embed_norm_stats",
+    "llm_embed_pca",
+    "llm_embed_quantize",
+    "llm_hll_portable",
     "llm_index_gaps",
     "llm_index_stats",
     "llm_kanon_audit",
+    "llm_kmeans",
     "llm_lang_confusion",
     "llm_lang_id",
     "llm_line_dedup",
     "llm_line_dedup_purge",
+    "llm_minhash_est",
     "llm_mix_budget",
     "llm_mix_temperature",
+    "llm_multimodal_features",
+    "llm_multimodal_frames",
+    "llm_multimodal_phash",
+    "llm_multimodal_resize",
     "llm_neg_sampling",
+    "llm_oov_rate",
     "llm_pack_sequences",
     "llm_pipeline_e2e",
     "llm_ppl_filter",
+    "llm_pq_recall",
     "llm_quality_length_corr",
     "llm_quality_rules",
     "llm_quality_score",
     "llm_repetition_score",
+    "llm_semdedup",
     "llm_seq_len_hist",
     "llm_shard_assign",
     "llm_soft_sample",
     "llm_source_scorecard",
     "llm_stratified_sample",
+    "llm_template_detect",
     "llm_text_clean",
+    "llm_text_stats",
     "llm_text_tokens",
     "llm_tfidf",
     "llm_token_entropy",
@@ -800,15 +1046,19 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_zipf",
     "op_amb",
     "op_buffer_slide",
+    "op_collect_sorted",
     "op_combine_latest",
     "op_concat",
     "op_debounce",
+    "op_delay",
     "op_distinct",
     "op_distinct_until_changed",
     "op_error_return",
     "op_filter",
     "op_first_last",
     "op_flatmap",
+    "op_group_join",
+    "op_interval_join",
     "op_map",
     "op_materialize",
     "op_merge",
@@ -825,10 +1075,13 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_time_interval",
     "op_timeout_flag",
     "op_udf_textlen",
+    "op_window_session",
+    "op_window_sliding",
     "op_window_toggle",
     "op_window_tumbling",
     "op_with_latest_from",
     "op_zip",
+    "src_partition_prune",
     "src_zonemap_profile",
 )
 
