@@ -97,6 +97,36 @@ PORTABLE_ORACLE_KEYS: tuple[str, ...] = (
 #: ``datediff(to_date(ts), DATE '1970-01-01')`` (Spark) for the
 #: timestamp_ntz order dates the catalog pins (unix_millis refuses NTZ).
 SPARK_SQL_OVERRIDES: dict[str, str] = {
+    # DuckDB list_sum returns HUGEINT for int lists, feeding integer
+    # division; Spark needs an explicitly BIGINT-seeded fold.
+    "llm_span_corruption": """
+WITH t AS (
+  SELECT doc_id, size(split(text, ' ')) AS n_tok,
+         transform(sequence(1, size(split(text, ' '))),
+           i -> CASE WHEN ((doc_id * 1000003 + i) % 2147483647) % 100 < 15
+                     THEN 1 ELSE 0 END) AS m
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(aggregate(m, CAST(0 AS BIGINT), (s, x) -> s + x) AS BIGINT)
+           AS n_masked,
+       CAST(aggregate(transform(sequence(1, size(m)),
+              i -> CASE WHEN element_at(m, CAST(i AS INT)) = 1
+                         AND (i = 1 OR element_at(m, CAST(i - 1 AS INT)) = 0)
+                    THEN 1 ELSE 0 END),
+            CAST(0 AS BIGINT), (s, x) -> s + x) AS BIGINT) AS n_spans,
+       CAST(aggregate(m, CAST(0 AS BIGINT), (s, x) -> s + x) * 10000
+            DIV n_tok AS BIGINT) AS mask_share_1e4
+FROM t
+""",
+    # DuckDB's timestamp generate_series + epoch_ms; Spark spells the
+    # same inclusive series as sequence + unix_millis.
+    "src_interval": """
+SELECT unix_millis(ts) AS tick_ms
+FROM explode(sequence(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                      INTERVAL 1 DAY)) t(ts)
+""",
     "rel_q3_shipping": """
 SELECT l_orderkey,
        CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS BIGINT)
@@ -627,6 +657,23 @@ def _in_from_position(prefix: str) -> bool:
     return last in ("FROM", "JOIN")
 
 
+def _split_args(inner: str) -> list[str]:
+    """Split a call's argument text on top-level commas."""
+    args, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    args.append("".join(cur))
+    return [a.strip() for a in args]
+
+
 def spark_dialect(sql: str) -> str:
     """Mechanical DuckDB→Spark dialect rewrite for EVENT-TIME oracles.
 
@@ -659,24 +706,21 @@ def spark_dialect(sql: str) -> str:
     # DuckDB SELECT-position unnest ≡ Spark explode; DuckDB puts IGNORE
     # NULLS inside the call parens, Spark after them.
     sql = sql.replace("unnest(", "explode(")
+    # generate_subscripts(a, 1) enumerates 1-based positions — as a
+    # generator it zips with sibling unnests (fused below).
+    sql = _rewrite_call(
+        sql,
+        "generate_subscripts",
+        lambda inner: "explode(sequence(1, size({})))".format(
+            _split_args(inner)[0]
+        )
+        if len(_split_args(inner)) == 2 and _split_args(inner)[1] == "1"
+        else None,
+    )
     sql = re.sub(r"\s+IGNORE NULLS\)", ") IGNORE NULLS", sql)
     # List-function family: DuckDB list_* ≡ Spark higher-order builtins.
     # ``list_reduce(list_prepend(Z, L), F)`` is DuckDB's spelling of a
     # seeded fold — Spark's is ``aggregate(L, Z, F)``.
-    def _split_args(inner):
-        args, depth, cur = [], 0, []
-        for ch in inner:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
-                args.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-        args.append("".join(cur))
-        return [a.strip() for a in args]
 
     def _fold(inner):
         args = _split_args(inner)
@@ -736,6 +780,29 @@ def spark_dialect(sql: str) -> str:
         if _in_from_position(sql[:s]):
             kw = "LATERAL " if sql[:s].rstrip().endswith(",") else ""
             sql = sql[:s] + f"{kw}explode(sequence({inner}))" + sql[e:]
+    # PARALLEL unnests in one SELECT list zip positionally in DuckDB;
+    # Spark allows one generator per SELECT.  Fuse adjacent
+    # ``explode(A) AS x, explode(B) AS y`` pairs into a single
+    # ``inline(zip_with(A, B, -> struct))`` generator (same zip
+    # semantics for equal-length arrays, which is what DuckDB's
+    # positional unnest gives).
+    while True:
+        spans = _strip_call(sql, "explode")
+        fused = False
+        for (s1, e1, in1), (s2, e2, in2) in zip(spans, spans[1:]):
+            glue = re.fullmatch(r"\s+AS\s+(\w+)\s*,\s*", sql[e1:s2])
+            tail = re.match(r"\s+AS\s+(\w+)", sql[e2:])
+            if glue and tail:
+                n1, n2 = glue.group(1), tail.group(1)
+                repl = (
+                    f"inline(zip_with(({in1}), ({in2}), "
+                    f"(x_, y_) -> struct(x_ AS {n1}, y_ AS {n2})))"
+                )
+                sql = sql[:s1] + repl + sql[e2 + tail.end() :]
+                fused = True
+                break
+        if not fused:
+            break
     # A comma-joined explode(...) FROM item (DuckDB's lateral unnest)
     # must be an explicit LATERAL join in Spark.
     for s, e, inner in reversed(_strip_call(sql, "explode")):
@@ -952,6 +1019,26 @@ def spark_dialect(sql: str) -> str:
         return None
 
     sql = _rewrite_call(sql, "len", _len)
+    # DuckDB string literals are standard-SQL (backslash is literal);
+    # Spark interprets backslash escapes — double them so regex
+    # patterns like '\\b(...)' survive the trip.
+    out = []
+    i, in_str = 0, False
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            if in_str and sql[i + 1 : i + 2] == "'":
+                out.append("''")
+                i += 2
+                continue
+            in_str = not in_str
+            out.append(ch)
+        elif in_str and ch == "\\":
+            out.append("\\\\")
+        else:
+            out.append(ch)
+        i += 1
+    sql = "".join(out)
     return sql.replace("//", " DIV ")
 
 
@@ -961,7 +1048,12 @@ def spark_dialect(sql: str) -> str:
 #: equality) and pinned here; the corpus test re-verifies each entry on
 #: every run.
 DIALECT_REWRITE_KEYS: tuple[str, ...] = (
+    "llm_ann_ivf",
+    "llm_ann_ivf_mp",
     "llm_ann_pq",
+    "llm_ann_recall",
+    "llm_backoff_lm",
+    "llm_bigram_lm",
     "llm_bm25",
     "llm_boilerplate",
     "llm_bpb",
@@ -983,7 +1075,10 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_crossdup_sources",
     "llm_curriculum",
     "llm_decontaminate",
+    "llm_decontaminate_bloom",
     "llm_dedup_containment",
+    "llm_dedup_embed",
+    "llm_dedup_embed_lsh",
     "llm_dedup_incremental",
     "llm_dedup_minhash",
     "llm_dedup_minhash_stats",
@@ -1000,9 +1095,12 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_embed_norm_stats",
     "llm_embed_pca",
     "llm_embed_quantize",
+    "llm_hard_negatives",
     "llm_hll_portable",
+    "llm_hybrid_rrf",
     "llm_index_gaps",
     "llm_index_stats",
+    "llm_ivf_stats",
     "llm_kanon_audit",
     "llm_kmeans",
     "llm_lang_confusion",
@@ -1019,7 +1117,9 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_neg_sampling",
     "llm_oov_rate",
     "llm_pack_sequences",
+    "llm_pii_scrub",
     "llm_pipeline_e2e",
+    "llm_pmi",
     "llm_ppl_filter",
     "llm_pq_recall",
     "llm_quality_length_corr",
@@ -1029,6 +1129,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_semdedup",
     "llm_seq_len_hist",
     "llm_shard_assign",
+    "llm_similarity_topk",
     "llm_soft_sample",
     "llm_source_scorecard",
     "llm_stratified_sample",
@@ -1036,6 +1137,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_text_clean",
     "llm_text_stats",
     "llm_text_tokens",
+    "llm_textrank",
     "llm_tfidf",
     "llm_token_entropy",
     "llm_unigram_lm",
