@@ -118,6 +118,27 @@ def kr31_pandas_udf():
     # pd.Series hints into strings that pandas_udf's eval-type inference
     # cannot resolve from this closure, so the eval type is passed
     # explicitly instead.
+    # Dense-padding budget: the masked fold pads a chunk to
+    # (rows × max_len) int64 cells.  2^24 cells = 128 MB — one very long
+    # document in a 10k-row Arrow batch can no longer balloon the matrix
+    # to gigabytes (round-8 ADVICE): rows are length-sorted and folded in
+    # chunks that each respect the budget, so a skewed batch degrades to
+    # more (small) chunks instead of one huge allocation.
+    cell_budget = 1 << 24
+
+    def _fold_chunk(arrs, lens, idx, np):
+        ml = max(int(lens[idx].max()), 1)
+        mat = np.zeros((len(idx), ml), dtype=np.int64)
+        for r, i0 in enumerate(idx):
+            a = arrs.iloc[int(i0)]
+            mat[r, : len(a)] = a
+        sub = np.zeros(len(idx), dtype=np.int64)
+        sublens = lens[idx]
+        for j in range(ml):
+            m = sublens > j
+            sub[m] = (sub[m] * KR_BASE + mat[m, j]) % P31
+        return sub
+
     def kr31(s):
         nulls = s.isna()
         arrs = s.fillna("").apply(
@@ -127,14 +148,31 @@ def kr31_pandas_udf():
         )
         lens = arrs.apply(len).to_numpy()
         n = len(s)
-        ml = int(lens.max()) if n else 0
-        mat = np.zeros((n, ml), dtype=np.int64)
-        for i, a in enumerate(arrs):
-            mat[i, : len(a)] = a
         acc = np.zeros(n, dtype=np.int64)
-        for j in range(ml):
-            m = lens > j
-            acc[m] = (acc[m] * KR_BASE + mat[m, j]) % P31
+        if n:
+            ml_all = int(lens.max())
+            if n * max(ml_all, 1) <= cell_budget:
+                # Common case: whole batch fits the budget — one matrix.
+                acc = _fold_chunk(arrs, lens, np.arange(n), np)
+            else:
+                order = np.argsort(lens, kind="stable")
+                start = 0
+                while start < n:
+                    end = start + 1
+                    ml = int(lens[order[start]])
+                    # Ascending lengths: the candidate's length IS the
+                    # chunk max, so the budget check is exact.
+                    while (
+                        end < n
+                        and max(ml, int(lens[order[end]]))
+                        * (end - start + 1)
+                        <= cell_budget
+                    ):
+                        ml = max(ml, int(lens[order[end]]))
+                        end += 1
+                    idx = order[start:end]
+                    acc[idx] = _fold_chunk(arrs, lens, idx, np)
+                    start = end
         out = pd.Series(acc, index=s.index, dtype="Int64")
         out[nulls] = pd.NA
         return out

@@ -162,7 +162,7 @@ def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     "pytest asserts the pruned InputFiles count). Aggregates the kept "
     "week per (day, event_type) with the decimal-exact sum.",
     oracle="""
-SELECT day(ts) AS dom, event_type,
+SELECT CAST(day(ts) AS BIGINT) AS dom, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
            AS total_value

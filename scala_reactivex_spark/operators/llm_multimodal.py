@@ -112,7 +112,7 @@ def llm_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(octet_length / unicode are the ground truth for the fake).",
     oracle="""
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        unicode(text) AS first_cp,
        'stub' AS decode_status
 FROM documents
@@ -160,8 +160,8 @@ WITH r AS (
   FROM documents
 )
 SELECT doc_id,
-       length(text) AS orig_bytes,
-       length(resized) AS resized_bytes,
+       CAST(length(text) AS BIGINT) AS orig_bytes,
+       CAST(length(resized) AS BIGINT) AS resized_bytes,
        md5(resized) AS resized_md5
 FROM r
 """,

@@ -74,9 +74,11 @@ def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training corpus.",
     oracle="""
 SELECT doc_id,
-       len(string_split(text, ' ')) AS n_tokens_ws,
-       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens_re,
-       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+         AS n_tokens_re,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         AS n_uniq,
        n_chars
 FROM documents
 """,
@@ -408,9 +410,9 @@ def llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        array_to_string(list_filter(string_split(lower(text), ' '),
            t -> t NOT IN ('the', 'a')), ' ') AS clean_text,
-       len(string_split(text, ' '))
+       CAST(len(string_split(text, ' '))
          - len(list_filter(string_split(lower(text), ' '),
-               t -> t NOT IN ('the', 'a'))) AS n_removed
+               t -> t NOT IN ('the', 'a'))) AS BIGINT) AS n_removed
 FROM documents
 """,
 )

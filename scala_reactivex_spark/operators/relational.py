@@ -486,8 +486,8 @@ def rel_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the fixture's stored n_chars ground truth.",
     oracle="""
 SELECT doc_id,
-       length(text) AS n_chars_udf,
-       len(string_split(text, ' ')) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_udf,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        length(text) = n_chars AS matches_meta
 FROM documents
 """,

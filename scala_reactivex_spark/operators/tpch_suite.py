@@ -140,7 +140,7 @@ def rel_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Scale: the only big-table shuffle is lineitem⋈orders on the order "
     "key; every dim is broadcast; the final aggregate is 2 rows.",
     oracle="""
-SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
        CAST(floor(
          CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
@@ -229,7 +229,8 @@ def rel_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Scale: lineitem⋈orders is the one fact-fact shuffle; part/supplier/"
     "nation broadcast; ~25 nations × 7 years output.",
     oracle="""
-SELECT sn.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+SELECT sn.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
        ROUND(CAST(SUM(CAST(
            l.l_extendedprice * (1 - l.l_discount)
            - 0.6 * p.p_retailprice * l.l_quantity

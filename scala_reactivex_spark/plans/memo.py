@@ -16,28 +16,46 @@ the in-memory twin of the on-disk bucketed-table cache
 index as a table; within one session the persisted lineage IS that
 table.
 
-Correctness note: memoization cannot change results — the builders are
-deterministic functions of the fixture parquet, which is immutable
-within a session (the same assumption ``persist()`` already makes).
+Correctness note: memoization keys on a CONTENT FINGERPRINT of the
+fixture directory (size + mtime of every parquet file, the same
+``_fixture_tag`` scheme the on-disk caches use) — so a fixture
+regenerated mid-session misses the cache and rebuilds instead of
+serving stale persisted frames (round-8 ADVICE).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 from collections.abc import Callable
 from typing import TypeVar
 
 T = TypeVar("T")
 
-_CACHE: dict[tuple[str, str, str], object] = {}
+_CACHE: dict[tuple[str, str, str, str], object] = {}
+
+
+def _dir_fingerprint(sf_dir: str) -> str:
+    """8-hex content fingerprint of a fixture dir: name, size, and mtime
+    of every file under it (recursive, order-stable)."""
+    parts: list[str] = []
+    for root_, _dirs, files in sorted(os.walk(sf_dir)):
+        for fn in sorted(files):
+            try:
+                st = os.stat(os.path.join(root_, fn))
+            except OSError:
+                continue
+            parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
 
 
 def session_memo(spark, sf_dir: str, name: str, builder: Callable[[], T]) -> T:
     """Return the memoized ``builder()`` result for this (session,
-    fixture dir, name), building it on first use."""
+    fixture dir content, name), building it on first use."""
     key = (
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
+        _dir_fingerprint(sf_dir),
         name,
     )
     if key not in _CACHE:
@@ -45,6 +63,23 @@ def session_memo(spark, sf_dir: str, name: str, builder: Callable[[], T]) -> T:
     return _CACHE[key]  # type: ignore[return-value]
 
 
+def _unpersist_quietly(obj) -> None:
+    """Unpersist any DataFrame(s) inside a memoized value (best-effort —
+    entries may be tuples of frames, scalars, or plain objects)."""
+    items = obj if isinstance(obj, (tuple, list)) else (obj,)
+    for it in items:
+        unp = getattr(it, "unpersist", None)
+        if callable(unp):
+            try:
+                unp()
+            except Exception:
+                pass  # session already stopped — storage is gone anyway
+
+
 def clear_session_memo() -> None:
-    """Drop all memoized entries (tests that restart sessions)."""
+    """Drop all memoized entries, unpersisting any cached DataFrames so
+    executor storage is released (tests that restart sessions; long
+    sessions that want the memory back)."""
+    for v in _CACHE.values():
+        _unpersist_quietly(v)
     _CACHE.clear()

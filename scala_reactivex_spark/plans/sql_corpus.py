@@ -21,9 +21,15 @@ a corpus a SQL-only user can run end-to-end:
      Spark SQL for high-value keys whose oracle needs DuckDB-isms
      (``epoch_ms``, ``//``); currently the two remaining TPC-H queries,
      completing 22/22 TPC-H runnable as raw SQL.
+   - **Connected-components forms** (``_cc_spark_overrides``): the four
+     cluster-family keys whose DuckDB oracle needs UNION-DISTINCT
+     recursion (unsupported in Spark 4.x) run via a terminating
+     UNION ALL form — per-hop SELECT DISTINCT + strictly-shrinking
+     label guard + a ``CC_HOP_BOUND`` diameter bound — closing the
+     corpus at 218/218 registry keys.
 
 ``tests/test_sql_corpus.py`` asserts every corpus entry equals its
-DataFrame implementation (order-insensitive, null-safe).
+DataFrame implementation (order-insensitive, null-safe, dtype-equal).
 """
 
 from __future__ import annotations
@@ -1022,6 +1028,10 @@ def spark_dialect(sql: str) -> str:
     # DuckDB string literals are standard-SQL (backslash is literal);
     # Spark interprets backslash escapes — double them so regex
     # patterns like '\\b(...)' survive the trip.
+    # The same quote-aware scan applies the `//` → ` DIV ` integer-
+    # division rewrite OUTSIDE string literals only, so a future oracle
+    # with '//' inside a literal (a URL, a regex) survives untouched
+    # (round-8 ADVICE).
     out = []
     i, in_str = 0, False
     while i < len(sql):
@@ -1035,11 +1045,14 @@ def spark_dialect(sql: str) -> str:
             out.append(ch)
         elif in_str and ch == "\\":
             out.append("\\\\")
+        elif not in_str and ch == "/" and sql[i + 1 : i + 2] == "/":
+            out.append(" DIV ")
+            i += 2
+            continue
         else:
             out.append(ch)
         i += 1
-    sql = "".join(out)
-    return sql.replace("//", " DIV ")
+    return "".join(out)
 
 
 #: Keys whose oracle becomes a correct Spark query under
@@ -1188,6 +1201,79 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
 )
 
 
+#: Connected-components CTE chain for the four cluster-family corpus
+#: entries.  DuckDB's oracles use UNION-DISTINCT recursion, which Spark
+#: 4.x rejects (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE); plain UNION ALL
+#: diverges on the cyclic near-dup graph.  This form terminates under
+#: UNION ALL: each step propagates labels one hop with SELECT DISTINCT
+#: (legal in Spark's recursive term, unlike aggregation), keeps only
+#: strictly label-shrinking rows (``r.lbl < e.dst`` is sound because the
+#: cluster minimum is smaller than every other member id it must reach),
+#: and stops after ``iter`` hops.  CC_HOP_BOUND therefore bounds the
+#: component DIAMETER the SQL form resolves exactly — generous for
+#: near-dup clusters (near-cliques, diameter 1–3; equality with the
+#: driver-loop DataFrame fixpoint is pytest-asserted per entry).  A
+#: >12-diameter component would need the DataFrame implementation
+#: (operators/llm_dedup.connected_components), whose driver loop runs to
+#: convergence — that is the unbounded 100 TB path; this is the SQL-only
+#: user's surface.
+CC_HOP_BOUND = 12
+
+_CC_SPARK_CORE = """
+WITH RECURSIVE pairs AS (
+{pairs}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach(iter, node, lbl) AS (
+  SELECT 0, node, node FROM nodes
+  UNION ALL
+  SELECT DISTINCT r.iter + 1, e.dst, r.lbl
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.lbl < e.dst AND r.iter < {bound}
+), {member} AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id,
+         (node = min(lbl)) AS is_canonical
+  FROM reach GROUP BY node
+)"""
+
+
+def _cc_spark_overrides() -> dict[str, str]:
+    """Spark-runnable forms of the four connected-components corpus
+    entries, composed from the SAME named oracle constants the DuckDB
+    side registers (llm_dedup._NEAR_PAIRS_ORACLE / _MINHASH_ORACLE /
+    _STATS_TAIL_TEMPLATE / _IMPACT_TAIL_TEMPLATE — no string-splitting
+    of oracle text)."""
+    from scala_reactivex_spark.operators import llm_dedup as ld
+
+    def core(pairs: str, member: str) -> str:
+        return _CC_SPARK_CORE.format(
+            pairs=spark_dialect(pairs), member=member, bound=CC_HOP_BOUND
+        )
+
+    members_sql = "\nSELECT doc_id, cluster_id, is_canonical FROM members"
+    return {
+        "llm_dedup_cluster": (
+            core(ld._NEAR_PAIRS_ORACLE, "members") + members_sql
+        ),
+        "llm_dedup_minhash_cluster": (
+            core(ld._MINHASH_ORACLE, "members") + members_sql
+        ),
+        "llm_cluster_stats": ld._STATS_TAIL_TEMPLATE.format(
+            members=core(ld._MINHASH_ORACLE, "members")
+        ),
+        # The report tail itself carries DuckDB-isms (len/string_split,
+        # `//`) — dialect-rewrite the TAIL alone, then splice the
+        # already-rewritten cluster chain into its {clusters} slot so
+        # nothing is rewritten twice.
+        "llm_dedup_impact": spark_dialect(
+            ld._IMPACT_TAIL_TEMPLATE
+        ).format(clusters=core(ld._MINHASH_ORACLE, "clusters")),
+    }
+
+
 def sql_corpus() -> dict[str, str]:
     """{query name: Spark-runnable SQL} — portable oracles, mechanical
     dialect rewrites, then hand overrides (highest precedence)."""
@@ -1203,6 +1289,7 @@ def sql_corpus() -> dict[str, str]:
         }
     )
     out.update(SPARK_SQL_OVERRIDES)
+    out.update(_cc_spark_overrides())
     return out
 
 

@@ -40,3 +40,49 @@ def test_shared_index_builders_are_memoized(spark, sf_dir):
     assert _ivf_index(spark, sf_dir)[2] is _ivf_index(spark, sf_dir)[2]
     assert _pq_index(spark, sf_dir)[0] is _pq_index(spark, sf_dir)[0]
     assert _kmeans_loop(spark, sf_dir)[0] is _kmeans_loop(spark, sf_dir)[0]
+
+
+def test_memo_misses_when_fixture_regenerated(spark, tmp_path):
+    """The memo key carries a content fingerprint of the fixture dir —
+    a regenerated fixture (same path, new mtime) must rebuild instead
+    of serving the stale object (round-8 ADVICE)."""
+    import os
+    import time
+
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    fix = tmp_path / "memofix"
+    fix.mkdir()
+    f = fix / "embeddings.parquet"
+    f.write_bytes(b"x" * 16)
+
+    a = session_memo(spark, str(fix), "t_memo_fp", object)
+    b = session_memo(spark, str(fix), "t_memo_fp", object)
+    assert a is b
+
+    t = time.time() + 10
+    os.utime(f, (t, t))
+    c = session_memo(spark, str(fix), "t_memo_fp", object)
+    assert c is not a
+
+
+def test_clear_session_memo_unpersists_cached_frames(spark, sf_dir):
+    """clear_session_memo releases executor storage: any persisted
+    DataFrame inside a memoized value is unpersisted on clear."""
+    from pyspark import StorageLevel
+
+    from scala_reactivex_spark.plans.memo import (
+        clear_session_memo,
+        session_memo,
+    )
+
+    df = session_memo(
+        spark,
+        sf_dir,
+        "t_memo_unpersist",
+        lambda: spark.range(10).persist(StorageLevel.MEMORY_ONLY),
+    )
+    df.count()
+    assert df.storageLevel.useMemory
+    clear_session_memo()
+    assert not df.storageLevel.useMemory

@@ -30,6 +30,10 @@ def test_sql_corpus_entry_equals_dataframe_impl(spark, sf_dir, name):
     got = run_sql(spark, sf_dir, name)
     want = registry()[name].fn(spark, sf_dir)
     assert sorted(got.columns) == sorted(want.columns)
+    # Column TYPES must agree too (order-insensitive): the value digest
+    # compares str(cell) per cell, which would let BIGINT 1 vs STRING '1'
+    # drift pass undetected (round-8 ADVICE).
+    assert sorted(got.dtypes) == sorted(want.dtypes)
     assert _digest(got) == _digest(want)
 
 
@@ -39,6 +43,15 @@ def test_overrides_do_not_shadow_portable_oracles():
     from scala_reactivex_spark.plans.sql_corpus import PORTABLE_ORACLE_KEYS
 
     assert not set(SPARK_SQL_OVERRIDES) & set(PORTABLE_ORACLE_KEYS)
+
+
+def test_corpus_covers_every_registry_key():
+    """The raw-SQL surface is CLOSED: every registry key has a
+    Spark-runnable corpus entry (round-8 verdict gap — the last four
+    connected-components keys now run via the cycle-guarded bounded
+    recursive form in sql_corpus._cc_spark_overrides)."""
+    missing = set(registry()) - set(sql_corpus())
+    assert not missing, f"registry keys missing from SQL corpus: {missing}"
 
 
 def test_corpus_covers_full_relational_substrate():
