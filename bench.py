@@ -253,6 +253,25 @@ def main() -> None:
                 reps.append(time.perf_counter() - t0)
             warm[name] = round(sorted(reps)[len(reps) // 2], 3)
 
+    # Serving-twin latency (r8 verdict #8): the five serving twins get a
+    # measured trigger→commit number per micro-batch plus drain wall
+    # times (streaming/latency.py).  ~2 min at sf0.1 with 2 reps; set
+    # SPARK_GRAFT_TWIN_LAT=0 to skip (e.g. quick local iterations).
+    twin_latency: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_TWIN_LAT", "1") != "0":
+        import tempfile
+
+        from scala_reactivex_spark.streaming.latency import (
+            measure_serving_latency,
+        )
+
+        twin_latency = measure_serving_latency(
+            spark,
+            sf_dir,
+            tempfile.mkdtemp(prefix="twin_latency_"),
+            reps=int(os.environ.get("SPARK_GRAFT_TWIN_REPS", "2")),
+        )
+
     # Every extras name must still exist in the registry — a rename or
     # typo would silently fold that query into the frozen headline total
     # and break comparability with the BASELINE.md pin.
@@ -304,6 +323,9 @@ def main() -> None:
         # to the cold map above; see BASELINE.md "Variance protocol".
         "warm_medians": warm,
         "warm_reps": warm_reps,
+        # Serving-twin latency: per-micro-batch trigger→commit medians
+        # and drain wall times for the five streaming serving paths.
+        "twin_latency": twin_latency,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -331,6 +353,17 @@ def main() -> None:
             # One-number warm aggregate (sum of the slowest-20 warm
             # medians); the per-query warm map is in BENCH_DETAIL.json.
             "warm20_sec": round(sum(warm.values()), 2),
+            # One-number serving aggregate: worst per-micro-batch
+            # trigger→commit median across the five serving twins; the
+            # full latency map is in BENCH_DETAIL.json.
+            "twin_worst_p50_ms": max(
+                (
+                    v["p50_trigger_ms"]
+                    for v in twin_latency.values()
+                    if v.get("p50_trigger_ms") is not None
+                ),
+                default=None,
+            ),
             "sf": sf_val,
         },
         separators=(",", ":"),

@@ -1,0 +1,231 @@
+"""Serving-twin latency measurement (r8 verdict "Next round" #8).
+
+The five serving twins (IVF ANN, PQ ANN, BM25, hybrid-RRF, the
+incremental dedup ingest gate) are correctness-tested but were never
+TIMED; this module measures them so the serving story carries a number:
+
+- ``trigger_ms``: true trigger→commit duration of each micro-batch,
+  captured by a ``StreamingQueryListener`` from Spark's own progress
+  events (``durationMs.triggerExecution``) — the per-batch serving
+  latency a production job would report.
+- ``drain_sec``: wall-clock of the whole availableNow drain (stream
+  startup + all batches + sink commit) — the end-to-end cost of one
+  serving pass.
+
+Each twin runs ``reps`` times against FRESH checkpoints/sinks (a replay
+on the same checkpoint would no-op on the committed markers and measure
+nothing); the shared static index builds are session-memoized, so rep 1
+pays the index build and the warm median reflects pure serving.
+``bench.py`` embeds the result map in BENCH_DETAIL.json.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class _ProgressTap(StreamingQueryListener):
+    """Collects triggerExecution ms for every progress event with input
+    rows — attached around each twin run, detached after."""
+
+    def __init__(self) -> None:
+        self.trigger_ms: list[int] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        if p.numInputRows > 0:
+            self.trigger_ms.append(int(p.durationMs["triggerExecution"]))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
+def _probe_sources(spark: SparkSession, sf_dir: str, work: str) -> dict:
+    """Materialize the arrival-side parquet sources once: a small probe
+    tranche per twin (multiple files → multiple micro-batches)."""
+    from scala_reactivex_spark.operators.llm_retrieval import RRF_PROBES
+    from scala_reactivex_spark.operators.llm_similarity import N_PROBES
+    from scala_reactivex_spark.sources.catalog import table
+
+    emb_src = os.path.join(work, "emb_src")
+    (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_PROBES)
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(emb_src)
+    )
+    doc_probe_src = os.path.join(work, "doc_probe_src")
+    (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < RRF_PROBES)
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(doc_probe_src)
+    )
+    return {"emb": emb_src, "docs": doc_probe_src}
+
+
+def _incremental_setup(spark: SparkSession, sf_dir: str, work: str):
+    """The ingest-gate static side: existing-corpus hash set + capped
+    LSH band index, plus the incoming-tranche stream source (the same
+    content-hash split llm_dedup_incremental grades)."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        INCR_MOD,
+        _capped_bands,
+        _doc_tokens,
+        _minhash_bands,
+    )
+
+    hexpos = (
+        "instr('0123456789abcdef', "
+        "substr(md5(cast(text as binary)), {}, 1))"
+    )
+    is_in = F.expr(
+        f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
+        f" % {INCR_MOD} = 0"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    existing = docs.where(~is_in)
+    existing_hashes = existing.select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        F.col("doc_id").alias("doc_ex"),
+    )
+    tok = _doc_tokens(spark, sf_dir)
+    in_ids = docs.where(is_in).select("doc_id")
+    ex_toks = existing.select(
+        F.col("doc_id").alias("doc_ex"),
+        F.array_distinct(F.split("text", " ")).alias("toks_ex"),
+    ).withColumn("n_ex", F.size("toks_ex"))
+    existing_index = (
+        _capped_bands(_minhash_bands(tok))
+        .join(in_ids, "doc_id", "left_anti")
+        .withColumnRenamed("doc_id", "doc_ex")
+        .join(ex_toks, "doc_ex")
+    )
+    incoming_src = os.path.join(work, "incoming_src")
+    docs.where(is_in).repartition(2).write.mode("overwrite").parquet(
+        incoming_src
+    )
+    return incoming_src, existing_hashes, existing_index
+
+
+def measure_serving_latency(
+    spark: SparkSession, sf_dir: str, work: str, reps: int = 3
+) -> dict[str, dict]:
+    """{twin name: {batches, p50_trigger_ms, max_trigger_ms, cold_sec,
+    warm_drain_sec}} for the five serving twins at ``sf_dir``."""
+    from scala_reactivex_spark.operators.llm_retrieval import (
+        bm25_contrib,
+        hybrid_corpus,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    os.makedirs(work, exist_ok=True)
+    src = _probe_sources(spark, sf_dir, work)
+    contrib = bm25_contrib(spark, sf_dir)
+    corpus = hybrid_corpus(spark, sf_dir)
+    incoming_src, ex_hashes, ex_index = _incremental_setup(
+        spark, sf_dir, work
+    )
+
+    def run_ivf(rep: int) -> None:
+        twins.twin_ann_ivf(
+            twins.embeddings_stream(spark, src["emb"]),
+            spark,
+            sf_dir,
+            os.path.join(work, f"ivf_out_{rep}"),
+            os.path.join(work, f"ivf_ckpt_{rep}"),
+        )
+
+    def run_pq(rep: int) -> None:
+        twins.twin_ann_pq(
+            twins.embeddings_stream(spark, src["emb"]),
+            spark,
+            sf_dir,
+            os.path.join(work, f"pq_out_{rep}"),
+            os.path.join(work, f"pq_ckpt_{rep}"),
+        )
+
+    def run_bm25(rep: int) -> None:
+        twins.run_stream_to_table(
+            twins.twin_bm25(
+                twins.docs_stream(spark, src["docs"]), contrib
+            ),
+            f"lat_bm25_{rep}",
+            os.path.join(work, f"bm25_ckpt_{rep}"),
+            output_mode="complete",
+        )
+
+    def run_hybrid(rep: int) -> None:
+        twins.twin_hybrid_rrf(
+            twins.docs_stream(spark, src["docs"]),
+            corpus,
+            os.path.join(work, f"rrf_out_{rep}"),
+            os.path.join(work, f"rrf_ckpt_{rep}"),
+        )
+
+    def run_gate(rep: int) -> None:
+        twins.run_stream_to_table(
+            twins.twin_dedup_incremental(
+                twins.docs_stream(spark, incoming_src),
+                ex_hashes,
+                ex_index,
+            ),
+            f"lat_gate_{rep}",
+            os.path.join(work, f"gate_ckpt_{rep}"),
+        )
+
+    out: dict[str, dict] = {}
+    for name, fn in (
+        ("twin_ann_ivf", run_ivf),
+        ("twin_ann_pq", run_pq),
+        ("twin_bm25", run_bm25),
+        ("twin_hybrid_rrf", run_hybrid),
+        ("twin_dedup_gate", run_gate),
+    ):
+        drains: list[float] = []
+        warm_trigger: list[int] = []
+        n_batches = 0
+        for rep in range(reps):
+            tap = _ProgressTap()
+            spark.streams.addListener(tap)
+            t0 = time.perf_counter()
+            fn(rep)
+            drains.append(round(time.perf_counter() - t0, 3))
+            # The listener thread delivers events asynchronously — give
+            # the final progress event a moment to land before detaching.
+            deadline = time.time() + 5
+            while not tap.trigger_ms and time.time() < deadline:
+                time.sleep(0.2)
+            spark.streams.removeListener(tap)
+            if rep > 0:
+                warm_trigger.extend(tap.trigger_ms)
+            n_batches = max(n_batches, len(tap.trigger_ms))
+        out[name] = {
+            "batches": n_batches,
+            "p50_trigger_ms": (
+                int(statistics.median(warm_trigger))
+                if warm_trigger
+                else None
+            ),
+            "max_trigger_ms": max(warm_trigger, default=None),
+            "cold_sec": drains[0],
+            "warm_drain_sec": round(
+                statistics.median(drains[1:]) if len(drains) > 1 else 0.0,
+                3,
+            ),
+        }
+    return out

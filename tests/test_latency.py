@@ -1,0 +1,28 @@
+"""Serving-latency measurement smoke: the bench's twin-latency map has
+an entry per serving twin with a real trigger→commit number."""
+
+from __future__ import annotations
+
+EXPECTED = {
+    "twin_ann_ivf",
+    "twin_ann_pq",
+    "twin_bm25",
+    "twin_hybrid_rrf",
+    "twin_dedup_gate",
+}
+
+
+def test_measure_serving_latency_covers_all_five(spark, sf_dir, tmp_path):
+    from scala_reactivex_spark.streaming.latency import (
+        measure_serving_latency,
+    )
+
+    res = measure_serving_latency(
+        spark, sf_dir, str(tmp_path / "lat"), reps=1
+    )
+    assert set(res) == EXPECTED
+    for name, row in res.items():
+        assert row["cold_sec"] > 0, name
+        assert row["batches"] >= 1, name
+        # reps=1 records no warm stats by design — drain time is the
+        # measured number; the listener still proves ≥1 batch ran.
