@@ -204,6 +204,8 @@ BEYOND_EXTRAS: set[str] = {
     "llm_kanon_audit",
     "llm_cluster_purity",
     "llm_ivf_stats",
+    # round 9
+    "llm_dedup_embed_lsh_stats",
 }
 
 
