@@ -37,6 +37,7 @@ EXCLUDE = {
     "llm_dedup_cluster",  # builds on the all-pairs near-dup baseline
     "llm_dedup_containment",  # same all-pairs inverted-index baseline
     "llm_dedup_recall",  # composes the all-pairs baseline (its numerator)
+    "llm_dedup_embed_recall",  # same: embeds the all-pairs cosine baseline
 }
 
 # Queries registered AFTER the BASELINE.md pin (round 1, 72-query suite).
