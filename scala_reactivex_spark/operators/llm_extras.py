@@ -139,7 +139,7 @@ FROM e
 """,
 )
 def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_overlap_frame(table(spark, sf_dir, "documents"))
+    return _chunk_projection(_chunk_table(spark, sf_dir))
 
 
 def chunk_frame(docs: DataFrame) -> DataFrame:
@@ -171,9 +171,24 @@ def chunk_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def chunk_overlap_frame(docs: DataFrame) -> DataFrame:
-    """The graded chunk projection over any documents frame."""
-    return chunk_frame(docs).select(
+def _chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized persisted chunk table (doc_id, ci, chunk) — the
+    derived table all three graded chunk consumers (overlap, dedup,
+    retrieval recall) re-derive otherwise; one split+explode+slice pass
+    per session (plans/memo.py)."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "chunk_table",
+        lambda: chunk_frame(table(spark, sf_dir, "documents")).persist(),
+    )
+
+
+def _chunk_projection(cf: DataFrame) -> DataFrame:
+    """The graded chunk projection over a (doc_id, ci, chunk) frame."""
+    return cf.select(
         "doc_id",
         F.col("ci").cast("bigint").alias("chunk_idx"),
         (F.col("ci") * CHUNK_S + 1).cast("bigint").alias("start_tok"),
@@ -182,6 +197,13 @@ def chunk_overlap_frame(docs: DataFrame) -> DataFrame:
             "chunk_md5"
         ),
     )
+
+
+def chunk_overlap_frame(docs: DataFrame) -> DataFrame:
+    """The graded chunk projection over any documents frame (streaming
+    twins apply it to the doc stream; batch consumers go through the
+    memoized ``_chunk_table``)."""
+    return _chunk_projection(chunk_frame(docs))
 
 
 def _bucketed_table(
@@ -383,7 +405,7 @@ def llm_chunk_retrieval_recall(
     from scala_reactivex_spark.operators.llm_retrieval import _split_expr
 
     docs = table(spark, sf_dir, "documents")
-    ct = chunk_frame(docs).select(
+    ct = _chunk_table(spark, sf_dir).select(
         "doc_id",
         F.col("ci").alias("chunk_idx"),
         F.explode(F.array_distinct("chunk")).alias("tok"),
@@ -597,7 +619,7 @@ HAVING count(DISTINCT doc_id) >= {CHUNK_DUP_MIN_DOCS}
 """,
 )
 def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ch = chunk_frame(table(spark, sf_dir, "documents")).select(
+    ch = _chunk_table(spark, sf_dir).select(
         "doc_id",
         F.md5(F.concat_ws(" ", "chunk").cast("binary")).alias("chunk_md5"),
     )

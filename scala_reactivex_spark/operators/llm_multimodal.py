@@ -322,10 +322,23 @@ WHERE bit_count(xor(ha.ph, hb.ph)) <= {PHASH_HAM_T}
 """,
 )
 def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = (
-        table(spark, sf_dir, "documents")
-        .where(F.length("text") >= 2)
-        .select("doc_id", F.expr(_PHASH_SPARK).alias("ph"))
+    # The perceptual-hash signature store: referenced by both sides of
+    # the band self-join below, so without caching the per-payload hash
+    # fold executes twice per run — session-memoized + persisted once
+    # (plans/memo.py), the same one-build-per-session shape as the
+    # SimHash and BM25 indexes.
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    h = session_memo(
+        spark,
+        sf_dir,
+        "phash_sig",
+        lambda: (
+            table(spark, sf_dir, "documents")
+            .where(F.length("text") >= 2)
+            .select("doc_id", F.expr(_PHASH_SPARK).alias("ph"))
+            .persist()
+        ),
     )
     bands = h.select(
         "doc_id",

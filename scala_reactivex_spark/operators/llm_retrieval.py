@@ -89,7 +89,18 @@ def bm25_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     score contribution a query term adds when it matches.  The query
     never enters the damping math (query term frequency = 1), so the
     whole index precomputes once — this is the frame the streaming
-    serving twin joins arriving queries against."""
+    serving twin joins arriving queries against.  Session-memoized
+    (plans/memo.py): every consumer — batch scoring, the serving twin,
+    the latency bench — shares ONE build, and the internal tf persist
+    is created once per session instead of leaking one copy per call."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    return session_memo(
+        spark, sf_dir, "bm25_contrib", lambda: _bm25_contrib(spark, sf_dir)
+    )
+
+
+def _bm25_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _split_docs(spark, sf_dir)
     train_tok = w.where(F.col("split") == "train").select(
         "doc_id", F.explode("words").alias("tok")
