@@ -504,6 +504,41 @@ WINNOW_K = 4  # shingle width (tokens)
 WINNOW_W = 5  # winnowing window (shingles)
 
 
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized shingle-fingerprint frame (doc_id, fps) shared by
+    llm_winnowing and llm_winnowing_match.  PERSISTED: a bare column
+    alias is NOT enough — CollapseProject re-inlines the md5 chain into
+    the per-window lambda (O(windows x shingles) md5 evaluations per
+    doc, measured 20x slower), and the frame feeds four consumers (fp
+    counts, both self-join sides, sizes).  One build per session
+    (plans/memo.py) instead of one persisted copy per call."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    def build() -> DataFrame:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("words")
+        )
+        fps = F.transform(
+            F.sequence(F.lit(1), F.size("words") - (WINNOW_K - 1)),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("words"), i, WINNOW_K)
+                    ).cast("binary")
+                ),
+                1,
+                16,
+            ),
+        )
+        return (
+            docs.where(F.size("words") >= WINNOW_K + WINNOW_W - 1)
+            .select("doc_id", fps.alias("fps"))
+            .persist()
+        )
+
+    return session_memo(spark, sf_dir, "winnow_fps", build)
+
+
 @register(
     "llm_winnowing",
     tier="T3",
@@ -538,24 +573,7 @@ FROM s
 """,
 )
 def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("words")
-    )
-    fps = F.transform(
-        F.sequence(F.lit(1), F.size("words") - (WINNOW_K - 1)),
-        lambda i: F.substring(
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("words"), i, WINNOW_K)).cast(
-                    "binary"
-                )
-            ),
-            1,
-            16,
-        ),
-    )
-    d = docs.where(F.size("words") >= WINNOW_K + WINNOW_W - 1).select(
-        "doc_id", fps.alias("fps")
-    )
+    d = _winnow_fps(spark, sf_dir)
     wins = F.transform(
         F.sequence(F.lit(1), F.size("fps") - (WINNOW_W - 1)),
         lambda j: F.array_min(F.slice(F.col("fps"), j, WINNOW_W)),
@@ -713,32 +731,7 @@ WHERE n_shared >= {WINNOW_MATCH_MIN}
 """,
 )
 def llm_winnowing_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("words")
-    )
-    fps = F.transform(
-        F.sequence(F.lit(1), F.size("words") - (WINNOW_K - 1)),
-        lambda i: F.substring(
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("words"), i, WINNOW_K)).cast(
-                    "binary"
-                )
-            ),
-            1,
-            16,
-        ),
-    )
-    # PERSIST the shingle-fingerprint frame: a bare column alias is NOT
-    # enough — CollapseProject re-inlines the md5 chain into the
-    # per-window lambda (O(windows x shingles) md5 evaluations per doc,
-    # measured 20x slower), and the frame feeds four consumers (fp
-    # counts, both self-join sides, sizes).  Same "materialize the index
-    # once" pattern as llm_ann_ivf's vector frame.
-    d = (
-        docs.where(F.size("words") >= WINNOW_K + WINNOW_W - 1)
-        .select("doc_id", fps.alias("fps"))
-        .persist()
-    )
+    d = _winnow_fps(spark, sf_dir)
     sel = d.select(
         "doc_id",
         F.array_distinct(
