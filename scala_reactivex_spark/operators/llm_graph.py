@@ -120,15 +120,25 @@ def llm_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Dedup the directed pair stream BEFORE mirroring it: the distinct
     # runs on the corpus-sized stream once, and the union then doubles
-    # only the vocab-bounded edge set.
-    fwd = adj.distinct()
-    edges = (
-        fwd.union(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # only the vocab-bounded edge set.  The |V|-bounded edge frame is the
+    # graph's index — session-memoized + persisted once (plans/memo.py),
+    # so the corpus-sized extraction pass never repeats and repeat calls
+    # no longer pin a fresh copy each.
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    def _build_edges():
+        fwd = adj.distinct()
+        return (
+            fwd.union(
+                fwd.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .persist()
         )
-        .distinct()
-        .persist()
-    )
+
+    edges = session_memo(spark, sf_dir, "textrank_edges", _build_edges)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     scal = deg.agg(
         F.expr(f"CAST({RANK_UNIT} DIV count(*) AS BIGINT)").alias("r0"),

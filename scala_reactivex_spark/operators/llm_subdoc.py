@@ -187,8 +187,19 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "s")
     )
     gd = g.groupBy("s").agg(F.countDistinct("doc_id").alias("nd"))
-    marked = g.join(gd, "s").select(
-        "doc_id", "pos", (F.col("nd") >= 2).alias("dup")
+    # The dup-marked gram table (doc_id, pos, dup — the gram STRINGS are
+    # dropped) feeds both the per-doc rollup and the island runs below;
+    # session-memoized + persisted so the corpus-sized explode + gram
+    # self-join runs once per session (plans/memo.py).
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    marked = session_memo(
+        spark,
+        sf_dir,
+        "substring_marked",
+        lambda: g.join(gd, "s")
+        .select("doc_id", "pos", (F.col("nd") >= 2).alias("dup"))
+        .persist(),
     )
     per_doc = marked.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_grams"),
