@@ -867,10 +867,18 @@ def llm_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("m")
     )
-    c = (
-        v.join(F.broadcast(m), "pos")
+    # The centered component frame feeds every power-iteration round —
+    # session-memoized + persisted once (plans/memo.py) instead of one
+    # pinned copy per call.
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    c = session_memo(
+        spark,
+        sf_dir,
+        "pca_centered",
+        lambda: v.join(F.broadcast(m), "pos")
         .select("vec_id", "pos", (F.col("v") - F.col("m")).alias("cv"))
-        .persist()
+        .persist(),
     )
     w = None  # round 1 uses the implicit all-1e6 seed
     for _ in range(PCA_ROUNDS):
