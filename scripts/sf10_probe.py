@@ -98,6 +98,36 @@ def build_fixture(sf01: str) -> None:
     (out / "_DONE").touch()
 
 
+def build_fixture_rel(sf01: str) -> None:
+    """Relational side of the sf10 fixture (second batch): lineitem and
+    orders ×100 with disjoint orderkey ranges (+i·10⁷ — max key ≈ 10⁹,
+    inside int32), dimension tables copied as-is.  Same growth model as
+    sf1_probe: facts grow, dimensions don't, so per-entity density rises
+    100× — the conservative shape for group-bys keyed on dimensions
+    (e.g. Q13's per-customer counts).  Separate _DONE_REL marker so the
+    document/embedding fixture built by earlier batches is reused."""
+    import duckdb
+
+    out = Path(SF10_DIR)
+    marker = out / "_DONE_REL"
+    if marker.exists():
+        return
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "events"):
+        con.sql(
+            f"COPY (SELECT * FROM '{sf01}/{t}.parquet') TO "
+            f"'{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        union = " UNION ALL ".join(
+            f"""SELECT * REPLACE ({key} + {i * 10_000_000} AS {key})
+                FROM '{sf01}/{t}.parquet'"""
+            for i in range(COPIES_TOTAL)
+        )
+        con.sql(f"COPY ({union}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    marker.touch()
+
+
 def main() -> None:
     sf01 = os.environ.get("SPARK_GRAFT_SF01", "/root/testdata/sf0.1")
     probe = tuple(
@@ -109,6 +139,8 @@ def main() -> None:
 
     sf1_probe.build_fixture(sf01)
     build_fixture(sf01)
+    if any(n.startswith("rel_") for n in probe):
+        build_fixture_rel(sf01)
 
     from scala_reactivex_spark.plans.registry import registry
     from scala_reactivex_spark.session import get_spark
