@@ -700,6 +700,35 @@ WITH w AS (
 )"""
 
 
+def _winnow_inv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized inverted index (doc_id, fp) of each document's
+    DISTINCT selected winnowing fingerprints.  PERSISTED: inside
+    llm_winnowing_match it feeds four consumers (the fp-frequency
+    aggregate, per-doc sizes, and both sides of the pair self-join) —
+    un-memoized, the O(windows x W) array_min selection chain re-runs
+    for every consumer."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    def build() -> DataFrame:
+        d = _winnow_fps(spark, sf_dir)
+        sel = d.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("fps") - (WINNOW_W - 1)),
+                    lambda j: F.array_min(
+                        F.slice(F.col("fps"), j, WINNOW_W)
+                    ),
+                )
+            ).alias("sel"),
+        )
+        return sel.select(
+            "doc_id", F.explode("sel").alias("fp")
+        ).persist()
+
+    return session_memo(spark, sf_dir, "winnow_inv", build)
+
+
 @register(
     "llm_winnowing_match",
     tier="T3",
@@ -731,17 +760,7 @@ WHERE n_shared >= {WINNOW_MATCH_MIN}
 """,
 )
 def llm_winnowing_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _winnow_fps(spark, sf_dir)
-    sel = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("fps") - (WINNOW_W - 1)),
-                lambda j: F.array_min(F.slice(F.col("fps"), j, WINNOW_W)),
-            )
-        ).alias("sel"),
-    )
-    inv = sel.select("doc_id", F.explode("sel").alias("fp"))
+    inv = _winnow_inv(spark, sf_dir)
     fpc = inv.groupBy("fp").agg(F.count("*").alias("nd"))
     kept = inv.join(fpc, "fp").where(
         F.col("nd") <= WINNOW_FP_CAP
