@@ -207,9 +207,18 @@ def measure_serving_latency(
             drains.append(round(time.perf_counter() - t0, 3))
             # The listener thread delivers events asynchronously — give
             # the final progress event a moment to land before detaching.
+            # Settle on "no NEW event for 1 s", not "any event": with
+            # maxFilesPerTrigger=1 a multi-file source drains in several
+            # micro-batches, and detaching after the first progress event
+            # undercounts batches (and drops their trigger samples).
             deadline = time.time() + 5
-            while not tap.trigger_ms and time.time() < deadline:
-                time.sleep(0.2)
+            seen = -1
+            while time.time() < deadline:
+                n = len(tap.trigger_ms)
+                if n > 0 and n == seen:
+                    break
+                seen = n
+                time.sleep(1.0)
             spark.streams.removeListener(tap)
             if rep > 0:
                 warm_trigger.extend(tap.trigger_ms)
