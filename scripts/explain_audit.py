@@ -30,6 +30,9 @@ SF = "/root/testdata/sf0.01"
 # is O(probes)≤8 rows by construction.
 ALLOWED_NESTED_LOOP = {
     "llm_dedup_embed",  # all-pairs baseline (scale path: llm_dedup_minhash)
+    # recall eval composes the all-pairs baseline (its ground truth —
+    # quadratic BY DESIGN, bench-excluded) plus 1-row scalar crossJoins
+    "llm_dedup_embed_recall",
     "llm_similarity_topk",  # 5 broadcast probe rows × corpus stream
     "llm_ann_ivf",  # 8 broadcast centroid rows × corpus stream
     "llm_ann_ivf_mp",  # same centroid cross (5 probes × 8 centroids)
