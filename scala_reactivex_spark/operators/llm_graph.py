@@ -139,32 +139,53 @@ def llm_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     edges = session_memo(spark, sf_dir, "textrank_edges", _build_edges)
-    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    scal = deg.agg(
-        F.expr(f"CAST({RANK_UNIT} DIV count(*) AS BIGINT)").alias("r0"),
-        F.expr(
-            f"CAST((3 * ({RANK_UNIT} DIV count(*))) DIV 20 AS BIGINT)"
-        ).alias("base"),
-    )
-    nodes = deg.select(F.col("src").alias("token"), "d").crossJoin(
-        F.broadcast(scal)
-    )
-    r = nodes.select("token", F.col("r0").alias("r"))
-    for _ in range(TEXTRANK_ITERS):
-        contrib = (
-            edges.join(r.withColumnRenamed("token", "src"), "src")
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r DIV d")).alias("m"))
-        )
-        r = nodes.join(contrib, nodes.token == contrib.dst, "left").select(
-            "token",
+
+    def _build_rank() -> DataFrame:
+        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+        scal = deg.agg(
+            F.expr(f"CAST({RANK_UNIT} DIV count(*) AS BIGINT)").alias("r0"),
             F.expr(
-                "CAST(base + (17 * coalesce(m, 0)) DIV 20 AS BIGINT)"
-            ).alias("r"),
+                f"CAST((3 * ({RANK_UNIT} DIV count(*))) DIV 20 AS BIGINT)"
+            ).alias("base"),
         )
-    return r.join(deg, r.token == deg.src).select(
-        "token",
-        F.col("r").alias("rank_1e12"),
-        F.col("d").cast("bigint").alias("out_deg"),
-    )
+        nodes = deg.select(F.col("src").alias("token"), "d").crossJoin(
+            F.broadcast(scal)
+        )
+        r = nodes.select("token", F.col("r0").alias("r"))
+        for _ in range(TEXTRANK_ITERS):
+            contrib = (
+                edges.join(r.withColumnRenamed("token", "src"), "src")
+                .join(deg, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.expr("r DIV d")).alias("m"))
+            )
+            r = nodes.join(
+                contrib, nodes.token == contrib.dst, "left"
+            ).select(
+                "token",
+                F.expr(
+                    "CAST(base + (17 * coalesce(m, 0)) DIV 20 AS BIGINT)"
+                ).alias("r"),
+            )
+            # Truncate the unrolled lineage between iterations: without
+            # it each round re-analyzes/optimizes every earlier round's
+            # plan nested inside its own (~0.5 s of the one-time build
+            # at sf0.1).  localCheckpoint is the local-mode speed path;
+            # an iterative job on a real cluster swaps in reliable
+            # checkpoint(dir) for the same truncation with executor-loss
+            # recovery (the standard PageRank pattern).
+            r = r.localCheckpoint(eager=False)
+        # The per-token rank table is the graph's serving artifact —
+        # session-memoized + persisted ONCE like the other shared
+        # indexes (plans/memo.py), not re-iterated per consumer call.
+        return (
+            r.join(deg, r.token == deg.src)
+            .select(
+                "token",
+                F.col("r").alias("rank_1e12"),
+                F.col("d").cast("bigint").alias("out_deg"),
+            )
+            .persist()
+        )
+
+    return session_memo(spark, sf_dir, "textrank_rank", _build_rank)
