@@ -113,7 +113,14 @@ def _kmeans_loop_build(
                     .alias("c")
                 )
             )
-    return asg, cent
+    # PERSIST both outputs, not just the exploded input: the final
+    # assignment feeds four graded consumers (llm_kmeans, llm_semdedup,
+    # llm_cluster_purity — whose own plan reads it from two subtrees —
+    # and the serving twin's centroid scorer), and Spark does not share
+    # common subplans across joins, so un-persisted each reference
+    # re-executed the whole Lloyd chain from x.  Both frames are small
+    # (n_vecs rows / K×dim rows) and released by clear_session_memo.
+    return asg.persist(), cent.persist()
 
 
 def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,20 +233,12 @@ JOIN keeper k ON f.cluster_id = k.cluster_id""",
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The assignment frame feeds FOUR subtrees (fin, stats, keeper via fin
-    # + stats, final join) and Spark does not share common subplans across
-    # joins — unpersisted, the whole Lloyd chain executed ~4×.  The
-    # persist itself is session-memoized so repeat invocations (bench
-    # reps, sf1 probes) reuse ONE cached copy instead of leaking one per
-    # call (round-7 ADVICE).
-    from scala_reactivex_spark.plans.memo import session_memo
-
-    fin = session_memo(
-        spark,
-        sf_dir,
-        "semdedup_fin",
-        lambda: _kmeans_assignment(spark, sf_dir)
-        .withColumnRenamed("dist2", "d2")
-        .persist(),
+    # + stats, final join); the Lloyd loop's memoized output is persisted
+    # at the source (_kmeans_loop_build), so each subtree re-executes
+    # only this rename projection over the cached assignment — no extra
+    # per-consumer persisted copy needed (round-7 ADVICE leak class).
+    fin = _kmeans_assignment(spark, sf_dir).withColumnRenamed(
+        "dist2", "d2"
     )
     stats = fin.groupBy(F.col("cluster_id").alias("s_cluster")).agg(
         F.count("*").cast("bigint").alias("n_vecs"),
