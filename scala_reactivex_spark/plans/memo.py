@@ -27,12 +27,21 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from collections.abc import Callable
 from typing import TypeVar
 
 T = TypeVar("T")
 
 _CACHE: dict[tuple[str, str, str, str], object] = {}
+#: Guards _CACHE: builders persist() frames, so a double-build under
+#: concurrent callers (a serving twin and a batch query sharing an
+#: index) would leak one pinned copy per racer.  One lock per process
+#: is enough — builds are lazy DataFrame construction (cheap), the
+#: expensive materialization happens later on the executors.  RLock
+#: because builders NEST (e.g. the winnowing inverted index builds on
+#: the memoized fingerprint frame).
+_LOCK = threading.RLock()
 
 
 def _dir_fingerprint(sf_dir: str) -> str:
@@ -58,9 +67,10 @@ def session_memo(spark, sf_dir: str, name: str, builder: Callable[[], T]) -> T:
         _dir_fingerprint(sf_dir),
         name,
     )
-    if key not in _CACHE:
-        _CACHE[key] = builder()
-    return _CACHE[key]  # type: ignore[return-value]
+    with _LOCK:
+        if key not in _CACHE:
+            _CACHE[key] = builder()
+        return _CACHE[key]  # type: ignore[return-value]
 
 
 def _unpersist_quietly(obj) -> None:
@@ -80,6 +90,7 @@ def clear_session_memo() -> None:
     """Drop all memoized entries, unpersisting any cached DataFrames so
     executor storage is released (tests that restart sessions; long
     sessions that want the memory back)."""
-    for v in _CACHE.values():
-        _unpersist_quietly(v)
-    _CACHE.clear()
+    with _LOCK:
+        for v in _CACHE.values():
+            _unpersist_quietly(v)
+        _CACHE.clear()

@@ -86,3 +86,44 @@ def test_clear_session_memo_unpersists_cached_frames(spark, sf_dir):
     assert df.storageLevel.useMemory
     clear_session_memo()
     assert not df.storageLevel.useMemory
+
+
+def test_memo_single_build_under_concurrency(spark, sf_dir):
+    """Concurrent first-callers must not double-build (each builder
+    persist()s, so a race would leak one pinned copy per racer), and a
+    builder that re-enters session_memo for a nested index must not
+    deadlock on the guard lock."""
+    import threading
+
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    calls = []
+    gate = threading.Barrier(4)
+
+    def nested_build():
+        calls.append("inner")
+        return object()
+
+    def build():
+        calls.append("outer")
+        # nested memo access from inside a builder (the winnowing
+        # inverted index builds on the memoized fingerprint frame)
+        session_memo(spark, sf_dir, "t_memo_conc_inner", nested_build)
+        return object()
+
+    results = []
+
+    def worker():
+        gate.wait()
+        results.append(
+            session_memo(spark, sf_dir, "t_memo_conc_outer", build)
+        )
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert all(not t.is_alive() for t in threads), "deadlocked"
+    assert len(results) == 4 and all(r is results[0] for r in results)
+    assert calls == ["outer", "inner"]
