@@ -819,9 +819,11 @@ ZIPF_LOG_PIN = 100_000  # micro-log10 pin for the rank/frequency fit
     "contiguous rank range (64Ki-rank chunks, reshuffled across "
     "executors, so even the hapax-legomena group — half the vocabulary "
     "— parallelises), exploiting that within a frequency group the "
-    "RANK SET, not the token order, determines the fit sums.  At a "
-    "1e6+ vocabulary the fit sums should route through DECIMAL(38,0) "
-    "— at the graded vocabulary bound they sit far inside BIGINT.",
+    "RANK SET, not the token order, determines the fit sums.  The fit "
+    "sums route through DECIMAL(38,0) (HUGEINT in the oracle): sx·sy "
+    "clears 2⁶³ at a ~1e6 vocabulary — measured, not hypothetical (the "
+    "round-9 sf10 probe overflowed the earlier BIGINT form at a 3M "
+    "vocabulary; headroom is now ~1e38).",
     oracle=f"""
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -836,10 +838,10 @@ WITH tok AS (
               AS BIGINT) AS y
   FROM rk
 ), s AS (
-  SELECT CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
   FROM pins
 ), m AS (
   SELECT CAST(count(*) AS BIGINT) AS n_terms,
@@ -900,12 +902,19 @@ def llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
+    # DECIMAL(38,0) fit sums (HUGEINT in the oracle): the closed-form
+    # slope multiplies corpus-sized sums (sx·sy ≈ |V|²·pin² clears 2⁶³
+    # at a ~10⁶ vocabulary — the sf10 probe measured the overflow, the
+    # r7 semdedup precedent supplies the fix).  num and den are both
+    # non-negative by construction (slope emitted negated; variance
+    # denominator), so decimal DIV ≡ HUGEINT // exactly.
+    dec = "decimal(38,0)"
     s = pins.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
     )
     m = tf.agg(
         F.count("*").cast("bigint").alias("n_terms"),
