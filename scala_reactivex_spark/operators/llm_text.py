@@ -1067,14 +1067,14 @@ WITH x AS (
            * 10000 + 0.5) AS BIGINT) AS q
   FROM documents
 ), s AS (
-  SELECT CAST(count(*) AS BIGINT) AS c,
-         CAST(sum(n) AS BIGINT) AS sn, CAST(sum(q) AS BIGINT) AS sq,
-         CAST(sum(n * q) AS BIGINT) AS snq,
-         CAST(sum(n * n) AS BIGINT) AS snn,
-         CAST(sum(q * q) AS BIGINT) AS sqq
+  SELECT CAST(count(*) AS HUGEINT) AS c,
+         CAST(sum(n) AS HUGEINT) AS sn, CAST(sum(q) AS HUGEINT) AS sq,
+         CAST(sum(n * q) AS HUGEINT) AS snq,
+         CAST(sum(n * n) AS HUGEINT) AS snn,
+         CAST(sum(q * q) AS HUGEINT) AS sqq
   FROM x
 )
-SELECT c AS n_docs,
+SELECT CAST(c AS BIGINT) AS n_docs,
        CAST(sign(c * snq - sn * sq) AS BIGINT) AS corr_sign,
        CAST(floor(abs(CAST(c * snq - sn * sq AS DOUBLE))
             / sqrt(CAST(c * snn - sn * sn AS DOUBLE))
@@ -1089,16 +1089,22 @@ def llm_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("n"),
         F.floor(quality * 10000 + F.lit(0.5)).cast("bigint").alias("q"),
     )
+    # DECIMAL(38,0) moments (HUGEINT in the oracle), the zipf-fit rule:
+    # sn·sq ≈ (100N)·(5000N) clears 2⁶³ at ~4M documents — fine on the
+    # fixtures, not on a real corpus.  The products stay exact in
+    # decimal and only then round through DOUBLE for the sqrt, so the
+    # emitted value is bit-identical at every scale both engines reach.
+    dec = "decimal(38,0)"
     s = x.agg(
-        F.count("*").cast("bigint").alias("c"),
-        F.sum("n").cast("bigint").alias("sn"),
-        F.sum("q").cast("bigint").alias("sq"),
-        F.sum(F.col("n") * F.col("q")).cast("bigint").alias("snq"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("snn"),
-        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+        F.count("*").cast(dec).alias("c"),
+        F.sum(F.col("n").cast(dec)).alias("sn"),
+        F.sum(F.col("q").cast(dec)).alias("sq"),
+        F.sum((F.col("n") * F.col("q")).cast(dec)).alias("snq"),
+        F.sum((F.col("n") * F.col("n")).cast(dec)).alias("snn"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sqq"),
     )
     return s.select(
-        F.col("c").alias("n_docs"),
+        F.col("c").cast("bigint").alias("n_docs"),
         F.expr("CAST(sign(c * snq - sn * sq) AS BIGINT)").alias(
             "corr_sign"
         ),
