@@ -759,12 +759,20 @@ def rel_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_window_funcs",
     tier="T2",
-    doc="Analytic-function battery over one partitioned sort: lag/lead "
-    "(neighbor access), ntile (equi-depth bucketing), percent_rank and "
-    "cume_dist (pinned to integer 1e6 — the (rank-1)/(n-1) and k/n "
-    "quotients are identical IEEE doubles both engines, half-up floored). "
-    "Scale shape: every function shares the SAME (status)-partitioned "
-    "(date, key) sort — one shuffle, one sort, five analytics.",
+    doc="Analytic-function battery: lag/lead (neighbor access), ntile "
+    "(equi-depth bucketing), percent_rank and cume_dist (pinned to "
+    "integer 1e6 — the (rank-1)/(n-1) and k/n quotients are identical "
+    "IEEE doubles both engines, half-up floored).  Scale shape (two-"
+    "phase, round-9 sf10 rewrite): o_orderstatus has cardinality 3, so "
+    "a status-partitioned window caps parallelism at 3 tasks — the sf10 "
+    "probe measured it as the campaign's worst ratio.  Because the "
+    "(date, key) ordering is UNIQUE per row, every rank-family value "
+    "decomposes into a fine-grained (status, date)-partitioned window "
+    "plus a day-domain offset table (the zipf two-phase-rank pattern): "
+    "rank = per-day offset + in-day row_number, percent_rank/cume_dist/"
+    "ntile are closed forms of (rank, n), and lag/lead stitch at day "
+    "boundaries from the same tiny table.  One fine-grained shuffle + "
+    "two broadcast joins; parallelism scales with days × statuses.",
     oracle="""
 SELECT o_orderkey, o_orderstatus,
        lag(o_totalprice) OVER w AS prev_price,
@@ -778,17 +786,111 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
 """,
 )
 def rel_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
-    pin = lambda c: F.floor(c * 1000000 + 0.5).cast("bigint")  # noqa: E731
-    return o.select(
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    # Phase 1: fine-grained (status, day) window — parallel in
+    # days × statuses, never 3 corpus-wide sort tasks.
+    wd = Window.partitionBy("o_orderstatus", "o_orderdate").orderBy(
+        "o_orderkey"
+    )
+    base = (
+        o.withColumn("r_in", F.row_number().over(wd))
+        .withColumn("prev_in", F.lag("o_totalprice").over(wd))
+        .withColumn("next_in", F.lead("o_orderkey").over(wd))
+    )
+    # Phase 2: day-domain offsets + boundary rows (|days|×|statuses|
+    # rows — the zipf _freq_rank_offsets shape, broadcast-sized).
+    bnd = o.groupBy("o_orderstatus", "o_orderdate").agg(
+        F.count("*").alias("cnt"),
+        F.max(
+            F.struct(F.col("o_orderkey"), F.col("o_totalprice"))
+        ).alias("lastrow"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+    ws = Window.partitionBy("o_orderstatus").orderBy("o_orderdate")
+    bnd2 = (
+        bnd.withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "prev_last_price",
+            F.lag(F.col("lastrow.o_totalprice")).over(ws),
+        )
+        .withColumn("next_first_key", F.lead("first_key").over(ws))
+        .select(
+            "o_orderstatus",
+            "o_orderdate",
+            "cnt",
+            "off",
+            "prev_last_price",
+            "next_first_key",
+        )
+    )
+    ntot = bnd.groupBy("o_orderstatus").agg(
+        F.sum("cnt").alias("n_part")
+    )
+    j = base.join(
+        F.broadcast(bnd2), ["o_orderstatus", "o_orderdate"]
+    ).join(F.broadcast(ntot), "o_orderstatus")
+    rank = (F.col("off") + F.col("r_in")).alias("rank")
+    n = F.col("n_part")
+    # Closed forms of (rank, n); the doubles replicate the native
+    # percent_rank/cume_dist divisions bit-for-bit ((rank-1)/(n-1),
+    # rank/n on a unique ordering), then the same 1e6 half-up pin.
+    pin6 = (
+        lambda c: F.floor(c * 1000000 + F.lit(0.5)).cast(  # noqa: E731
+            "bigint"
+        )
+    )
+    # ntile(4), the standard equi-depth split both engines implement:
+    # qd = n DIV 4 rows per bucket, the first n MOD 4 buckets take one
+    # extra row.  Exact integer DIV throughout; greatest(qd, 1) guards
+    # the (never-taken when n < 4) second branch against ANSI division
+    # by zero.
+    qd = F.expr("n_part DIV 4")
+    rm = n % 4
+    thr = rm * (qd + 1)
+    rank_e = F.col("off") + F.col("r_in")
+    quartile = F.when(
+        rank_e <= thr,
+        F.expr("(off + r_in - 1) DIV (n_part DIV 4 + 1)") + 1,
+    ).otherwise(
+        rm
+        + F.expr(
+            "(off + r_in - (n_part % 4) * (n_part DIV 4 + 1) - 1)"
+            " DIV greatest(n_part DIV 4, 1)"
+        )
+        + 1
+    )
+    rank = rank_e
+    pr = F.when(
+        n > 1,
+        pin6(
+            (rank - 1).cast("double") / (n - 1).cast("double")
+        ),
+    ).otherwise(F.lit(0))
+    cd = pin6(rank.cast("double") / n.cast("double"))
+    prev_price = F.when(
+        F.col("r_in") == 1, F.col("prev_last_price")
+    ).otherwise(F.col("prev_in"))
+    next_key = F.when(
+        F.col("r_in") == F.col("cnt"), F.col("next_first_key")
+    ).otherwise(F.col("next_in"))
+    return j.select(
         "o_orderkey",
         "o_orderstatus",
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_orderkey").over(w).alias("next_key"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        pin(F.percent_rank().over(w)).alias("pr_1e6"),
-        pin(F.cume_dist().over(w)).alias("cd_1e6"),
+        prev_price.alias("prev_price"),
+        next_key.alias("next_key"),
+        quartile.cast("bigint").alias("quartile"),
+        pr.cast("bigint").alias("pr_1e6"),
+        cd.cast("bigint").alias("cd_1e6"),
     )
 
 
