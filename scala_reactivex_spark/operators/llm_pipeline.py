@@ -79,8 +79,13 @@ def llm_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sequence packing: docs streamed in (lang, doc_id) order into "
     f"{CONTEXT_TOKENS}-token context windows — pack_id = floor(tokens-"
     "before-me / budget), the standard streaming pack-with-overflow "
-    "(a straddling doc joins its starting pack). One window cumsum per "
-    "lang partition, then per-pack stats; integers end to end.",
+    "(a straddling doc joins its starting pack).  Scale shape (two-"
+    "phase, round-9): lang cardinality is tiny, so a per-lang cumsum "
+    "window is a handful of corpus-wide sequential tasks — instead the "
+    "prefix sum decomposes over contiguous doc_id buckets (the "
+    "rel_window_funcs / zipf two-phase pattern): an in-bucket cumsum "
+    "(parallel in langs × buckets) plus a corpus/2^16-row bucket-offset "
+    "table.  Integers end to end; identical values.",
     oracle="""
 WITH toks AS (
   SELECT doc_id, lang,
@@ -105,14 +110,34 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
     )
-    w = (
-        Window.partitionBy("lang")
+    toks = toks.withColumn("bk", F.expr("doc_id DIV 65536"))
+    wb = (
+        Window.partitionBy("lang", "bk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    before_me = F.sum("n_tok").over(w) - F.col("n_tok")
+    offs = (
+        toks.groupBy("lang", "bk")
+        .agg(F.sum("n_tok").alias("bk_tok"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bk_tok").over(
+                    Window.partitionBy("lang")
+                    .orderBy("bk")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("lang", "bk", "off")
+    )
+    before_me = (
+        F.col("off") + F.sum("n_tok").over(wb) - F.col("n_tok")
+    )
     return (
-        toks.withColumn(
+        toks.join(F.broadcast(offs), ["lang", "bk"])
+        .withColumn(
             "pack_id", F.floor(before_me / CONTEXT_TOKENS).cast("bigint")
         )
         .groupBy("lang", "pack_id")
