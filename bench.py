@@ -190,6 +190,20 @@ BEYOND_BASELINE = {
 #: suite summed 151.8 s in the round-6 cold pass on a quiet host.
 EXTRAS_BASELINE_SEC = 151.8
 
+#: TWIN_BASELINE pin (BASELINE.md, round 10): per-micro-batch
+#: trigger→commit p50 (ms) of the five serving twins at sf0.1 /
+#: local[32], from the round-9 corrected listener tap (BENCH_DETAIL.json
+#: r9).  Frozen the same way the headline / extras pins are: bench.py
+#: reports twin_vs_baseline = sum(measured p50) / sum(pin) for sf0.1
+#: runs so serving-tier regressions are visible round-over-round.
+TWIN_BASELINE_P50_MS = {
+    "twin_ann_ivf": 996,
+    "twin_ann_pq": 1210,
+    "twin_bm25": 1291,
+    "twin_dedup_gate": 1063,
+    "twin_hybrid_rrf": 567,
+}
+
 # Queries registered after round 6 — timed, reported per-query in
 # BENCH_DETAIL.json and summed as new_seconds; excluded from BOTH frozen
 # totals (headline 72, extras 130) to keep those comparable.
@@ -207,6 +221,8 @@ BEYOND_EXTRAS: set[str] = {
     "llm_ivf_stats",
     # round 9
     "llm_dedup_embed_lsh_stats",
+    # round 10
+    "llm_cluster_cc_guard",
 }
 
 
@@ -366,6 +382,26 @@ def main() -> None:
                     if v.get("p50_trigger_ms") is not None
                 ),
                 default=None,
+            ),
+            # Serving-tier pin ratio, mirroring extras_vs_baseline:
+            # sum of measured p50s over the round-9 TWIN_BASELINE pin
+            # (sf0.1 only — the pin is scale-specific).
+            "twin_vs_baseline": (
+                round(
+                    sum(
+                        v["p50_trigger_ms"]
+                        for v in twin_latency.values()
+                        if v.get("p50_trigger_ms") is not None
+                    )
+                    / sum(TWIN_BASELINE_P50_MS.values()),
+                    3,
+                )
+                if sf_val == 0.1
+                and all(
+                    twin_latency.get(k, {}).get("p50_trigger_ms") is not None
+                    for k in TWIN_BASELINE_P50_MS
+                )
+                else None
             ),
             "sf": sf_val,
         },

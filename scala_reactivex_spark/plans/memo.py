@@ -45,32 +45,132 @@ _LOCK = threading.RLock()
 
 
 def _dir_fingerprint(sf_dir: str) -> str:
-    """8-hex content fingerprint of a fixture dir: name, size, and mtime
-    of every file under it (recursive, order-stable)."""
+    """8-hex content fingerprint of a fixture dir: sf_dir-RELATIVE path,
+    size, and NANOSECOND mtime of every file under it (recursive,
+    order-stable).  Relative paths (not bare filenames) distinguish a
+    file moved between subdirectories; ``st_mtime_ns`` (not whole
+    seconds) distinguishes a same-size regeneration within one second
+    (round-9 ADVICE)."""
     parts: list[str] = []
     for root_, _dirs, files in sorted(os.walk(sf_dir)):
         for fn in sorted(files):
+            full = os.path.join(root_, fn)
             try:
-                st = os.stat(os.path.join(root_, fn))
+                st = os.stat(full)
             except OSError:
                 continue
-            parts.append(f"{fn}:{st.st_size}:{int(st.st_mtime)}")
+            rel = os.path.relpath(full, sf_dir)
+            parts.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:8]
 
 
 def session_memo(spark, sf_dir: str, name: str, builder: Callable[[], T]) -> T:
     """Return the memoized ``builder()`` result for this (session,
-    fixture dir content, name), building it on first use."""
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        _dir_fingerprint(sf_dir),
-        name,
-    )
+    fixture dir content, name), building it on first use.
+
+    A cache MISS caused by a changed fingerprint (fixture regenerated
+    mid-session) evicts — and unpersists — any prior generation's entry
+    for the same (application, dir, name) before building, so repeated
+    regeneration (probe scripts, test loops) cannot accumulate pinned
+    executor storage referencing overwritten parquet files (round-9
+    ADVICE)."""
+    app = spark.sparkContext.applicationId
+    path = os.path.abspath(sf_dir)
+    fp = _dir_fingerprint(sf_dir)
+    key = (app, path, fp, name)
     with _LOCK:
         if key not in _CACHE:
+            stale = [
+                k
+                for k in _CACHE
+                if k[0] == app and k[1] == path and k[3] == name and k[2] != fp
+            ]
+            for k in stale:
+                _unpersist_quietly(_CACHE.pop(k))
             _CACHE[key] = builder()
         return _CACHE[key]  # type: ignore[return-value]
+
+
+#: Default root of the parquet-backed index-cache tier.  Lives under the
+#: (gitignored) warehouse dir next to this package's repo root; override
+#: with SPARK_GRAFT_INDEX_CACHE (e.g. a per-test tmp dir, or a shared
+#: filesystem path on a real cluster).
+def _default_cache_root() -> str:
+    env = os.environ.get("SPARK_GRAFT_INDEX_CACHE")
+    if env:
+        return env
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, "spark-warehouse", "index_cache")
+
+
+def disk_memo(
+    spark, sf_dir: str, name: str, builder: Callable[[], T]
+) -> T:
+    """Two-tier memo for index builds whose value is a tuple of
+    DataFrames: the in-memory :func:`session_memo` backed by a
+    PARQUET-ON-DISK tier keyed by the same fixture-content fingerprint.
+
+    First build for a given (fixture content, name) ANYWHERE writes each
+    element of the tuple under ``<cache>/<name>-<fp>/partN`` plus a
+    ``_COMPLETE`` marker (written to a temp dir and renamed, so a crash
+    mid-write never leaves a readable half-index); every later SESSION
+    reads the finished index back instead of re-running the build — a
+    real serving tier's posture, where the IVF/PQ/k-means index is a
+    stored table that survives restarts (round-9 verdict #7).  Builders
+    are deterministic (DECIMAL-exact means, integer pinning), so the
+    read-back frames are value-identical to a fresh build — the
+    correctness hashes cannot move.  Stale generations of the same name
+    (different fingerprint) are pruned on write."""
+    root = _default_cache_root()
+    base = os.path.join(root, f"{name}-{_dir_fingerprint(sf_dir)}")
+
+    def load_or_build() -> T:
+        marker = os.path.join(base, "_COMPLETE")
+        if os.path.exists(marker):
+            n = int(open(marker).read())
+            frames = []
+            for i in range(n):
+                df = spark.read.parquet(
+                    os.path.join(base, f"part{i}")
+                ).persist()
+                df.count()
+                frames.append(df)
+            return tuple(frames) if n != 1 else frames[0]  # type: ignore
+        val = builder()
+        items = tuple(val) if isinstance(val, (tuple, list)) else (val,)
+        import shutil
+
+        tmp = f"{base}.tmp-{os.getpid()}"
+        try:
+            for i, df in enumerate(items):
+                df.write.mode("overwrite").parquet(
+                    os.path.join(tmp, f"part{i}")
+                )
+            with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+                f.write(str(len(items)))
+            if not os.path.exists(base):
+                os.rename(tmp, base)
+                # Prune superseded generations (regenerated fixture) so
+                # the cache dir does not grow without bound.
+                prefix = f"{name}-"
+                for d in os.listdir(root):
+                    full = os.path.join(root, d)
+                    if (
+                        d.startswith(prefix)
+                        and full != base
+                        and not d.endswith(base.rsplit("-", 1)[-1])
+                        and os.path.isdir(full)
+                        and "-" in d
+                        and d.rsplit("-", 1)[0] == name
+                    ):
+                        shutil.rmtree(full, ignore_errors=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return val
+
+    return session_memo(spark, sf_dir, name, load_or_build)
 
 
 def _unpersist_quietly(obj) -> None:

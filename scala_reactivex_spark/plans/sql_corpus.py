@@ -1256,24 +1256,46 @@ def _cc_spark_overrides() -> dict[str, str]:
             pairs=spark_dialect(pairs), member=member, bound=CC_HOP_BOUND
         )
 
+    # User-facing caveat, shipped IN the SQL text itself so a SQL-only
+    # user who never reads this module sees it (round-9 ADVICE): the
+    # bounded form silently under-merges components wider than the hop
+    # bound; the companion guard query is the detectable signal.
+    note = (
+        f"-- NOTE: bounded label propagation (CC_HOP_BOUND = "
+        f"{CC_HOP_BOUND} hops): cluster_id / is_canonical are EXACT\n"
+        f"-- only for components of diameter <= {CC_HOP_BOUND} "
+        "(near-dup clusters are near-cliques, diameter 1-3).\n"
+        "-- A wider component would be silently split. Run the "
+        "companion query 'llm_cluster_cc_guard' first:\n"
+        "-- converged = 1 certifies this corpus is within the bound; "
+        "converged = 0 means use the DataFrame\n"
+        "-- path (operators/llm_dedup.connected_components), which "
+        "iterates to fixpoint unboundedly.\n"
+    )
     members_sql = "\nSELECT doc_id, cluster_id, is_canonical FROM members"
     return {
         "llm_dedup_cluster": (
-            core(ld._NEAR_PAIRS_ORACLE, "members") + members_sql
+            note + core(ld._NEAR_PAIRS_ORACLE, "members") + members_sql
         ),
         "llm_dedup_minhash_cluster": (
-            core(ld._MINHASH_ORACLE, "members") + members_sql
+            note + core(ld._MINHASH_ORACLE, "members") + members_sql
         ),
-        "llm_cluster_stats": ld._STATS_TAIL_TEMPLATE.format(
+        "llm_cluster_stats": note + ld._STATS_TAIL_TEMPLATE.format(
             members=core(ld._MINHASH_ORACLE, "members")
         ),
         # The report tail itself carries DuckDB-isms (len/string_split,
         # `//`) — dialect-rewrite the TAIL alone, then splice the
         # already-rewritten cluster chain into its {clusters} slot so
         # nothing is rewritten twice.
-        "llm_dedup_impact": spark_dialect(
+        "llm_dedup_impact": note + spark_dialect(
             ld._IMPACT_TAIL_TEMPLATE
         ).format(clusters=core(ld._MINHASH_ORACLE, "clusters")),
+        # The guard itself: dual-dialect template shared with the DuckDB
+        # oracle (operators/llm_dedup._CC_GUARD_TEMPLATE) — only the
+        # pairs body needs the dialect rewrite.
+        "llm_cluster_cc_guard": ld._CC_GUARD_TEMPLATE.format(
+            pairs=spark_dialect(ld._MINHASH_ORACLE), bound=CC_HOP_BOUND
+        ),
     }
 
 

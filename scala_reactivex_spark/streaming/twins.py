@@ -1621,6 +1621,37 @@ def _budget_gate_fn(
     state.update((cum,))
 
 
+def budget_gate_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-trained band plan the gate broadcasts: per quality band
+    its total tokens (btok), the cumulative tokens of strictly better
+    bands (above) and the corpus budget (b) — the same construction
+    llm_budget_select grades, shared so every driver of the gate twin
+    (equivalence test, crash-restart probe, any bench) trains the
+    IDENTICAL plan."""
+    from pyspark.sql import Window
+
+    from scala_reactivex_spark.operators.llm_compose import BUDGET_DIV
+    from scala_reactivex_spark.operators.llm_text import quality_col
+    from scala_reactivex_spark.sources.catalog import table
+
+    _, _, quality = quality_col()
+    q = table(spark, sf_dir, "documents").select(
+        F.floor(quality * 10000 + F.lit(0.5)).cast("bigint").alias("band"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    hist = q.groupBy("band").agg(F.sum("n_tok").alias("btok"))
+    wdesc = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.withColumn(
+        "above", F.coalesce(F.sum("btok").over(wdesc), F.lit(0))
+    )
+    budget = q.agg(
+        F.expr(f"CAST(sum(n_tok) DIV {BUDGET_DIV} AS BIGINT)").alias("b")
+    )
+    return cum.crossJoin(F.broadcast(budget))
+
+
 def twin_budget_gate(sdf: DataFrame, gate: DataFrame) -> DataFrame:
     """Streaming token-budget gate [T3 — live twin of llm_budget_select]:
     the batch-trained band plan (per-band cumulative position + budget)

@@ -127,3 +127,80 @@ def test_memo_single_build_under_concurrency(spark, sf_dir):
     assert all(not t.is_alive() for t in threads), "deadlocked"
     assert len(results) == 4 and all(r is results[0] for r in results)
     assert calls == ["outer", "inner"]
+
+
+def test_regeneration_evicts_and_unpersists_stale_generation(
+    spark, tmp_path
+):
+    """A fingerprint-changing regeneration must EVICT the old
+    generation's entry — unpersisting its cached frames — not leave it
+    pinned in executor storage forever (round-9 ADVICE)."""
+    import os
+    import time
+
+    from pyspark import StorageLevel
+
+    from scala_reactivex_spark.plans.memo import _CACHE, session_memo
+
+    fix = tmp_path / "memofix_evict"
+    fix.mkdir()
+    f = fix / "documents.parquet"
+    f.write_bytes(b"x" * 16)
+
+    gen = [0]
+
+    def build():
+        # Distinct literal per generation: Spark's CacheManager keys on
+        # the logical plan, so identical plans would share one cache
+        # entry and mask whether eviction unpersisted the old one.
+        gen[0] += 1
+        df = spark.range(5).withColumn(
+            "g", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(
+                gen[0]
+            )
+        ).persist(StorageLevel.MEMORY_ONLY)
+        df.count()
+        return df
+
+    a = session_memo(spark, str(fix), "t_memo_evict", build)
+    assert a.storageLevel.useMemory
+
+    t = time.time() + 10
+    os.utime(f, (t, t))
+    b = session_memo(spark, str(fix), "t_memo_evict", build)
+    assert b is not a
+    # Old generation gone from the cache AND its storage released.
+    assert a.storageLevel == StorageLevel.NONE
+    live = [
+        k for k in _CACHE if k[3] == "t_memo_evict"
+    ]
+    assert len(live) == 1
+    b.unpersist()
+
+
+def test_fingerprint_sees_subsecond_and_relocated_regeneration(tmp_path):
+    """st_mtime_ns (not whole seconds) and sf_dir-relative paths (not
+    bare filenames) both change the fingerprint (round-9 ADVICE)."""
+    import os
+
+    from scala_reactivex_spark.plans.memo import _dir_fingerprint
+
+    fix = tmp_path / "fpfix"
+    fix.mkdir()
+    f = fix / "part.parquet"
+    f.write_bytes(b"y" * 8)
+    fp0 = _dir_fingerprint(str(fix))
+
+    # Same size, same whole-second mtime, different nanoseconds.
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert _dir_fingerprint(str(fix)) != fp0
+
+    # Same filename/size/mtime moved into a subdirectory.
+    sub = fix / "sub"
+    sub.mkdir()
+    st = os.stat(f)
+    os.rename(f, sub / "part.parquet")
+    os.utime(sub / "part.parquet", ns=(st.st_atime_ns, st.st_mtime_ns))
+    fp_moved = _dir_fingerprint(str(fix))
+    assert fp_moved != fp0

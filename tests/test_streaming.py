@@ -552,41 +552,17 @@ def test_twin_dedup_incremental_equals_batch(
     reproduces llm_dedup_incremental exactly: same exact-dup flags, same
     verified near-match counts and best matches."""
     from scala_reactivex_spark.operators.llm_dedup import (
-        INCR_MOD,
-        _capped_bands,
-        _doc_tokens,
-        _minhash_bands,
+        incremental_is_incoming,
+        incremental_static_sides,
         llm_dedup_incremental,
     )
 
-    hexpos = (
-        "instr('0123456789abcdef', "
-        "substr(md5(cast(text as binary)), {}, 1))"
+    existing_hashes, existing_index = incremental_static_sides(
+        spark, sf_dir
     )
-    is_in = F.expr(
-        f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
-        f" % {INCR_MOD} = 0"
+    sdf = twins.docs_stream(spark, docs_stream_src).where(
+        incremental_is_incoming()
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    existing = docs.where(~is_in)
-    existing_hashes = existing.select(
-        F.md5(F.col("text").cast("binary")).alias("text_hash"),
-        F.col("doc_id").alias("doc_ex"),
-    )
-    tok = _doc_tokens(spark, sf_dir)
-    in_ids = docs.where(is_in).select("doc_id")
-    ex_toks = existing.select(
-        F.col("doc_id").alias("doc_ex"),
-        F.array_distinct(F.split("text", " ")).alias("toks_ex"),
-    ).withColumn("n_ex", F.size("toks_ex"))
-    existing_index = (
-        _capped_bands(_minhash_bands(tok))
-        .join(in_ids, "doc_id", "left_anti")
-        .withColumnRenamed("doc_id", "doc_ex")
-        .join(ex_toks, "doc_ex")
-    )
-
-    sdf = twins.docs_stream(spark, docs_stream_src).where(is_in)
     out = twins.run_stream_to_table(
         twins.twin_dedup_incremental(sdf, existing_hashes, existing_index),
         "t_incr",
@@ -727,34 +703,10 @@ def test_twin_budget_gate_equals_batch_up_to_order(
     deterministic band/out slices; on the straddling band (admission
     order differs: arrival vs content hash) it must spend the SAME
     remainder — within one maximal doc — and never overshoot."""
-    import pyspark.sql.functions as F
+    from scala_reactivex_spark.operators.llm_compose import llm_budget_select
 
-    from scala_reactivex_spark.operators.llm_compose import (
-        BUDGET_DIV,
-        llm_budget_select,
-    )
-    from scala_reactivex_spark.operators.llm_text import quality_col
-    from scala_reactivex_spark.sources.catalog import table
-
-    # Rebuild the batch-side band plan (gate frame).
-    _, _, quality = quality_col()
-    q = table(spark, sf_dir, "documents").select(
-        F.floor(quality * 10000 + F.lit(0.5)).cast("bigint").alias("band"),
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
-    )
-    hist = q.groupBy("band").agg(F.sum("n_tok").alias("btok"))
-    from pyspark.sql import Window
-
-    wdesc = Window.orderBy(F.col("band").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = hist.withColumn(
-        "above", F.coalesce(F.sum("btok").over(wdesc), F.lit(0))
-    )
-    budget = q.agg(
-        F.expr(f"CAST(sum(n_tok) DIV {BUDGET_DIV} AS BIGINT)").alias("b")
-    )
-    gate = cum.crossJoin(F.broadcast(budget))
+    # The batch-side band plan (gate frame) — shared builder.
+    gate = twins.budget_gate_plan(spark, sf_dir)
 
     sdf = twins.docs_stream(spark, docs_stream_src)
     out = twins.run_stream_to_table(
