@@ -207,6 +207,13 @@ TWIN_BASELINE_P50_MS = {
 # Queries registered after round 6 — timed, reported per-query in
 # BENCH_DETAIL.json and summed as new_seconds; excluded from BOTH frozen
 # totals (headline 72, extras 130) to keep those comparable.
+#
+# FROZEN at round 11 (12 names, NEW_BASELINE = 14.9 s in BASELINE.md,
+# from the r10 cold pass) the way the headline and extras suites were
+# pinned — a regression in the post-round-6 families is now visible as
+# new_vs_baseline instead of raw seconds (round-10 verdict #3).  Do NOT
+# append here — queries registered after round 10 go to BEYOND_NEW
+# below.
 BEYOND_EXTRAS: set[str] = {
     # round 7
     "llm_chunk_overlap",
@@ -224,6 +231,16 @@ BEYOND_EXTRAS: set[str] = {
     # round 10
     "llm_cluster_cc_guard",
 }
+
+#: NEW_BASELINE pin (BASELINE.md, round 11): the frozen 12-query
+#: post-round-6 suite summed 14.9 s in the round-10 cold pass.
+NEW_BASELINE_SEC = 14.9
+
+# Queries registered after round 10 — timed, reported per-query in
+# BENCH_DETAIL.json and summed as newer_seconds; excluded from all three
+# frozen totals (headline 72, extras 130, new 12) to keep those
+# comparable.
+BEYOND_NEW: set[str] = set()
 
 
 def main() -> None:
@@ -294,22 +311,26 @@ def main() -> None:
     # Every extras name must still exist in the registry — a rename or
     # typo would silently fold that query into the frozen headline total
     # and break comparability with the BASELINE.md pin.
-    missing = (BEYOND_BASELINE | BEYOND_EXTRAS) - set(times)
+    missing = (BEYOND_BASELINE | BEYOND_EXTRAS | BEYOND_NEW) - set(times)
     assert not missing, f"BEYOND_BASELINE names not in registry: {missing}"
-    untiered = set(times) - BEYOND_BASELINE - BEYOND_EXTRAS
-    # Both frozen suites are closed sets: a new registry key missing from
-    # BEYOND_EXTRAS would silently inflate the headline total.
+    untiered = set(times) - BEYOND_BASELINE - BEYOND_EXTRAS - BEYOND_NEW
+    # All frozen suites are closed sets: a new registry key missing from
+    # BEYOND_NEW would silently inflate the headline total.
     assert len(untiered) == 72, (
         f"headline set drifted to {len(untiered)} queries — add new "
-        "registry keys to BEYOND_EXTRAS"
+        "registry keys to BEYOND_NEW"
     )
     assert len(BEYOND_BASELINE) == 130, "frozen extras suite drifted"
+    assert len(BEYOND_EXTRAS) == 12, "frozen new suite drifted"
     total = round(sum(times[n] for n in untiered), 3)
     extras = round(
         sum(t for n, t in times.items() if n in BEYOND_BASELINE), 3
     )
     new_sec = round(
         sum(t for n, t in times.items() if n in BEYOND_EXTRAS), 3
+    )
+    newer_sec = round(
+        sum(t for n, t in times.items() if n in BEYOND_NEW), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -336,6 +357,11 @@ def main() -> None:
         "extras": sorted(BEYOND_BASELINE),
         "new_seconds": new_sec,
         "new": sorted(BEYOND_EXTRAS),
+        "new_vs_baseline": (
+            round(new_sec / NEW_BASELINE_SEC, 3) if sf_val == 0.1 else None
+        ),
+        "newer_seconds": newer_sec,
+        "newer": sorted(BEYOND_NEW),
         "sf": sf_val,
         # Warm medians of the slowest-N queries (median of warm_reps
         # re-runs in the same session) — the self-arbitrating companion
@@ -369,6 +395,16 @@ def main() -> None:
                 else None
             ),
             "new_seconds": new_sec,
+            # Post-r6 pin ratio, mirroring extras_vs_baseline (the
+            # round-11 NEW_BASELINE freeze); sf0.1 only.
+            "new_vs_baseline": (
+                round(new_sec / NEW_BASELINE_SEC, 3)
+                if sf_val == 0.1
+                else None
+            ),
+            # Post-r10 growth bucket (no pin yet — pinned once it has a
+            # quiet-host cold pass to freeze).
+            "newer_seconds": newer_sec,
             # One-number warm aggregate (sum of the slowest-20 warm
             # medians); the per-query warm map is in BENCH_DETAIL.json.
             "warm20_sec": round(sum(warm.values()), 2),
@@ -385,13 +421,16 @@ def main() -> None:
             ),
             # Serving-tier pin ratio, mirroring extras_vs_baseline:
             # sum of measured p50s over the round-9 TWIN_BASELINE pin
-            # (sf0.1 only — the pin is scale-specific).
+            # (sf0.1 only — the pin is scale-specific).  The numerator
+            # iterates the PIN's keys, not twin_latency's: a twin added
+            # to measure_serving_latency later must NOT inflate the
+            # frozen ratio (round-10 ADVICE) — it reports via
+            # twin_worst_p50_ms and BENCH_DETAIL.json instead.
             "twin_vs_baseline": (
                 round(
                     sum(
-                        v["p50_trigger_ms"]
-                        for v in twin_latency.values()
-                        if v.get("p50_trigger_ms") is not None
+                        twin_latency[k]["p50_trigger_ms"]
+                        for k in TWIN_BASELINE_P50_MS
                     )
                     / sum(TWIN_BASELINE_P50_MS.values()),
                     3,

@@ -608,6 +608,64 @@ def _pq_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def _pq_serving_pack(spark: SparkSession, sf_dir: str):
+    """Pre-packed PQ serving structures (session-memoized): the static
+    side of the streaming ADC scan, assembled ONCE instead of per
+    micro-batch (round-10 verdict #6 — the PQ twin was rebuilding its
+    broadcast exploded structures every trigger).
+
+    Returns (c1_packed, enc_packed):
+
+    - ``c1_packed``  (m, code, cvec: array<bigint>) — each codebook
+      cell's centroid subvector, pos-ordered within its subspace, so a
+      probe's partial squared distance is one ``zip_with`` +
+      ``aggregate`` over {PQ_SUBDIM}-element arrays instead of an
+      exploded (m, pos) join + shuffle-groupBy.
+    - ``enc_packed`` (vec_id, codes: array<bigint>) — the compressed
+      corpus, one row per vector with its m-ordered code array: the
+      in-RAM layout a real PQ serving tier holds (8 bytes per vector),
+      persisted so every micro-batch reads the materialized table.
+
+    Both are exact repackagings of ``_pq_index``'s c1/enc rows — the
+    twin's adc_d2 integers are bit-identical to the batch scan's."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    def build():
+        _, c1, enc = _pq_index(spark, sf_dir)
+        c1p = (
+            c1.groupBy("m", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "c"))
+                ).alias("pc")
+            )
+            .select(
+                "m",
+                "code",
+                F.expr("transform(pc, s -> s.c)").alias("cvec"),
+            )
+            .persist()
+        )
+        encp = (
+            enc.groupBy("vec_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("m", "code"))
+                ).alias("mc")
+            )
+            .select(
+                "vec_id",
+                F.expr("transform(mc, s -> s.code)").alias("codes"),
+            )
+            .persist()
+        )
+        c1p.count()
+        encp.count()
+        return c1p, encp
+
+    return session_memo(spark, sf_dir, "pq_serving_pack", build)
+
+
 def _pq_index_build(spark: SparkSession, sf_dir: str):
     dim = PQ_M * PQ_SUBDIM
     x = (

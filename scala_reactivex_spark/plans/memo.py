@@ -122,14 +122,23 @@ def disk_memo(
     are deterministic (DECIMAL-exact means, integer pinning), so the
     read-back frames are value-identical to a fresh build — the
     correctness hashes cannot move.  Stale generations of the same name
-    (different fingerprint) are pruned on write."""
+    (different fingerprint) are pruned on write — scoped to the SAME
+    fixture directory (the on-disk name carries the dir basename), so a
+    verify run at sf0.01 cannot evict the bench's sf0.1 index or a
+    probe's sf10 one."""
     root = _default_cache_root()
-    base = os.path.join(root, f"{name}-{_dir_fingerprint(sf_dir)}")
+    scoped = f"{name}@{os.path.basename(os.path.abspath(sf_dir))}"
+    base = os.path.join(root, f"{scoped}-{_dir_fingerprint(sf_dir)}")
 
     def load_or_build() -> T:
         marker = os.path.join(base, "_COMPLETE")
         if os.path.exists(marker):
-            n = int(open(marker).read())
+            # Marker records the builder's CONTAINER SHAPE ("tuple:N",
+            # "list:N", "scalar:1") so a (df,) builder round-trips as a
+            # 1-tuple and a list as a list across sessions, identical
+            # to what the building session returned (round-10 ADVICE).
+            shape, _, n_str = open(marker).read().partition(":")
+            n = int(n_str)
             frames = []
             for i in range(n):
                 df = spark.read.parquet(
@@ -137,9 +146,18 @@ def disk_memo(
                 ).persist()
                 df.count()
                 frames.append(df)
-            return tuple(frames) if n != 1 else frames[0]  # type: ignore
+            if shape == "tuple":
+                return tuple(frames)  # type: ignore[return-value]
+            if shape == "list":
+                return frames  # type: ignore[return-value]
+            return frames[0]  # type: ignore[return-value]
         val = builder()
         items = tuple(val) if isinstance(val, (tuple, list)) else (val,)
+        shape = (
+            "tuple"
+            if isinstance(val, tuple)
+            else "list" if isinstance(val, list) else "scalar"
+        )
         import shutil
 
         tmp = f"{base}.tmp-{os.getpid()}"
@@ -149,23 +167,31 @@ def disk_memo(
                     os.path.join(tmp, f"part{i}")
                 )
             with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
-                f.write(str(len(items)))
+                f.write(f"{shape}:{len(items)}")
             if not os.path.exists(base):
-                os.rename(tmp, base)
-                # Prune superseded generations (regenerated fixture) so
-                # the cache dir does not grow without bound.
-                prefix = f"{name}-"
-                for d in os.listdir(root):
-                    full = os.path.join(root, d)
-                    if (
-                        d.startswith(prefix)
-                        and full != base
-                        and not d.endswith(base.rsplit("-", 1)[-1])
-                        and os.path.isdir(full)
-                        and "-" in d
-                        and d.rsplit("-", 1)[0] == name
-                    ):
-                        shutil.rmtree(full, ignore_errors=True)
+                try:
+                    os.rename(tmp, base)
+                except OSError:
+                    # Concurrent writer won the rename race (EEXIST /
+                    # ENOTEMPTY): a valid finished index now exists at
+                    # base — serve our freshly-built value and let the
+                    # finally-clause discard the losing temp dir
+                    # (round-10 ADVICE).
+                    if not os.path.exists(marker):
+                        raise
+                else:
+                    # Prune superseded generations (regenerated
+                    # fixture) so the cache dir does not grow without
+                    # bound.
+                    for d in os.listdir(root):
+                        full = os.path.join(root, d)
+                        if (
+                            full != base
+                            and os.path.isdir(full)
+                            and "-" in d
+                            and d.rsplit("-", 1)[0] == scoped
+                        ):
+                            shutil.rmtree(full, ignore_errors=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return val

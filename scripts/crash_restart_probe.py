@@ -140,12 +140,55 @@ def probe_gate(spark, sf_dir: str, work: str, name: str) -> dict:
 
     rows = _committed(spark, out_dir).collect()
     keys = [tuple(r[c] for c in key_cols) for r in rows]
+    # no_loss = the committed stream output over both tranches covers
+    # the BATCH REFERENCE exactly (the tests/test_crash_restart.py
+    # comparison, replayed here at probe scale).
+    if name == "budget_gate":
+        from scala_reactivex_spark.operators.llm_compose import (
+            llm_budget_select,
+        )
+
+        # One decision row per incoming doc: committed doc_id set must
+        # equal the batch plan's doc_id set.
+        ref_ids = {
+            r["doc_id"] for r in llm_budget_select(spark, sf_dir).collect()
+        }
+        no_loss = {r["doc_id"] for r in rows} == ref_ids
+    else:
+        from scala_reactivex_spark.operators.llm_dedup import (
+            llm_dedup_incremental,
+        )
+
+        # Aggregate committed match rows per doc and compare exact flag
+        # + near-match count against the batch reference.
+        got: dict[int, dict] = {}
+        for r in rows:
+            g = got.setdefault(
+                r["doc_id"], {"exact": False, "near": set()}
+            )
+            if r["match_type"] == "exact":
+                g["exact"] = True
+            else:
+                g["near"].add(r["doc_ex"])
+        batch = llm_dedup_incremental(spark, sf_dir).collect()
+        no_loss = bool(batch) and all(
+            got.get(b["doc_id"], {"exact": False, "near": set()})["exact"]
+            == bool(b["is_exact_dup"])
+            and len(
+                got.get(b["doc_id"], {"exact": False, "near": set()})[
+                    "near"
+                ]
+            )
+            == b["n_near"]
+            for b in batch
+        )
     return {
         "gate": name,
         "cold_drain_sec": round(cold, 3),
         "recovery_drain_sec": round(recovery, 3),
         "rows_committed": len(rows),
         "no_dup": len(keys) == len(set(keys)),
+        "no_loss": no_loss,
         "torn_purged": not any(r["doc_id"] >= 900000 for r in rows),
     }
 
