@@ -240,7 +240,14 @@ NEW_BASELINE_SEC = 14.9
 # BENCH_DETAIL.json and summed as newer_seconds; excluded from all three
 # frozen totals (headline 72, extras 130, new 12) to keep those
 # comparable.
-BEYOND_NEW: set[str] = set()
+BEYOND_NEW: set[str] = {
+    # round 11: salted two-level escape hatches for the per-key ordered
+    # family (graded against the base ops' oracles)
+    "op_scan_running_sum_salted",
+    "op_pairwise_salted",
+    "op_distinct_until_changed_salted",
+    "op_debounce_salted",
+}
 
 
 def main() -> None:

@@ -46,6 +46,9 @@ _OPERATOR_MODULES = (
     # round-7 additions — last, so their registry order sits behind the
     # 47 round-6 keys the r07 grading window must bank first.
     "scala_reactivex_spark.operators.llm_extras",
+    # round-11 salted escape hatches — reference base ops' oracles, so
+    # must import after stateful/windows.
+    "scala_reactivex_spark.operators.salted",
 )
 
 

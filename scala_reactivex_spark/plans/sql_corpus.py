@@ -1168,9 +1168,11 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_combine_latest",
     "op_concat",
     "op_debounce",
+    "op_debounce_salted",
     "op_delay",
     "op_distinct",
     "op_distinct_until_changed",
+    "op_distinct_until_changed_salted",
     "op_error_return",
     "op_filter",
     "op_first_last",
@@ -1181,8 +1183,10 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_materialize",
     "op_merge",
     "op_pairwise",
+    "op_pairwise_salted",
     "op_sample",
     "op_scan_running_sum",
+    "op_scan_running_sum_salted",
     "op_skip",
     "op_switch",
     "op_take",

@@ -55,6 +55,12 @@ PROBE = (
     "op_window_session",
     "op_distinct_until_changed",
     "op_pairwise",
+    # The salted two-level escape hatches (operators/salted.py) — their
+    # hot_sec next to the base op's is the hatch's payoff number.
+    "op_scan_running_sum_salted",
+    "op_debounce_salted",
+    "op_distinct_until_changed_salted",
+    "op_pairwise_salted",
 )
 
 
@@ -104,10 +110,17 @@ def main() -> None:
 
     from scripts import sf10_events_probe
 
-    sf10_events_probe.build_events_fixture(
-        sf01, sf10_events_probe.EV_SF1_DIR, 10
-    )
-    uniform_dir = sf10_events_probe.EV_SF1_DIR
+    # SPARK_GRAFT_SKEW_BASE=sf10 probes at 10M rows (3M on the hot key
+    # — a single task sorting 3M rows), the sharper second point.
+    if os.environ.get("SPARK_GRAFT_SKEW_BASE", "sf1") == "sf10":
+        uniform_dir = sf10_events_probe.EV_SF10_DIR
+        copies = 100
+        global HOT_DIR
+        HOT_DIR = HOT_DIR + "10"
+    else:
+        uniform_dir = sf10_events_probe.EV_SF1_DIR
+        copies = 10
+    sf10_events_probe.build_events_fixture(sf01, uniform_dir, copies)
     build_hot_fixture(uniform_dir)
 
     from scala_reactivex_spark.plans.registry import registry
