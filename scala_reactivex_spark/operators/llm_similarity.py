@@ -249,35 +249,56 @@ SELECT probe_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
-    """Build the IVF index ONCE PER SESSION (memoized): persisted vector
-    frame, learned centroids (one Lloyd iteration), persisted
-    (vec_id, bucket) assignment — shared by llm_ann_ivf, llm_ann_ivf_mp,
-    llm_ivf_stats, llm_ann_recall and the twin_ann_ivf serving twin.
-    Un-memoized each of those consumers re-ran the full build (~4 s ×4
-    in the bench) and stacked a fresh persisted copy per call."""
+    """Assemble the IVF index (two-tier memoized): the corpus vector
+    frame is session-memoized (one parquet scan + norm fold — cheap to
+    re-derive, corpus-sized so NOT duplicated on disk), while the
+    LEARNED artifacts — centroids and the (vec_id, bucket) assignment —
+    persist through the parquet disk tier (plans/memo.disk_memo), the
+    posture of a stored ANN index: later sessions read the finished
+    index back instead of re-running the Lloyd iteration.  Shared by
+    llm_ann_ivf, llm_ann_ivf_mp, llm_ivf_stats, llm_ann_recall and the
+    twin_ann_ivf serving twin; the build is deterministic (DECIMAL-
+    exact means, rounded-similarity ranking with cid tie-break), so
+    read-back is value-identical and the correctness hashes cannot
+    move."""
+    from scala_reactivex_spark.plans.memo import disk_memo
+
+    ev = _ivf_vectors(spark, sf_dir)
+    cent, assignment = disk_memo(
+        spark,
+        sf_dir,
+        "ivf_learned",
+        lambda: _ivf_learn(spark, ev),
+    )
+    return ev, cent, assignment
+
+
+def _ivf_vectors(spark: SparkSession, sf_dir: str):
+    """Corpus norms computed ONCE (not per centroid pair / per
+    candidate), and PERSISTED: this frame feeds the seed assignment,
+    the component explode, the re-assignment, and the probe/candidate
+    gathers — five branches that would otherwise each re-scan the
+    parquet and re-fold the norms (the r3 wall-time regression).  At
+    cluster scale this is the "materialize the vector index once" step
+    of any IVF build."""
     from scala_reactivex_spark.plans.memo import session_memo
 
     return session_memo(
-        spark, sf_dir, "ivf_index", lambda: _ivf_index_build(spark, sf_dir)
+        spark,
+        sf_dir,
+        "ivf_vectors",
+        lambda: table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", norm_col("embedding").alias("vn"))
+        .persist(),
     )
 
 
-def _ivf_index_build(spark: SparkSession, sf_dir: str):
-    e = table(spark, sf_dir, "embeddings")
-    seeds = e.where(F.col("vec_id") < N_CENTROIDS).select(
+def _ivf_learn(spark: SparkSession, ev):
+    seeds = ev.where(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cemb"),
-        norm_col("embedding").alias("cemb_n"),
+        F.col("vn").alias("cemb_n"),
     )
-    # Corpus norms computed ONCE (not per centroid pair / per candidate),
-    # and PERSISTED: this frame feeds the seed assignment, the component
-    # explode, the re-assignment, and the probe/candidate gathers — five
-    # branches that would otherwise each re-scan the parquet and re-fold
-    # the norms (the r3 wall-time regression).  At cluster scale this is
-    # the "materialize the vector index once" step of any IVF build.
-    ev = e.select(
-        "vec_id", "embedding", norm_col("embedding").alias("vn")
-    ).persist()
     asg0 = _assign_buckets(ev, seeds)
     # One Lloyd iteration, fully distributed: bucket means via a grouped
     # aggregate over (cid, dim) — DECIMAL(38,6) sums make the mean exact
@@ -307,7 +328,7 @@ def _ivf_index_build(spark: SparkSession, sf_dir: str):
     # candidate gather) — persist the two-int-column frame rather than
     # re-running the broadcast-assign pass.
     assignment = _assign_buckets(ev, cent).persist()
-    return ev, cent, assignment
+    return cent, assignment
 
 
 @register(
@@ -596,16 +617,52 @@ def _pq_assign(x: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _pq_index(spark: SparkSession, sf_dir: str):
-    """Build the PQ index ONCE PER SESSION (memoized): pinned exploded
-    vectors, trained codebooks (one assign/update round), and the
-    encoded corpus (the 8-codes-per-vector compressed table a PQ
-    serving tier holds) — shared by the batch search, llm_pq_recall and
-    the streaming serving twin without rebuilding or re-persisting."""
+    """Assemble the PQ index (two-tier memoized): the pinned exploded
+    vector frame is session-memoized, while the TRAINED artifacts —
+    codebooks (one assign/update round) and the 8-codes-per-vector
+    encoded corpus a PQ serving tier holds — persist through the
+    parquet disk tier (plans/memo.disk_memo): later sessions read the
+    finished compressed index back instead of re-training.  Shared by
+    the batch search, llm_pq_recall and the streaming serving twin.
+    Training is exact integer arithmetic, so read-back is
+    value-identical and the correctness hashes cannot move."""
+    from scala_reactivex_spark.plans.memo import disk_memo
+
+    x = _pq_vectors(spark, sf_dir)
+    c1, enc = disk_memo(spark, sf_dir, "pq_learned", lambda: _pq_learn(x))
+    return x, c1, enc
+
+
+def _pq_vectors(spark: SparkSession, sf_dir: str):
+    """Pinned exploded vector frame, session-memoized: one scan +
+    explode — cheap to re-derive, corpus×dim-sized, so NOT duplicated
+    on disk (only the trained codebooks/codes are; see _pq_index)."""
     from scala_reactivex_spark.plans.memo import session_memo
 
-    return session_memo(
-        spark, sf_dir, "pq_index", lambda: _pq_index_build(spark, sf_dir)
-    )
+    def build():
+        dim = PQ_M * PQ_SUBDIM
+        return (
+            table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .where(F.col("pos") < dim)
+            .select(
+                "vec_id",
+                F.col("pos").cast("bigint").alias("pos"),
+                (F.col("pos").cast("bigint") / PQ_SUBDIM)
+                .cast("bigint")
+                .alias("m"),
+                F.floor(
+                    F.col("val").cast("double") * 1_000_000 + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("v"),
+            )
+            .persist()
+        )
+
+    return session_memo(spark, sf_dir, "pq_vectors", build)
 
 
 def _pq_serving_pack(spark: SparkSession, sf_dir: str):
@@ -666,24 +723,7 @@ def _pq_serving_pack(spark: SparkSession, sf_dir: str):
     return session_memo(spark, sf_dir, "pq_serving_pack", build)
 
 
-def _pq_index_build(spark: SparkSession, sf_dir: str):
-    dim = PQ_M * PQ_SUBDIM
-    x = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
-        .where(F.col("pos") < dim)
-        .select(
-            "vec_id",
-            F.col("pos").cast("bigint").alias("pos"),
-            (F.col("pos").cast("bigint") / PQ_SUBDIM)
-            .cast("bigint")
-            .alias("m"),
-            F.floor(F.col("val").cast("double") * 1_000_000 + F.lit(0.5))
-            .cast("bigint")
-            .alias("v"),
-        )
-        .persist()
-    )
+def _pq_learn(x):
     c0 = x.where(F.col("vec_id") < PQ_CODES).select(
         F.col("vec_id").alias("code"), "m", "pos", F.col("v").alias("c")
     )
@@ -698,7 +738,7 @@ def _pq_index_build(spark: SparkSession, sf_dir: str):
         )
     )
     enc = _pq_assign(x, c1)
-    return x, c1, enc
+    return c1, enc
 
 
 
