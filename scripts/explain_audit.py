@@ -91,6 +91,14 @@ ALLOWED_NESTED_LOOP = {
     "llm_quality_length_corr",  # single-row moment aggregate
     "rel_decay_sum",  # 1-row max-day broadcast × weighted stream
     "llm_bpe_fertility",  # composes llm_bpe_apply (1-row merge-rule crosses)
+    # Salted escape hatches: the time-range chunk id attaches the 1-row
+    # global (min ts, max ts) frame via a broadcast scalar crossJoin
+    # (operators/salted.py::_chunked) — the same blessed pattern as the
+    # scalar-threshold attaches above.
+    "op_scan_running_sum_salted",
+    "op_pairwise_salted",
+    "op_distinct_until_changed_salted",
+    "op_debounce_salted",
 }
 
 
