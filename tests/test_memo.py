@@ -204,3 +204,99 @@ def test_fingerprint_sees_subsecond_and_relocated_regeneration(tmp_path):
     os.utime(sub / "part.parquet", ns=(st.st_atime_ns, st.st_mtime_ns))
     fp_moved = _dir_fingerprint(str(fix))
     assert fp_moved != fp0
+
+
+def test_disk_memo_round_trips_container_shape(spark, tmp_path, monkeypatch):
+    """A builder's container shape survives the parquet tier across
+    sessions (round-10 ADVICE): a 1-tuple reads back as a 1-tuple, a
+    list as a list, a bare frame as a bare frame — asserted by evicting
+    the in-memory tier so the second call takes the disk read path."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.plans import memo
+    from scala_reactivex_spark.plans.memo import (
+        clear_session_memo,
+        disk_memo,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_CACHE", str(tmp_path / "cache"))
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    (fx / "marker.parquet").write_text("x")
+
+    def frame(n):
+        return spark.range(n).select(F.col("id").alias("v"))
+
+    built = disk_memo(spark, str(fx), "one_tuple", lambda: (frame(3),))
+    assert isinstance(built, tuple) and len(built) == 1
+    clear_session_memo()
+    back = disk_memo(
+        spark, str(fx), "one_tuple", lambda: (_ for _ in ()).throw(
+            AssertionError("must hit the disk tier")
+        )
+    )
+    assert isinstance(back, tuple) and len(back) == 1
+    assert back[0].count() == 3
+
+    disk_memo(spark, str(fx), "a_list", lambda: [frame(2), frame(4)])
+    clear_session_memo()
+    back = disk_memo(
+        spark, str(fx), "a_list", lambda: (_ for _ in ()).throw(
+            AssertionError("must hit the disk tier")
+        )
+    )
+    assert isinstance(back, list) and [f.count() for f in back] == [2, 4]
+
+    disk_memo(spark, str(fx), "scalar", lambda: frame(5))
+    clear_session_memo()
+    back = disk_memo(
+        spark, str(fx), "scalar", lambda: (_ for _ in ()).throw(
+            AssertionError("must hit the disk tier")
+        )
+    )
+    assert not isinstance(back, (tuple, list)) and back.count() == 5
+    assert memo._CACHE  # the read-back landed in the session tier
+
+
+def test_disk_memo_scopes_generations_per_fixture_dir(
+    spark, tmp_path, monkeypatch
+):
+    """Two fixture dirs sharing an index NAME must not evict each
+    other's disk entries (round-11: a sf0.01 verify run was thrashing
+    the sf0.1 bench cache)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.plans.memo import (
+        clear_session_memo,
+        disk_memo,
+    )
+
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_CACHE", str(cache))
+    for d in ("fx_a", "fx_b"):
+        (tmp_path / d).mkdir()
+        (tmp_path / d / "m.parquet").write_text(d)
+
+    def frame(n):
+        return spark.range(n).select(F.col("id").alias("v"))
+
+    disk_memo(spark, str(tmp_path / "fx_a"), "idx", lambda: frame(3))
+    disk_memo(spark, str(tmp_path / "fx_b"), "idx", lambda: frame(7))
+    clear_session_memo()
+    # Both generations still on disk, each served without a rebuild.
+    a = disk_memo(
+        spark, str(tmp_path / "fx_a"), "idx", lambda: (_ for _ in ()).throw(
+            AssertionError("fx_a entry was evicted")
+        )
+    )
+    b = disk_memo(
+        spark, str(tmp_path / "fx_b"), "idx", lambda: (_ for _ in ()).throw(
+            AssertionError("fx_b entry was evicted")
+        )
+    )
+    assert (a.count(), b.count()) == (3, 7)
+    names = os.listdir(cache)
+    assert any(n.startswith("idx@fx_a-") for n in names)
+    assert any(n.startswith("idx@fx_b-") for n in names)
