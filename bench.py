@@ -247,6 +247,8 @@ BEYOND_NEW: set[str] = {
     "op_pairwise_salted",
     "op_distinct_until_changed_salted",
     "op_debounce_salted",
+    # round 11: corpus-adaptive sign-LSH bucket space
+    "llm_dedup_embed_lsh_adaptive",
 }
 
 

@@ -1093,6 +1093,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_dedup_containment",
     "llm_dedup_embed",
     "llm_dedup_embed_lsh",
+    "llm_dedup_embed_lsh_adaptive",
     "llm_dedup_embed_lsh_stats",
     "llm_dedup_embed_recall",
     "llm_dedup_incremental",
