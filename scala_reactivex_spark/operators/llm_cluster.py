@@ -85,9 +85,13 @@ def _kmeans_loop(
     streaming/twins.twin_kmeans).  Memoization means llm_kmeans,
     llm_semdedup, llm_cluster_purity and the twin share one persisted
     exploded-vector frame instead of stacking a copy per call."""
-    from scala_reactivex_spark.plans.memo import session_memo
+    from scala_reactivex_spark.plans.memo import disk_memo
 
-    return session_memo(
+    # Two-tier (round 11): the Lloyd loop's outputs are deterministic
+    # (integer-pinned arithmetic), so the finished (assignment,
+    # centroids) pair persists as parquet and later sessions read the
+    # trained clustering back instead of re-iterating.
+    return disk_memo(
         spark, sf_dir, "kmeans_loop", lambda: _kmeans_loop_build(spark, sf_dir)
     )
 

@@ -188,4 +188,9 @@ def llm_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
 
-    return session_memo(spark, sf_dir, "textrank_rank", _build_rank)
+    # Two-tier (round 11): the bounded-iteration rank table is
+    # integer-pinned (rank_1e12), so the finished frame persists as
+    # parquet across sessions.
+    from scala_reactivex_spark.plans.memo import disk_memo
+
+    return disk_memo(spark, sf_dir, "textrank_rank", _build_rank)

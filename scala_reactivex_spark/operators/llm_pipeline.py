@@ -449,9 +449,12 @@ def _decon_shingles_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtrees (Bloom build, train probe, exact-check probe set) and Spark
     does not share common subplans across joins, so un-persisted the
     explode + char-fold ran three times per invocation."""
-    from scala_reactivex_spark.plans.memo import session_memo
+    from scala_reactivex_spark.plans.memo import disk_memo
 
-    return session_memo(
+    # Two-tier (round 11): the portable Karp-Rabin shingle hashes are
+    # deterministic, so the probe-shingle frame persists as parquet —
+    # the decontamination screen's standing index.
+    return disk_memo(
         spark,
         sf_dir,
         "decon_shingles",

@@ -93,9 +93,13 @@ def bm25_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/memo.py): every consumer — batch scoring, the serving twin,
     the latency bench — shares ONE build, and the internal tf persist
     is created once per session instead of leaking one copy per call."""
-    from scala_reactivex_spark.plans.memo import session_memo
+    from scala_reactivex_spark.plans.memo import disk_memo
 
-    return session_memo(
+    # Two-tier (round 11): the contribution index is exact integer
+    # micro-units, so it persists as parquet — a standing retrieval
+    # index that batch scoring, the serving twin and the latency bench
+    # read back across sessions.
+    return disk_memo(
         spark, sf_dir, "bm25_contrib", lambda: _bm25_contrib(spark, sf_dir)
     )
 

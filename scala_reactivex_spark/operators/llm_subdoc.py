@@ -481,9 +481,12 @@ def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full pair-count scan) persist once and are shared with
     # llm_bpe_fertility, which composes this chain — un-memoized it
     # re-ran the three scans and stacked three more persisted frames.
-    from scala_reactivex_spark.plans.memo import session_memo
+    from scala_reactivex_spark.plans.memo import disk_memo
 
-    return session_memo(
+    # Two-tier (round 11): the greedy merges are deterministic (exact
+    # integer pair counts, lexicographic tie-breaks), so the tokenized
+    # table persists as parquet across sessions.
+    return disk_memo(
         spark, sf_dir, "bpe_apply", lambda: _bpe_apply_build(spark, sf_dir)
     )
 
