@@ -260,12 +260,32 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Disk-tier cache observability (round-11 ADVICE): several timed
+    # queries consume disk_memo-backed indexes, so a "cold" pass over a
+    # pre-populated index cache measures parquet read-back, not the
+    # build.  Record (a) how many finished indexes pre-existed under the
+    # cache root and (b) per-pass hit/miss counts, so BENCH_DETAIL.json
+    # states which regime each run measured and the frozen-pin ratios
+    # stay interpretable.  Run with a fresh SPARK_GRAFT_INDEX_CACHE for
+    # a build-inclusive pass.
+    from scala_reactivex_spark.plans import memo as _memo
+
+    cache_root = _memo._default_cache_root()
+    prepopulated = 0
+    if os.path.isdir(cache_root):
+        prepopulated = sum(
+            1
+            for d in os.listdir(cache_root)
+            if os.path.exists(os.path.join(cache_root, d, "_COMPLETE"))
+        )
+
     # Warm the JVM + parquet footers with the flagship before timing.
     specs = registry()
     specs["rel_q1_pricing"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 
+    stats0 = dict(_memo.DISK_MEMO_STATS)
     times: dict[str, float] = {}
     for name in sorted(specs):
         if name in EXCLUDE:
@@ -275,6 +295,10 @@ def main() -> None:
             "overwrite"
         ).save()
         times[name] = round(time.perf_counter() - t0, 3)
+    cold_cache = {
+        k: _memo.DISK_MEMO_STATS[k] - stats0[k]
+        for k in _memo.DISK_MEMO_STATS
+    }
 
     # Warm-median pass (round-7 verdict "Next round" #4): re-run the
     # slowest WARM_TOPN queries WARM_REPS times and record the median, so
@@ -380,6 +404,16 @@ def main() -> None:
         # Serving-twin latency: per-micro-batch trigger→commit medians
         # and drain wall times for the five streaming serving paths.
         "twin_latency": twin_latency,
+        # Disk-tier cache regime of THIS run (round-11 ADVICE): finished
+        # indexes present under the cache root before the pass, and the
+        # cold loop's disk hit / build-miss / in-session-memo counts.  A
+        # pass with disk hits > 0 measured index READ-BACK for those
+        # queries, not the build — compare against pins accordingly.
+        "disk_cache": {
+            "root": cache_root,
+            "prepopulated_indexes": prepopulated,
+            "cold_pass": cold_cache,
+        },
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -450,6 +484,13 @@ def main() -> None:
                     for k in TWIN_BASELINE_P50_MS
                 )
                 else None
+            ),
+            # Compact disk-cache regime marker: pre-existing finished
+            # indexes, then cold-pass disk-hits/builds (full breakdown
+            # in BENCH_DETAIL.json "disk_cache").
+            "dcache": (
+                f"pre{prepopulated}:"
+                f"{cold_cache['hits']}h/{cold_cache['misses']}b"
             ),
             "sf": sf_val,
         },

@@ -52,13 +52,21 @@ def _chunked(df: DataFrame, n: int = SALT_CHUNKS) -> DataFrame:
     raw int64-ns ``ts`` over the global [min, max] span, so equal
     timestamps always share a chunk and chunk order extends the
     (ts, event_id) order.  The 1-row range frame is a broadcast scalar
-    attach."""
+    attach.
+
+    Width-first form — ``width = span div n + 1; chunk = (ts - lo) div
+    width`` — keeps every intermediate within int64 for ANY ns span (the
+    round-11 ``(ts - lo) * n`` form overflowed past a ~2^63/n span,
+    i.e. ~9 years of nanoseconds at n=32; round-11 ADVICE).  Monotone in
+    ``ts`` and equal-ts-shares-a-chunk hold exactly as before; only the
+    (arbitrary) boundary placement shifts, which the stitch passes never
+    depend on."""
     rng = df.agg(F.min("ts").alias("_lo"), F.max("ts").alias("_hi"))
     return (
         df.crossJoin(F.broadcast(rng))
         .withColumn(
             "chunk",
-            F.expr(f"((ts - _lo) * {n}) div (_hi - _lo + 1)").cast(
+            F.expr(f"(ts - _lo) div ((_hi - _lo) div {n} + 1)").cast(
                 "bigint"
             ),
         )

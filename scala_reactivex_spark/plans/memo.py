@@ -105,6 +105,44 @@ def _default_cache_root() -> str:
     return os.path.join(repo, "spark-warehouse", "index_cache")
 
 
+#: Per-process disk-tier observability: how many disk_memo lookups were
+#: served from a finished on-disk index (hits) vs ran the builder
+#: (misses), plus in-memory session_memo short-circuits (session_hits).
+#: bench.py records a snapshot per run so a "cold" pass that actually
+#: read cached indexes back is distinguishable from a build-inclusive
+#: one (round-11 ADVICE).
+DISK_MEMO_STATS = {"hits": 0, "misses": 0, "session_hits": 0}
+
+
+#: Per-file source-hash cache for :func:`_builder_src_tag` (keyed by
+#: (path, size, mtime_ns) so a mid-process edit — test loops reloading
+#: modules — re-hashes instead of serving the stale tag).
+_SRC_TAGS: dict[tuple[str, int, int], str] = {}
+
+
+def _builder_src_tag(builder: Callable) -> str:
+    """8-hex hash of the builder's DEFINING SOURCE FILE — the version
+    token in the on-disk cache name.  Any edit to the module that
+    defines a disk-tiered builder (minhash_pairs, ivf_learned, ...)
+    changes the tag and deterministically invalidates that builder's
+    disk tier, so a code change can never silently serve the stale
+    pre-edit index across sessions (round-11 ADVICE).  Hashing the whole
+    file over-invalidates (a comment edit rebuilds the index) — the safe
+    direction, and builds are one-time per fixture."""
+    import inspect
+
+    try:
+        path = inspect.getsourcefile(builder) or inspect.getfile(builder)
+        st = os.stat(path)
+    except (TypeError, OSError):
+        return "nosrc000"
+    key = (path, st.st_size, st.st_mtime_ns)
+    if key not in _SRC_TAGS:
+        with open(path, "rb") as f:
+            _SRC_TAGS[key] = hashlib.md5(f.read()).hexdigest()[:8]
+    return _SRC_TAGS[key]
+
+
 def disk_memo(
     spark, sf_dir: str, name: str, builder: Callable[[], T]
 ) -> T:
@@ -122,17 +160,28 @@ def disk_memo(
     are deterministic (DECIMAL-exact means, integer pinning), so the
     read-back frames are value-identical to a fresh build — the
     correctness hashes cannot move.  Stale generations of the same name
-    (different fingerprint) are pruned on write — scoped to the SAME
-    fixture directory (the on-disk name carries the dir basename), so a
-    verify run at sf0.01 cannot evict the bench's sf0.1 index or a
-    probe's sf10 one."""
+    (different fingerprint or builder version) are pruned on write —
+    scoped to the SAME fixture directory (the on-disk name carries the
+    dir basename), so a verify run at sf0.01 cannot evict the bench's
+    sf0.1 index or a probe's sf10 one.
+
+    The on-disk name also carries a BUILDER VERSION TOKEN (a hash of
+    the builder's defining source file, :func:`_builder_src_tag`)
+    alongside the fixture fingerprint, so editing a builder's module
+    invalidates its disk tier deterministically instead of silently
+    serving the stale pre-edit index across sessions (round-11
+    ADVICE)."""
     root = _default_cache_root()
     scoped = f"{name}@{os.path.basename(os.path.abspath(sf_dir))}"
-    base = os.path.join(root, f"{scoped}-{_dir_fingerprint(sf_dir)}")
+    base = os.path.join(
+        root,
+        f"{scoped}-{_dir_fingerprint(sf_dir)}-{_builder_src_tag(builder)}",
+    )
 
     def load_or_build() -> T:
         marker = os.path.join(base, "_COMPLETE")
         if os.path.exists(marker):
+            DISK_MEMO_STATS["hits"] += 1
             # Marker records the builder's CONTAINER SHAPE ("tuple:N",
             # "list:N", "scalar:1") so a (df,) builder round-trips as a
             # 1-tuple and a list as a list across sessions, identical
@@ -151,6 +200,7 @@ def disk_memo(
             if shape == "list":
                 return frames  # type: ignore[return-value]
             return frames[0]  # type: ignore[return-value]
+        DISK_MEMO_STATS["misses"] += 1
         val = builder()
         items = tuple(val) if isinstance(val, (tuple, list)) else (val,)
         shape = (
@@ -188,15 +238,23 @@ def disk_memo(
                         if (
                             full != base
                             and os.path.isdir(full)
-                            and "-" in d
-                            and d.rsplit("-", 1)[0] == scoped
+                            and d.startswith(f"{scoped}-")
                         ):
                             shutil.rmtree(full, ignore_errors=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return val
 
-    return session_memo(spark, sf_dir, name, load_or_build)
+    ran = {"load_or_build": False}
+
+    def counted() -> T:
+        ran["load_or_build"] = True
+        return load_or_build()
+
+    val = session_memo(spark, sf_dir, name, counted)
+    if not ran["load_or_build"]:
+        DISK_MEMO_STATS["session_hits"] += 1
+    return val
 
 
 def _unpersist_quietly(obj) -> None:
