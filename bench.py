@@ -240,6 +240,10 @@ NEW_BASELINE_SEC = 14.9
 # BENCH_DETAIL.json and summed as newer_seconds; excluded from all three
 # frozen totals (headline 72, extras 130, new 12) to keep those
 # comparable.
+#
+# FROZEN at round 12 (5 names, NEWER_BASELINE = 4.77 s in BASELINE.md,
+# from the round-11 driver cold pass).  Do NOT append here — queries
+# registered after round 11 go to BEYOND_NEWER below.
 BEYOND_NEW: set[str] = {
     # round 11: salted two-level escape hatches for the per-key ordered
     # family (graded against the base ops' oracles)
@@ -250,6 +254,15 @@ BEYOND_NEW: set[str] = {
     # round 11: corpus-adaptive sign-LSH bucket space
     "llm_dedup_embed_lsh_adaptive",
 }
+
+#: NEWER_BASELINE pin (BASELINE.md, round 12): the frozen 5-query
+#: round-11 suite summed 4.77 s in the round-11 driver cold pass.
+NEWER_BASELINE_SEC = 4.77
+
+# Queries registered after round 11 — timed, reported per-query in
+# BENCH_DETAIL.json and summed as newest_seconds; excluded from all four
+# frozen totals, pinned once the bucket has a quiet-host cold pass.
+BEYOND_NEWER: set[str] = set()
 
 
 def main() -> None:
@@ -344,17 +357,26 @@ def main() -> None:
     # Every extras name must still exist in the registry — a rename or
     # typo would silently fold that query into the frozen headline total
     # and break comparability with the BASELINE.md pin.
-    missing = (BEYOND_BASELINE | BEYOND_EXTRAS | BEYOND_NEW) - set(times)
+    missing = (
+        BEYOND_BASELINE | BEYOND_EXTRAS | BEYOND_NEW | BEYOND_NEWER
+    ) - set(times)
     assert not missing, f"BEYOND_BASELINE names not in registry: {missing}"
-    untiered = set(times) - BEYOND_BASELINE - BEYOND_EXTRAS - BEYOND_NEW
+    untiered = (
+        set(times)
+        - BEYOND_BASELINE
+        - BEYOND_EXTRAS
+        - BEYOND_NEW
+        - BEYOND_NEWER
+    )
     # All frozen suites are closed sets: a new registry key missing from
-    # BEYOND_NEW would silently inflate the headline total.
+    # BEYOND_NEWER would silently inflate the headline total.
     assert len(untiered) == 72, (
         f"headline set drifted to {len(untiered)} queries — add new "
-        "registry keys to BEYOND_NEW"
+        "registry keys to BEYOND_NEWER"
     )
     assert len(BEYOND_BASELINE) == 130, "frozen extras suite drifted"
     assert len(BEYOND_EXTRAS) == 12, "frozen new suite drifted"
+    assert len(BEYOND_NEW) == 5, "frozen newer suite drifted"
     total = round(sum(times[n] for n in untiered), 3)
     extras = round(
         sum(t for n, t in times.items() if n in BEYOND_BASELINE), 3
@@ -364,6 +386,9 @@ def main() -> None:
     )
     newer_sec = round(
         sum(t for n, t in times.items() if n in BEYOND_NEW), 3
+    )
+    newest_sec = round(
+        sum(t for n, t in times.items() if n in BEYOND_NEWER), 3
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -395,6 +420,13 @@ def main() -> None:
         ),
         "newer_seconds": newer_sec,
         "newer": sorted(BEYOND_NEW),
+        "newer_vs_baseline": (
+            round(newer_sec / NEWER_BASELINE_SEC, 3)
+            if sf_val == 0.1
+            else None
+        ),
+        "newest_seconds": newest_sec,
+        "newest": sorted(BEYOND_NEWER),
         "sf": sf_val,
         # Warm medians of the slowest-N queries (median of warm_reps
         # re-runs in the same session) — the self-arbitrating companion
@@ -445,9 +477,17 @@ def main() -> None:
                 if sf_val == 0.1
                 else None
             ),
-            # Post-r10 growth bucket (no pin yet — pinned once it has a
-            # quiet-host cold pass to freeze).
+            # Post-r10 bucket, pinned at round 12 (NEWER_BASELINE);
+            # sf0.1 only, same protocol as the other three pins.
             "newer_seconds": newer_sec,
+            "newer_vs_baseline": (
+                round(newer_sec / NEWER_BASELINE_SEC, 3)
+                if sf_val == 0.1
+                else None
+            ),
+            # Post-r11 growth bucket (no pin yet — pinned once it has a
+            # quiet-host cold pass to freeze).
+            "newest_seconds": newest_sec,
             # One-number warm aggregate (sum of the slowest-20 warm
             # medians); the per-query warm map is in BENCH_DETAIL.json.
             "warm20_sec": round(sum(warm.values()), 2),

@@ -416,16 +416,42 @@ def hybrid_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The static hybrid-retrieval index: every doc's distinct token set
     (lexical side) + embedding with its precomputed norm (semantic
     side).  Shared by the batch operator and the streaming serving twin
-    (streaming/twins.py run_hybrid_rrf_serving)."""
+    (streaming/twins.py twin_hybrid_rrf).
+
+    PRE-PACKED like bm25_contrib: disk-tiered + persisted, because the
+    serving twin consumes this frame TWICE PER MICRO-BATCH (the probe
+    encoder lookup and the fusion's corpus pass) — left lazy, every
+    trigger re-ran the tokenize + embedding join, which the round-12
+    isolated warm probe measured as the bulk of twin_hybrid_rrf's p50
+    sitting 1.36x over its pin (scripts/twin_warm_probe.py; the
+    round-10 BM25 re-pack was the same defect).  Production stores this
+    index as a table; the parquet tier IS that table across sessions."""
+    from scala_reactivex_spark.plans.memo import disk_memo
+
+    return disk_memo(
+        spark, sf_dir, "hybrid_corpus", lambda: _hybrid_corpus(spark, sf_dir)
+    )
+
+
+def _hybrid_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scala_reactivex_spark.operators.llm_similarity import norm_col
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     e = table(spark, sf_dir, "embeddings")
-    return d.join(e, d.doc_id == e.vec_id).select(
-        "doc_id", "toks", "embedding", norm_col("embedding").alias("nrm")
+    out = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "toks",
+            "embedding",
+            norm_col("embedding").alias("nrm"),
+        )
+        .persist()
     )
+    out.count()
+    return out
 
 
 def rrf_fuse(probes: DataFrame, docs: DataFrame) -> DataFrame:

@@ -109,10 +109,18 @@ def _incremental_setup(spark: SparkSession, sf_dir: str, work: str):
 
 
 def measure_serving_latency(
-    spark: SparkSession, sf_dir: str, work: str, reps: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    reps: int = 3,
+    only: set[str] | None = None,
 ) -> dict[str, dict]:
     """{twin name: {batches, p50_trigger_ms, max_trigger_ms, cold_sec,
-    warm_drain_sec}} for the five serving twins at ``sf_dir``."""
+    warm_drain_sec}} for the five serving twins at ``sf_dir``.
+
+    ``only`` restricts to a twin-name subset — the warm-arbitration
+    probe (scripts/twin_warm_probe.py) re-measures a single flagged twin
+    with more reps without paying the other four's drains."""
     from scala_reactivex_spark.operators.llm_retrieval import (
         bm25_contrib,
         hybrid_corpus,
@@ -182,6 +190,8 @@ def measure_serving_latency(
         ("twin_hybrid_rrf", run_hybrid),
         ("twin_dedup_gate", run_gate),
     ):
+        if only is not None and name not in only:
+            continue
         drains: list[float] = []
         warm_trigger: list[int] = []
         n_batches = 0
