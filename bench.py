@@ -38,6 +38,8 @@ EXCLUDE = {
     "llm_dedup_containment",  # same all-pairs inverted-index baseline
     "llm_dedup_recall",  # composes the all-pairs baseline (its numerator)
     "llm_dedup_embed_recall",  # same: embeds the all-pairs cosine baseline
+    # same exact-baseline composition, pointed at the adaptive LSH path
+    "llm_dedup_embed_lsh_adaptive_recall",
 }
 
 # Queries registered AFTER the BASELINE.md pin (round 1, 72-query suite).
@@ -262,7 +264,10 @@ NEWER_BASELINE_SEC = 4.77
 # Queries registered after round 11 — timed, reported per-query in
 # BENCH_DETAIL.json and summed as newest_seconds; excluded from all four
 # frozen totals, pinned once the bucket has a quiet-host cold pass.
-BEYOND_NEWER: set[str] = set()
+BEYOND_NEWER: set[str] = {
+    # round 12: skew dispatch signal for the salted escape hatches
+    "op_salt_dispatch_stats",
+}
 
 
 def main() -> None:

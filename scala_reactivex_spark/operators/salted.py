@@ -30,6 +30,12 @@ Each hatch is registered as a first-class graded query against the SAME
 DuckDB oracle as its single-window twin — the driver hash-grades that
 the two plans agree to the bit.  llm_pack_sequences' two-phase cumsum
 (llm_pipeline.py) is the same rewrite applied to sequence packing.
+
+WHEN to switch is itself a graded query: ``op_salt_dispatch_stats``
+(below) reports the hottest key's row count and corpus share in one
+skew-immune aggregate pass and emits ``use_salted`` against the
+measured ``SALT_DISPATCH_ROWS`` threshold — run it on the target
+corpus and dispatch on its answer instead of guessing from SCALING.md.
 """
 
 from __future__ import annotations
@@ -250,3 +256,86 @@ def op_distinct_until_changed_salted(
 )
 def op_debounce_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return debounce_salted(table(spark, sf_dir, "events"))
+
+
+#: Dispatch threshold for the salted hatches, in ABSOLUTE rows on the
+#: hottest key: the round-11 probe (scripts/skew_probe.py, SCALING.md)
+#: measured a 300k-row hot key fully absorbed by the single-window plan
+#: (worst skew ratio 1.06) and a 3M-row hot key binding it 2.6-2.9x,
+#: with the salted plans ~1.6x slower on balanced keys — so the switch
+#: pays off between those marks.  1M rows is the documented midpoint;
+#: it tracks per-task sort throughput (one key = one task in the base
+#: plan), NOT cluster size, so it holds unchanged on a 1000-executor
+#: cluster.
+SALT_DISPATCH_ROWS = 1_000_000
+
+
+@register(
+    "op_salt_dispatch_stats",
+    tier="T1",
+    doc="Skew dispatch signal for the salted escape hatches [the "
+    "llm_dedup_minhash_stats pattern applied to per-key skew]: one "
+    "hash-aggregate pass over events reporting total rows, key "
+    "cardinality, the hottest key and its row count / corpus share "
+    f"(1e4 units), and use_salted = top_rows > {SALT_DISPATCH_ROWS} "
+    "(SALT_DISPATCH_ROWS — the round-11 probe's measured switch "
+    "point; see the constant's doc).  This is the production decision "
+    "procedure the round-11 verdict asked for: instead of a threshold "
+    "buried in SCALING.md, a pipeline runs THIS query and switches to "
+    "the _salted twins when it says so.  The stats pass itself is "
+    "skew-immune (grouped count with map-side partials; the hottest "
+    "key costs one partial per task, never one task).",
+    oracle=f"""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows
+  FROM per
+), top AS (
+  SELECT CAST(user_id AS BIGINT) AS top_user_id,
+         cnt AS top_rows
+  FROM per ORDER BY cnt DESC, user_id ASC LIMIT 1
+)
+SELECT n_rows, n_keys, top_user_id, top_rows,
+       CAST(top_rows * 10000 // n_rows AS BIGINT) AS top_share_1e4,
+       CAST({SALT_DISPATCH_ROWS} AS BIGINT) AS dispatch_rows,
+       top_rows > {SALT_DISPATCH_ROWS} AS use_salted
+FROM tot, top
+""",
+)
+def op_salt_dispatch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    # Deterministic argmax: max on (cnt, -user_id) = highest count,
+    # ties to the SMALLEST user id — replayed by the oracle's ORDER BY.
+    top = per.agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("user_id")).alias("nu"))).alias(
+            "t"
+        )
+    ).select(
+        (-F.col("t.nu")).cast("bigint").alias("top_user_id"),
+        F.col("t.cnt").alias("top_rows"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            "n_rows",
+            "n_keys",
+            "top_user_id",
+            "top_rows",
+            F.expr("CAST(top_rows * 10000 DIV n_rows AS BIGINT)").alias(
+                "top_share_1e4"
+            ),
+            F.lit(SALT_DISPATCH_ROWS).cast("bigint").alias("dispatch_rows"),
+            (F.col("top_rows") > SALT_DISPATCH_ROWS).alias("use_salted"),
+        )
+    )

@@ -1094,6 +1094,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_dedup_embed",
     "llm_dedup_embed_lsh",
     "llm_dedup_embed_lsh_adaptive",
+    "llm_dedup_embed_lsh_adaptive_recall",
     "llm_dedup_embed_lsh_stats",
     "llm_dedup_embed_recall",
     "llm_dedup_incremental",
@@ -1185,6 +1186,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_merge",
     "op_pairwise",
     "op_pairwise_salted",
+    "op_salt_dispatch_stats",
     "op_sample",
     "op_scan_running_sum",
     "op_scan_running_sum_salted",
