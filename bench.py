@@ -272,6 +272,17 @@ BEYOND_NEWER: set[str] = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # SPARK_GRAFT_FRESH_CACHE=1: point the disk-memo tier at an empty
+    # temp dir for this run, so every index build is paid in-run — the
+    # apples-to-apples regime for comparing against the (pre-disk-tier)
+    # frozen pins.  Default keeps the standing cache: the production
+    # posture, recorded via the dcache field either way.
+    if os.environ.get("SPARK_GRAFT_FRESH_CACHE") == "1":
+        import tempfile
+
+        os.environ["SPARK_GRAFT_INDEX_CACHE"] = tempfile.mkdtemp(
+            prefix="bench_fresh_cache_"
+        )
     from scala_reactivex_spark.plans.registry import registry
     from scala_reactivex_spark.session import get_spark
 

@@ -300,3 +300,87 @@ def test_disk_memo_scopes_generations_per_fixture_dir(
     names = os.listdir(cache)
     assert any(n.startswith("idx@fx_a-") for n in names)
     assert any(n.startswith("idx@fx_b-") for n in names)
+
+
+def test_disk_memo_invalidates_on_builder_source_edit(
+    spark, tmp_path, monkeypatch
+):
+    """The on-disk cache name carries a hash of the builder's defining
+    source file (round-11 ADVICE): editing the builder's module must
+    force a rebuild instead of silently serving the stale pre-edit
+    index across sessions — and the stale generation must be pruned on
+    the new write."""
+    import importlib.util
+    import os
+
+    from scala_reactivex_spark.plans.memo import (
+        clear_session_memo,
+        disk_memo,
+    )
+
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_CACHE", str(cache))
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    (fx / "m.parquet").write_text("x")
+
+    mod_path = tmp_path / "vtok_builder.py"
+
+    def load(n: int):
+        # The zero-arg builder is DEFINED INSIDE the throwaway module,
+        # so _builder_src_tag hashes vtok_builder.py — the file the
+        # test edits — not this test file.
+        mod_path.write_text(
+            "def make_builder(spark):\n"
+            f"    return lambda: spark.range({n}).selectExpr('id AS v')\n"
+        )
+        spec = importlib.util.spec_from_file_location(
+            "vtok_builder", mod_path
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    a = disk_memo(spark, str(fx), "vtok", load(3).make_builder(spark))
+    assert a.count() == 3
+    clear_session_memo()
+
+    b = disk_memo(spark, str(fx), "vtok", load(9).make_builder(spark))
+    assert b.count() == 9, "stale pre-edit index served after builder edit"
+    # Exactly one standing generation per name after the prune.
+    gens = [n for n in os.listdir(cache) if n.startswith("vtok@fx-")]
+    assert len(gens) == 1
+
+
+def test_disk_memo_stats_count_hits_and_misses(
+    spark, tmp_path, monkeypatch
+):
+    """DISK_MEMO_STATS distinguishes builds (misses), disk read-backs
+    (hits) and in-session short-circuits (session_hits) — the regime
+    record bench.py snapshots per run (round-11 ADVICE)."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.plans import memo
+    from scala_reactivex_spark.plans.memo import (
+        clear_session_memo,
+        disk_memo,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_CACHE", str(tmp_path / "cache"))
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    (fx / "m.parquet").write_text("x")
+    before = dict(memo.DISK_MEMO_STATS)
+
+    def build():
+        return spark.range(4).select(F.col("id").alias("v"))
+
+    disk_memo(spark, str(fx), "stats_probe", build)  # miss (build)
+    disk_memo(spark, str(fx), "stats_probe", build)  # session hit
+    clear_session_memo()
+    disk_memo(spark, str(fx), "stats_probe", build)  # disk hit
+
+    delta = {
+        k: memo.DISK_MEMO_STATS[k] - before[k] for k in before
+    }
+    assert delta == {"misses": 1, "session_hits": 1, "hits": 1}

@@ -69,3 +69,49 @@ def test_salted_equals_base_on_hot_key(
     got = _rows(specs[salted].fn(spark, src))
     want = _rows(specs[base].fn(spark, src))
     assert got == want and got
+
+
+def test_chunked_survives_extreme_ts_span(spark):
+    """Regression (round-11 ADVICE): the old ``(ts - lo) * n`` chunk-id
+    form overflowed int64 past a ~2^63/32 ns span.  The width-first
+    form must map any span to chunks in [0, n) with ts-monotone,
+    equal-ts-shares-a-chunk assignment."""
+    from scala_reactivex_spark.operators.salted import SALT_CHUNKS, _chunked
+
+    ts_vals = [0, 1, 2**50, 2**61, 2**62, (2**62) + 1, 2**63 - 2]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts_vals)], "event_id long, ts long"
+    )
+    rows = sorted(
+        (r["ts"], r["chunk"]) for r in _chunked(df).collect()
+    )
+    chunks = [c for _, c in rows]
+    assert all(0 <= c < SALT_CHUNKS for c in chunks)
+    # Monotone in ts, full-span endpoints land in first/last chunk.
+    assert chunks == sorted(chunks)
+    assert chunks[0] == 0 and chunks[-1] == SALT_CHUNKS - 1
+    # Equal ts → equal chunk (trivially true of a deterministic column,
+    # but assert through a duplicated-ts frame to pin the invariant).
+    dup = spark.createDataFrame(
+        [(0, 2**61), (1, 2**61)], "event_id long, ts long"
+    )
+    got = {r["chunk"] for r in _chunked(dup).collect()}
+    assert len(got) == 1
+
+
+def test_salt_dispatch_flag_flips_on_hot_key(spark, sf_dir, monkeypatch):
+    """The dispatch signal must say use_salted=False on the balanced
+    fixture and True once the hottest key exceeds the threshold —
+    exercised by lowering SALT_DISPATCH_ROWS instead of building a
+    million-row corpus."""
+    from scala_reactivex_spark.operators import salted as s
+
+    cold = registry()["op_salt_dispatch_stats"].fn(spark, sf_dir).collect()
+    assert len(cold) == 1 and cold[0]["use_salted"] is False
+    assert cold[0]["top_rows"] <= cold[0]["n_rows"]
+    assert 0 < cold[0]["top_share_1e4"] <= 10_000
+
+    monkeypatch.setattr(s, "SALT_DISPATCH_ROWS", cold[0]["top_rows"] - 1)
+    hot = s.op_salt_dispatch_stats(spark, sf_dir).collect()
+    assert hot[0]["use_salted"] is True
+    assert hot[0]["top_user_id"] == cold[0]["top_user_id"]
