@@ -267,6 +267,11 @@ NEWER_BASELINE_SEC = 4.77
 BEYOND_NEWER: set[str] = {
     # round 12: skew dispatch signal for the salted escape hatches
     "op_salt_dispatch_stats",
+    # round 12: auto-dispatching wrappers (probe → base or salted plan)
+    "op_scan_running_sum_auto",
+    "op_pairwise_auto",
+    "op_distinct_until_changed_auto",
+    "op_debounce_auto",
 }
 
 

@@ -270,6 +270,91 @@ def op_debounce_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALT_DISPATCH_ROWS = 1_000_000
 
 
+def _hot_key_rows(df: DataFrame) -> int:
+    """Rows on the hottest key — the op_salt_dispatch_stats scalar the
+    auto operators branch on.  One grouped count with map-side partials
+    (skew-immune by construction) collapsed to a single driver scalar:
+    size-based plan selection, the same sanctioned control-flow pattern
+    as the convergence checks in connected_components."""
+    row = (
+        df.groupBy("user_id")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("m"))
+        .first()
+    )
+    return int(row["m"]) if row and row["m"] is not None else 0
+
+
+_AUTO_DOC = (
+    "Auto-dispatching {base} [the round-12 closing of the salted-hatch "
+    "loop]: runs the op_salt_dispatch_stats probe (one skew-immune "
+    "grouped count collapsed to a scalar — control flow, not data "
+    "movement) and picks the plan a production job should run — the "
+    "single-window {base} below SALT_DISPATCH_ROWS on the hottest key, "
+    "the salted two-level rewrite above it.  Both branches are driver "
+    "hash-certified against this SAME oracle ({base}'s), so the "
+    "dispatch can never change the answer, only the plan.  This is the "
+    "engine making SCALING.md's 'switch when a key binds' rule "
+    "self-executing."
+)
+
+
+def _auto(spark: SparkSession, sf_dir: str, base_key: str, salted_fn):
+    ev = table(spark, sf_dir, "events")
+    if _hot_key_rows(ev) > SALT_DISPATCH_ROWS:
+        return salted_fn(ev)
+    return _REGISTRY[base_key].fn(spark, sf_dir)
+
+
+@register(
+    "op_scan_running_sum_auto",
+    tier="T1",
+    doc=_AUTO_DOC.format(base="op_scan_running_sum"),
+    oracle=_REGISTRY["op_scan_running_sum"].oracle,
+)
+def op_scan_running_sum_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _auto(
+        spark, sf_dir, "op_scan_running_sum", scan_running_sum_salted
+    )
+
+
+@register(
+    "op_pairwise_auto",
+    tier="T1",
+    doc=_AUTO_DOC.format(base="op_pairwise"),
+    oracle=_REGISTRY["op_pairwise"].oracle,
+)
+def op_pairwise_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _auto(spark, sf_dir, "op_pairwise", pairwise_salted)
+
+
+@register(
+    "op_distinct_until_changed_auto",
+    tier="T1",
+    doc=_AUTO_DOC.format(base="op_distinct_until_changed"),
+    oracle=_REGISTRY["op_distinct_until_changed"].oracle,
+)
+def op_distinct_until_changed_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _auto(
+        spark,
+        sf_dir,
+        "op_distinct_until_changed",
+        distinct_until_changed_salted,
+    )
+
+
+@register(
+    "op_debounce_auto",
+    tier="T1",
+    doc=_AUTO_DOC.format(base="op_debounce"),
+    oracle=_REGISTRY["op_debounce"].oracle,
+)
+def op_debounce_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _auto(spark, sf_dir, "op_debounce", debounce_salted)
+
+
 @register(
     "op_salt_dispatch_stats",
     tier="T1",

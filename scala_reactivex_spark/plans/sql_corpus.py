@@ -1170,10 +1170,12 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_combine_latest",
     "op_concat",
     "op_debounce",
+    "op_debounce_auto",
     "op_debounce_salted",
     "op_delay",
     "op_distinct",
     "op_distinct_until_changed",
+    "op_distinct_until_changed_auto",
     "op_distinct_until_changed_salted",
     "op_error_return",
     "op_filter",
@@ -1185,10 +1187,12 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_materialize",
     "op_merge",
     "op_pairwise",
+    "op_pairwise_auto",
     "op_pairwise_salted",
     "op_salt_dispatch_stats",
     "op_sample",
     "op_scan_running_sum",
+    "op_scan_running_sum_auto",
     "op_scan_running_sum_salted",
     "op_skip",
     "op_switch",

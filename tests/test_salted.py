@@ -71,6 +71,32 @@ def test_salted_equals_base_on_hot_key(
     assert got == want and got
 
 
+AUTOS = [
+    ("op_scan_running_sum", "op_scan_running_sum_auto"),
+    ("op_pairwise", "op_pairwise_auto"),
+    ("op_distinct_until_changed", "op_distinct_until_changed_auto"),
+    ("op_debounce", "op_debounce_auto"),
+]
+
+
+@pytest.mark.parametrize("base,auto", AUTOS)
+def test_auto_equals_base_on_both_branches(
+    spark, sf_dir, base, auto, monkeypatch
+):
+    """The auto operator must equal the base op whichever branch the
+    dispatch probe picks: the window branch on the balanced fixture,
+    and the salted branch when the threshold is forced below the
+    fixture's hottest key."""
+    from scala_reactivex_spark.operators import salted as s
+
+    specs = registry()
+    want = _rows(specs[base].fn(spark, sf_dir))
+    assert _rows(specs[auto].fn(spark, sf_dir)) == want and want
+
+    monkeypatch.setattr(s, "SALT_DISPATCH_ROWS", 0)
+    assert _rows(specs[auto].fn(spark, sf_dir)) == want
+
+
 def test_chunked_survives_extreme_ts_span(spark):
     """Regression (round-11 ADVICE): the old ``(ts - lo) * n`` chunk-id
     form overflowed int64 past a ~2^63/32 ns span.  The width-first
