@@ -396,6 +396,14 @@ def op_salt_dispatch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    return dispatch_summary(per)
+
+
+def dispatch_summary(per: DataFrame) -> DataFrame:
+    """One-row dispatch summary over a ``(user_id, cnt)`` per-key count
+    frame — shared by the batch query and the streaming skew monitor's
+    view (streaming/twins.py salt_dispatch_view), so the live table and
+    the batch grade derive the decision identically."""
     tot = per.agg(
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("cnt").cast("bigint").alias("n_rows"),

@@ -1785,6 +1785,31 @@ def twin_hll(sdf: DataFrame) -> DataFrame:
     )
 
 
+def twin_salt_dispatch(sdf: DataFrame) -> DataFrame:
+    """Streaming skew monitor [T1 — live twin of op_salt_dispatch_stats]:
+    arriving events maintain the standing per-key count table
+    (complete-mode grouped count — counts merge associatively across
+    micro-batches, executors and restarts), the table a live pipeline
+    watches to decide WHEN to flip its per-key ordered jobs to the
+    _salted twins (or lets the _auto operators decide).  The one-row
+    dispatch summary is a VIEW over the materialized counts
+    (:func:`salt_dispatch_view`) — the same stateful-count/derived-view
+    split as twin_topk_window/topk_view, because argmax-with-ties is a
+    batch derivation, not streaming state."""
+    return sdf.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+
+
+def salt_dispatch_view(materialized: DataFrame) -> DataFrame:
+    """Dispatch summary over twin_salt_dispatch's sink table — exactly
+    the batch operator's derivation (operators/salted.dispatch_summary),
+    so the live monitor and the graded query agree to the bit."""
+    from scala_reactivex_spark.operators.salted import dispatch_summary
+
+    return dispatch_summary(materialized.select("user_id", "cnt"))
+
+
 def twin_hybrid_rrf(
     sdf: DataFrame, corpus: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> DataFrame:

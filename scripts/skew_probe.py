@@ -130,6 +130,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = registry()
 
+    # SPARK_GRAFT_SKEW_PROBE=a,b,c overrides the probe list (round 12:
+    # the _auto dispatch wrappers get their payoff measured on the same
+    # fixtures the hatches were graded on).
+    global PROBE
+    env_probe = tuple(
+        n
+        for n in os.environ.get("SPARK_GRAFT_SKEW_PROBE", "").split(",")
+        if n
+    )
+    if env_probe:
+        PROBE = env_probe
+
     def run(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode(

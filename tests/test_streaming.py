@@ -795,3 +795,24 @@ def test_twin_hll_equals_batch_registers(
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_twin_salt_dispatch_equals_batch(spark, sf_dir, stream_src, ckpt):
+    """The live skew monitor's standing per-key counts + derived view
+    equal the graded op_salt_dispatch_stats row exactly — counts merge
+    associatively across micro-batches, and the view IS the batch
+    derivation (operators/salted.dispatch_summary)."""
+    from scala_reactivex_spark.operators.salted import (
+        op_salt_dispatch_stats,
+    )
+
+    sdf = twins.events_stream(spark, stream_src)
+    counts = twins.run_stream_to_table(
+        twins.twin_salt_dispatch(sdf),
+        "t_salt_dispatch",
+        ckpt,
+        output_mode="complete",
+    )
+    got = [tuple(r) for r in twins.salt_dispatch_view(counts).collect()]
+    want = [tuple(r) for r in op_salt_dispatch_stats(spark, sf_dir).collect()]
+    assert got == want and len(got) == 1
