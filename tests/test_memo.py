@@ -37,9 +37,14 @@ def test_shared_index_builders_are_memoized(spark, sf_dir):
         _pq_index,
     )
 
+    from scala_reactivex_spark.operators.llm_retrieval import hybrid_corpus
+
     assert _ivf_index(spark, sf_dir)[2] is _ivf_index(spark, sf_dir)[2]
     assert _pq_index(spark, sf_dir)[0] is _pq_index(spark, sf_dir)[0]
     assert _kmeans_loop(spark, sf_dir)[0] is _kmeans_loop(spark, sf_dir)[0]
+    # The hybrid-retrieval index joined the memoized tier in round 12
+    # (its serving twin consumes it twice per micro-batch).
+    assert hybrid_corpus(spark, sf_dir) is hybrid_corpus(spark, sf_dir)
 
 
 def test_memo_misses_when_fixture_regenerated(spark, tmp_path):
