@@ -420,6 +420,12 @@ def dispatch_summary(per: DataFrame) -> DataFrame:
     )
     return (
         tot.crossJoin(F.broadcast(top))
+        # Empty-input parity with the oracle (round-12 review): on an
+        # empty per-key frame the aggregates still emit one all-NULL
+        # row but the oracle's LIMIT-1 'top' CTE emits none — filter
+        # the NULL-top row so both engines return ZERO rows, the
+        # defined degradation (a consumer never sees use_salted=NULL).
+        .where(F.col("top_rows").isNotNull())
         .select(
             "n_rows",
             "n_keys",

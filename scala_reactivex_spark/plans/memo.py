@@ -114,10 +114,18 @@ def _default_cache_root() -> str:
 DISK_MEMO_STATS = {"hits": 0, "misses": 0, "session_hits": 0}
 
 
-#: Per-file source-hash cache for :func:`_builder_src_tag` (keyed by
-#: (path, size, mtime_ns) so a mid-process edit — test loops reloading
-#: modules — re-hashes instead of serving the stale tag).
-_SRC_TAGS: dict[tuple[str, int, int], str] = {}
+#: Per-file source-hash cache for :func:`_builder_src_tag`.  Keyed by
+#: PATH ONLY and pinned for the process lifetime: the running code was
+#: imported from the file's state near process start, so the FIRST hash
+#: is the one that describes the loaded builders.  Re-hashing on a
+#: mid-process disk edit would be wrong in the dangerous direction — a
+#: build executed by the already-loaded pre-edit code would be labeled
+#: with the post-edit tag and served to future post-edit sessions
+#: (round-12 review).  A reloaded module (test loops via
+#: importlib from a rewritten file) still gets a fresh tag because the
+#: rewritten file lives at the same path only in the same process —
+#: tests that need per-rewrite tags use distinct paths or processes.
+_SRC_TAGS: dict[str, str] = {}
 
 
 def _builder_src_tag(builder: Callable) -> str:
@@ -128,19 +136,25 @@ def _builder_src_tag(builder: Callable) -> str:
     disk tier, so a code change can never silently serve the stale
     pre-edit index across sessions (round-11 ADVICE).  Hashing the whole
     file over-invalidates (a comment edit rebuilds the index) — the safe
-    direction, and builds are one-time per fixture."""
+    direction, and builds are one-time per fixture.  Known limit,
+    accepted: the tag covers the DEFINING file only — an edit to a
+    transitive dependency (a helper in another module) does not change
+    it; cross-module refactors of builder internals should touch the
+    defining module (they essentially always do) or clear the cache
+    dir."""
     import inspect
 
     try:
         path = inspect.getsourcefile(builder) or inspect.getfile(builder)
-        st = os.stat(path)
-    except (TypeError, OSError):
+    except TypeError:
         return "nosrc000"
-    key = (path, st.st_size, st.st_mtime_ns)
-    if key not in _SRC_TAGS:
-        with open(path, "rb") as f:
-            _SRC_TAGS[key] = hashlib.md5(f.read()).hexdigest()[:8]
-    return _SRC_TAGS[key]
+    if path not in _SRC_TAGS:
+        try:
+            with open(path, "rb") as f:
+                _SRC_TAGS[path] = hashlib.md5(f.read()).hexdigest()[:8]
+        except OSError:
+            return "nosrc000"
+    return _SRC_TAGS[path]
 
 
 def disk_memo(
@@ -233,12 +247,21 @@ def disk_memo(
                     # Prune superseded generations (regenerated
                     # fixture) so the cache dir does not grow without
                     # bound.
+                    # Exact scoped-name match, never a prefix test: a
+                    # prefix would let 'idx@sf1' evict 'idx@sf1-hot'
+                    # (fixture basenames can nest with a dash —
+                    # round-12 review).  New format is
+                    # {scoped}-{fp8}-{tag8} (rsplit 2); pre-round-12
+                    # dirs were {scoped}-{fp8} (rsplit 1) — prune both.
                     for d in os.listdir(root):
                         full = os.path.join(root, d)
                         if (
                             full != base
                             and os.path.isdir(full)
-                            and d.startswith(f"{scoped}-")
+                            and (
+                                d.rsplit("-", 2)[0] == scoped
+                                or d.rsplit("-", 1)[0] == scoped
+                            )
                         ):
                             shutil.rmtree(full, ignore_errors=True)
         finally:

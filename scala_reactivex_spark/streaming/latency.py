@@ -128,12 +128,36 @@ def measure_serving_latency(
     from scala_reactivex_spark.streaming import twins
 
     os.makedirs(work, exist_ok=True)
-    src = _probe_sources(spark, sf_dir, work)
-    contrib = bm25_contrib(spark, sf_dir)
-    corpus = hybrid_corpus(spark, sf_dir)
-    incoming_src, ex_hashes, ex_index = _incremental_setup(
-        spark, sf_dir, work
+    # Setup is gated on the twin subset: a single-twin arbitration run
+    # must not pay the other twins' index builds and probe-source
+    # writes (round-12 review) — on a fresh cache those dominate the
+    # probe's wall time.
+    want = (
+        {
+            "twin_ann_ivf",
+            "twin_ann_pq",
+            "twin_bm25",
+            "twin_hybrid_rrf",
+            "twin_dedup_gate",
+        }
+        if only is None
+        else set(only)
     )
+    src = (
+        _probe_sources(spark, sf_dir, work)
+        if want & {"twin_ann_ivf", "twin_ann_pq", "twin_bm25",
+                   "twin_hybrid_rrf"}
+        else {}
+    )
+    contrib = bm25_contrib(spark, sf_dir) if "twin_bm25" in want else None
+    corpus = (
+        hybrid_corpus(spark, sf_dir) if "twin_hybrid_rrf" in want else None
+    )
+    incoming_src = ex_hashes = ex_index = None
+    if "twin_dedup_gate" in want:
+        incoming_src, ex_hashes, ex_index = _incremental_setup(
+            spark, sf_dir, work
+        )
 
     def run_ivf(rep: int) -> None:
         twins.twin_ann_ivf(

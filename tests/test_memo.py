@@ -329,28 +329,35 @@ def test_disk_memo_invalidates_on_builder_source_edit(
     fx.mkdir()
     (fx / "m.parquet").write_text("x")
 
-    mod_path = tmp_path / "vtok_builder.py"
-
-    def load(n: int):
-        # The zero-arg builder is DEFINED INSIDE the throwaway module,
-        # so _builder_src_tag hashes vtok_builder.py — the file the
-        # test edits — not this test file.
+    def load(n: int, fname: str):
+        # The zero-arg builder is DEFINED INSIDE a throwaway module, so
+        # _builder_src_tag hashes that file — not this test file.  Two
+        # DISTINCT paths stand in for the pre-edit and post-edit
+        # sessions: the tag cache is pinned per path for the process
+        # lifetime (a mid-process re-hash would mislabel builds made by
+        # already-loaded pre-edit code), so the cross-session edit is
+        # modeled as two first-hash states.
+        mod_path = tmp_path / fname
         mod_path.write_text(
             "def make_builder(spark):\n"
             f"    return lambda: spark.range({n}).selectExpr('id AS v')\n"
         )
         spec = importlib.util.spec_from_file_location(
-            "vtok_builder", mod_path
+            fname[:-3], mod_path
         )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         return mod
 
-    a = disk_memo(spark, str(fx), "vtok", load(3).make_builder(spark))
+    a = disk_memo(
+        spark, str(fx), "vtok", load(3, "vtok_v1.py").make_builder(spark)
+    )
     assert a.count() == 3
     clear_session_memo()
 
-    b = disk_memo(spark, str(fx), "vtok", load(9).make_builder(spark))
+    b = disk_memo(
+        spark, str(fx), "vtok", load(9, "vtok_v2.py").make_builder(spark)
+    )
     assert b.count() == 9, "stale pre-edit index served after builder edit"
     # Exactly one standing generation per name after the prune.
     gens = [n for n in os.listdir(cache) if n.startswith("vtok@fx-")]

@@ -97,6 +97,16 @@ def test_auto_equals_base_on_both_branches(
     assert _rows(specs[auto].fn(spark, sf_dir)) == want
 
 
+def test_dispatch_summary_empty_input_returns_zero_rows(spark):
+    """Oracle parity on an empty corpus (round-12 review): the DuckDB
+    LIMIT-1 'top' CTE emits no row, so the Spark side must too — a
+    consumer never sees use_salted=NULL."""
+    from scala_reactivex_spark.operators.salted import dispatch_summary
+
+    per = spark.createDataFrame([], "user_id long, cnt long")
+    assert dispatch_summary(per).count() == 0
+
+
 def test_chunked_survives_extreme_ts_span(spark):
     """Regression (round-11 ADVICE): the old ``(ts - lo) * n`` chunk-id
     form overflowed int64 past a ~2^63/32 ns span.  The width-first
