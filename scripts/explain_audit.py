@@ -33,6 +33,10 @@ ALLOWED_NESTED_LOOP = {
     # recall eval composes the all-pairs baseline (its ground truth —
     # quadratic BY DESIGN, bench-excluded) plus 1-row scalar crossJoins
     "llm_dedup_embed_recall",
+    # same composition, pointed at the adaptive LSH path (round 12)
+    "llm_dedup_embed_lsh_adaptive_recall",
+    # 1-row totals × 1-row argmax broadcast scalar attach (round 12)
+    "op_salt_dispatch_stats",
     "llm_similarity_topk",  # 5 broadcast probe rows × corpus stream
     "llm_ann_ivf",  # 8 broadcast centroid rows × corpus stream
     "llm_ann_ivf_mp",  # same centroid cross (5 probes × 8 centroids)
