@@ -816,3 +816,23 @@ def test_twin_salt_dispatch_equals_batch(spark, sf_dir, stream_src, ckpt):
     got = [tuple(r) for r in twins.salt_dispatch_view(counts).collect()]
     want = [tuple(r) for r in op_salt_dispatch_stats(spark, sf_dir).collect()]
     assert got == want and len(got) == 1
+
+
+def test_gate_broadcast_is_size_dispatched(spark, monkeypatch):
+    """The dedup gate's static-side broadcast hint must apply below
+    GATE_BROADCAST_MAX_ROWS and fall back to plain (sort-merge-able)
+    frames above it — no forced broadcast of an oversized signature
+    store (round-12 review)."""
+    import pyspark.sql.functions as F
+
+    small = spark.range(10).select(F.col("id").alias("k"))
+    hinted = twins._broadcast_if_small(small)
+    assert "UnresolvedHint broadcast" in (
+        hinted._jdf.queryExecution().logical().toString()
+    )
+
+    monkeypatch.setattr(twins, "GATE_BROADCAST_MAX_ROWS", 5)
+    plain = twins._broadcast_if_small(small)
+    assert "UnresolvedHint" not in (
+        plain._jdf.queryExecution().logical().toString()
+    )
