@@ -263,7 +263,12 @@ NEWER_BASELINE_SEC = 4.77
 
 # Queries registered after round 11 — timed, reported per-query in
 # BENCH_DETAIL.json and summed as newest_seconds; excluded from all four
-# frozen totals, pinned once the bucket has a quiet-host cold pass.
+# frozen totals.
+#
+# FROZEN at round 13 (5 names, NEWEST_BASELINE = 2.33 s in BASELINE.md,
+# from the round-12 driver cold pass recorded in BENCH_DETAIL.json).
+# Do NOT append here — queries registered after round 12 go to
+# BEYOND_NEWEST below.
 BEYOND_NEWER: set[str] = {
     # round 12: skew dispatch signal for the salted escape hatches
     "op_salt_dispatch_stats",
@@ -273,6 +278,15 @@ BEYOND_NEWER: set[str] = {
     "op_distinct_until_changed_auto",
     "op_debounce_auto",
 }
+
+#: NEWEST_BASELINE pin (BASELINE.md, round 13): the frozen 5-query
+#: round-12 suite summed 2.33 s in the round-12 driver cold pass.
+NEWEST_BASELINE_SEC = 2.33
+
+# Queries registered after round 12 — timed, reported per-query in
+# BENCH_DETAIL.json and summed as beyond_seconds; excluded from all five
+# frozen totals, pinned once the bucket has a quiet-host cold pass.
+BEYOND_NEWEST: set[str] = set()
 
 
 def main() -> None:
@@ -379,7 +393,11 @@ def main() -> None:
     # typo would silently fold that query into the frozen headline total
     # and break comparability with the BASELINE.md pin.
     missing = (
-        BEYOND_BASELINE | BEYOND_EXTRAS | BEYOND_NEW | BEYOND_NEWER
+        BEYOND_BASELINE
+        | BEYOND_EXTRAS
+        | BEYOND_NEW
+        | BEYOND_NEWER
+        | BEYOND_NEWEST
     ) - set(times)
     assert not missing, f"BEYOND_BASELINE names not in registry: {missing}"
     untiered = (
@@ -388,16 +406,18 @@ def main() -> None:
         - BEYOND_EXTRAS
         - BEYOND_NEW
         - BEYOND_NEWER
+        - BEYOND_NEWEST
     )
     # All frozen suites are closed sets: a new registry key missing from
-    # BEYOND_NEWER would silently inflate the headline total.
+    # BEYOND_NEWEST would silently inflate the headline total.
     assert len(untiered) == 72, (
         f"headline set drifted to {len(untiered)} queries — add new "
-        "registry keys to BEYOND_NEWER"
+        "registry keys to BEYOND_NEWEST"
     )
     assert len(BEYOND_BASELINE) == 130, "frozen extras suite drifted"
     assert len(BEYOND_EXTRAS) == 12, "frozen new suite drifted"
     assert len(BEYOND_NEW) == 5, "frozen newer suite drifted"
+    assert len(BEYOND_NEWER) == 5, "frozen newest suite drifted"
     total = round(sum(times[n] for n in untiered), 3)
     extras = round(
         sum(t for n, t in times.items() if n in BEYOND_BASELINE), 3
@@ -411,16 +431,19 @@ def main() -> None:
     newest_sec = round(
         sum(t for n, t in times.items() if n in BEYOND_NEWER), 3
     )
+    beyond_sec = round(
+        sum(t for n, t in times.items() if n in BEYOND_NEWEST), 3
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Full per-query detail (headline + extras, 3 decimals) goes to a repo
     # file; the stdout contract line must stay SHORT.  The bench driver
     # keeps only the last ~2000 chars of stdout and parses the final line —
-    # round 2's line outgrew that window when extras landed and the driver
-    # recorded parsed:null (BENCH_r02.json).  So: detail → file, stdout →
-    # compact line with ONLY the frozen 72-query headline set (the
-    # BASELINE.md pin), 2-decimal seconds, no spaces.
+    # round 2's line outgrew that window when extras landed (BENCH_r02
+    # parsed:null), and round 12's 72-query map crossed it again when more
+    # floats tipped over 1.0 s (BENCH_r12 rc=1).  So: detail → file,
+    # stdout → totals + all pin ratios + slowest-5 only, no spaces.
     detail = {
         "metric": "headline_suite_wall_seconds",
         "value": total,
@@ -448,6 +471,13 @@ def main() -> None:
         ),
         "newest_seconds": newest_sec,
         "newest": sorted(BEYOND_NEWER),
+        "newest_vs_baseline": (
+            round(newest_sec / NEWEST_BASELINE_SEC, 3)
+            if sf_val == 0.1
+            else None
+        ),
+        "beyond_seconds": beyond_sec,
+        "beyond": sorted(BEYOND_NEWEST),
         "sf": sf_val,
         # Warm medians of the slowest-N queries (median of warm_reps
         # re-runs in the same session) — the self-arbitrating companion
@@ -474,16 +504,61 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    # ONLY the frozen 72-query headline set goes to stdout (the comment
-    # below explains the driver's tail window); extras and new-tier
-    # per-query times live in BENCH_DETAIL.json.
-    headline = {n: round(times[n], 2) for n in untiered}
+    line = build_contract_line(
+        times=times,
+        untiered=untiered,
+        total=total,
+        extras=extras,
+        new_sec=new_sec,
+        newer_sec=newer_sec,
+        newest_sec=newest_sec,
+        beyond_sec=beyond_sec,
+        sf_val=sf_val,
+        warm=warm,
+        twin_latency=twin_latency,
+        prepopulated=prepopulated,
+        cold_cache=cold_cache,
+    )
+    print(line)
+
+
+def build_contract_line(
+    *,
+    times: dict[str, float],
+    untiered: set[str],
+    total: float,
+    extras: float,
+    new_sec: float,
+    newer_sec: float,
+    newest_sec: float,
+    beyond_sec: float,
+    sf_val,
+    warm: dict[str, float],
+    twin_latency: dict[str, dict],
+    prepopulated: int,
+    cold_cache: dict[str, int],
+) -> str:
+    """Build the ONE-line stdout contract the driver parses.
+
+    The line must be LENGTH-DATA-INDEPENDENT (round-12 verdict #1):
+    embedding the full 72-query map made line length depend on how many
+    floats tipped over 1.0 s, and the r12 driver run hit the 1900-char
+    assert (BENCH_r12.json rc=1, parsed:null).  stdout now carries the
+    totals, every frozen-pin ratio, and only the slowest-5 headline
+    queries (bounded: 5 names × ~40 chars); the full per-query map lives
+    in BENCH_DETAIL.json verbatim.  tests/test_bench_contract.py asserts
+    the bound under worst-case data widths.
+    """
+    slowest5 = {
+        n: round(times[n], 2)
+        for n in sorted(untiered, key=times.get, reverse=True)[:5]
+    }
     line = json.dumps(
         {
             "metric": "headline_suite_wall_seconds",
             "value": total,
             "unit": "sec",
-            "queries": headline,
+            "queries": slowest5,
             "extras_seconds": extras,
             "extras_vs_baseline": (
                 round(extras / EXTRAS_BASELINE_SEC, 3)
@@ -506,9 +581,17 @@ def main() -> None:
                 if sf_val == 0.1
                 else None
             ),
-            # Post-r11 growth bucket (no pin yet — pinned once it has a
-            # quiet-host cold pass to freeze).
+            # Post-r11 bucket, pinned at round 13 (NEWEST_BASELINE);
+            # sf0.1 only, same protocol as the other four pins.
             "newest_seconds": newest_sec,
+            "newest_vs_baseline": (
+                round(newest_sec / NEWEST_BASELINE_SEC, 3)
+                if sf_val == 0.1
+                else None
+            ),
+            # Post-r12 growth bucket (no pin yet — pinned once it has a
+            # quiet-host cold pass to freeze).
+            "beyond_seconds": beyond_sec,
             # One-number warm aggregate (sum of the slowest-20 warm
             # medians); the per-query warm map is in BENCH_DETAIL.json.
             "warm20_sec": round(sum(warm.values()), 2),
@@ -557,10 +640,11 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    # Hard bound: the driver's stdout tail is 2000 chars; leave margin for
-    # a trailing progress-bar erase sequence.
-    assert len(line) < 1900, f"bench line too long ({len(line)} chars)"
-    print(line)
+    # Backstop: the driver's stdout tail is 2000 chars; the line is now
+    # ~750 chars with a bounded slowest-5 map, so this cannot fire on
+    # data-width drift — it guards future structural additions only.
+    assert len(line) < 1500, f"bench line too long ({len(line)} chars)"
+    return line
 
 
 if __name__ == "__main__":

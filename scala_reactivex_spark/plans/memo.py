@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import threading
 from collections.abc import Callable
 from typing import TypeVar
@@ -246,22 +247,26 @@ def disk_memo(
                 else:
                     # Prune superseded generations (regenerated
                     # fixture) so the cache dir does not grow without
-                    # bound.
-                    # Exact scoped-name match, never a prefix test: a
-                    # prefix would let 'idx@sf1' evict 'idx@sf1-hot'
-                    # (fixture basenames can nest with a dash —
-                    # round-12 review).  New format is
-                    # {scoped}-{fp8}-{tag8} (rsplit 2); pre-round-12
-                    # dirs were {scoped}-{fp8} (rsplit 1) — prune both.
+                    # bound.  Match by SEGMENT SHAPE, never a bare
+                    # rsplit/prefix test: new format is
+                    # {scoped}-{fp8}-{tag8}, legacy (pre-round-12)
+                    # {scoped}-{fp8}, where fp8 is 8-hex and tag8 is
+                    # 8-hex or the literal 'nosrc000'.  A bare rsplit
+                    # collided across fixtures whose basenames contain
+                    # a dash: pruning 'idx@fx' must not evict a legacy
+                    # 'idx@fx-a-<fp8>' belonging to fixture 'fx-a'
+                    # (round-12 ADVICE) — the shape test can't, because
+                    # 'a' is not an 8-hex segment.
+                    gen = re.compile(
+                        re.escape(scoped)
+                        + r"-[0-9a-f]{8}(-([0-9a-f]{8}|nosrc000))?"
+                    )
                     for d in os.listdir(root):
                         full = os.path.join(root, d)
                         if (
                             full != base
                             and os.path.isdir(full)
-                            and (
-                                d.rsplit("-", 2)[0] == scoped
-                                or d.rsplit("-", 1)[0] == scoped
-                            )
+                            and gen.fullmatch(d)
                         ):
                             shutil.rmtree(full, ignore_errors=True)
         finally:

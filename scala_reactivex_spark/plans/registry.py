@@ -68,14 +68,14 @@ _LOADED = False
 #: Grading-window rotation (see COVERAGE.md "Rotation policy").  The external
 #: driver grades only the FIRST 50 registry entries in iteration order, so the
 #: order is: (1) keys never hash-green in any round — new operators and fixes
-#: land here automatically; (2) round-2 greens, which re-confirm inside the
-#: window while slots remain; (3) keys graded at their declared rows-only
-#: maximum (can't improve, banked in CORRECTNESS_r02.json); (4) round-1
-#: greens.  Keys outside the window in a given round remain covered by
-#: scripts/verify_local.py (same row-count + schema + value-hash protocol)
-#: and their banked CORRECTNESS_r{N}.json rows — recorded here explicitly
-#: per ADVICE.md r2 so the rotation is an auditable policy, not a silent
-#: reshuffle.
+#: land here automatically; (2) keys whose defining module was EDITED after
+#: their latest grade and not since re-verified locally (plans/grade_fp.py —
+#: round-12 verdict #7 made this priority explicit); (3) explicit
+#: re-confirms; (4) banked greens, oldest grade first.  Keys outside the
+#: window in a given round remain covered by scripts/verify_local.py (same
+#: row-count + schema + value-hash protocol) and their banked
+#: CORRECTNESS_r{N}.json rows — recorded here explicitly per ADVICE.md r2 so
+#: the rotation is an auditable policy, not a silent reshuffle.
 _R1_GREEN_ROTATE_LAST = (
     "src_scan_events", "src_interval",
     "op_map", "op_filter", "op_flatmap", "op_materialize",
@@ -190,23 +190,47 @@ def _externally_green() -> dict[str, int]:
 
 
 def _grade_order(names):
-    """Never-green-first ordering: keys with no external hash-green row
-    lead (they can improve their grade), banked greens follow OLDEST
-    round first (an r01 grade is the most stale, so it re-confirms while
+    """Grading-window ordering: (1) keys with no external hash-green row
+    lead (they can improve their grade); (2) EDITED-SINCE-GRADE keys —
+    defining module changed after the latest driver grade with no local
+    re-verification at the current source (plans/grade_fp.py, round-12
+    verdict #7: stale greens must not hide behind window-size
+    construction); (3) explicit re-confirms; (4) banked greens, OLDEST
+    round first (an r08 grade is the most stale, so it re-confirms while
     window slots remain — r07 verdict "Next round" #1).  Falls back to
     the hardcoded round-1..5 tuples when no CORRECTNESS artifacts are
     readable (e.g. a bare checkout)."""
     green = _externally_green()
     if green:
+        from scala_reactivex_spark.plans import grade_fp
+
         held = set(_HOLD_NEXT_ROUND)
         front = [n for n in names if n not in green and n not in held]
+        # Rotation priority #2 (right behind never-green — round-12
+        # verdict #7): keys whose DEFINING MODULE changed after their
+        # latest driver grade and whose current source no local
+        # verify_local run has re-confirmed.  Their green grade is
+        # stale evidence; front-load so the driver re-proves them
+        # before the banked cohorts re-confirm.  Oldest grade first.
+        edited = sorted(
+            (
+                n
+                for n in names
+                if n in green
+                and n not in held
+                and grade_fp.edited_unverified(
+                    n, _REGISTRY[n].fn.__module__, green[n]
+                )
+            ),
+            key=lambda n: (green[n], n),
+        )
         reconfirm = [n for n in _RECONFIRM_NEXT if n in green and n in set(names)]
         new_held = [n for n in names if n in held and n not in green]
-        rest = set(front) | set(reconfirm) | set(new_held)
+        rest = set(front) | set(edited) | set(reconfirm) | set(new_held)
         back = sorted(
             (n for n in names if n not in rest), key=lambda n: (green[n], n)
         )
-        return front + reconfirm + new_held + back
+        return front + edited + reconfirm + new_held + back
     rank = {}
     for group, base in (
         (_R345_GREEN, 500_000),

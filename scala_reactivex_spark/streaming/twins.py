@@ -1328,16 +1328,50 @@ def ppl_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Static probe sides broadcast only below this row count (≈ a few
-#: hundred MB of hashes/band rows); beyond it the stream-static join
-#: stays sort-merge and the production answer is a bucketed store.
+#: Static probe sides broadcast only below BOTH bounds.  The row cap
+#: alone was wrong (round-12 ADVICE): the near-dup band index's rows
+#: each carry the full per-doc token array duplicated once per LSH
+#: band, so 2M ROWS of it is plausibly multiple GB — a forced
+#: broadcast near the bound could OOM the driver, the exact failure
+#: the dispatch exists to prevent.  The byte budget is measured, not
+#: assumed: a sampled average serialized-row size × exact row count.
 GATE_BROADCAST_MAX_ROWS = 2_000_000
+GATE_BROADCAST_MAX_BYTES = 256 << 20  # 256 MiB — safe on an 8 GB driver
+#: Rows sampled for the average-row-size estimate (one tiny job at
+#: stream-definition time, like the count).
+_GATE_SIZE_SAMPLE = 10_000
+
+
+def _estimated_bytes(static: DataFrame, n_rows: int) -> float:
+    """Estimated materialized size: JSON-serialized length averaged over
+    a bounded sample × exact row count.  JSON over-counts vs Tungsten's
+    binary rows (field names, quoting) — the conservative direction for
+    an OOM guard."""
+    if n_rows == 0:
+        return 0.0
+    avg = (
+        static.limit(_GATE_SIZE_SAMPLE)
+        .select(
+            F.avg(
+                F.length(F.to_json(F.struct(*static.columns)))
+            ).alias("b")
+        )
+        .first()["b"]
+    )
+    return float(avg or 0.0) * n_rows
 
 
 def _broadcast_if_small(static: DataFrame) -> DataFrame:
     """Size-dispatched broadcast hint for a stream-static join's static
-    side — hint when it fits, graceful SMJ when it doesn't."""
-    if static.count() <= GATE_BROADCAST_MAX_ROWS:
+    side — hint when it fits BY BYTES AND ROWS, graceful SMJ when it
+    doesn't.  Byte-gating is per-frame, so a row-cheap hash set and a
+    row-fat token-array band index dispatch independently (round-12
+    ADVICE: a shared row cap let the fat side through)."""
+    n = static.count()
+    if (
+        n <= GATE_BROADCAST_MAX_ROWS
+        and _estimated_bytes(static, n) <= GATE_BROADCAST_MAX_BYTES
+    ):
         return F.broadcast(static)
     return static
 

@@ -89,6 +89,7 @@ def main() -> int:
     specs = registry()
     names = args.queries or list(specs)
     n_pass = n_fail = n_rows_only = 0
+    passed: list[str] = []
     for name in names:
         spec = specs[name]
         t0 = time.time()
@@ -191,10 +192,23 @@ def main() -> int:
         else:
             print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
+            passed.append(name)
     print(
         f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
         f"of {len(names)}"
     )
+    # Stamp verified_fp for every full-oracle PASS at the driver's own
+    # gate scale, so the edit-aware rotation (plans/grade_fp.py) knows
+    # the current source of these keys has been re-confirmed with the
+    # identical hash protocol.  Other scales are weaker evidence — no
+    # stamp.
+    if passed and "sf0.01" in args.sf:
+        from scala_reactivex_spark.plans import grade_fp
+
+        grade_fp.stamp_verified(
+            {n: specs[n].fn.__module__ for n in passed}
+        )
+        print(f"stamped verified_fp for {len(passed)} keys")
     return 1 if n_fail else 0
 
 

@@ -1,0 +1,81 @@
+"""The bench stdout contract line must stay inside the driver's 2000-char
+tail window REGARDLESS of data widths (round-12 verdict #1: the old
+72-query map made line length data-dependent and BENCH_r12.json recorded
+rc=1/parsed:null when more floats tipped over 1.0 s).
+
+These tests exercise bench.build_contract_line directly — no Spark — with
+worst-case numeric widths and maximal-length query names, so a structural
+addition that could re-overflow the window fails in pytest, not in the
+driver's once-per-round bench run.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _line(sf_val=0.1, *, name_len=64, seconds=8_640_000.999):
+    # 72 headline names at an implausible 64 chars each, every timing at
+    # a 100-days-in-seconds width — far beyond anything a real pass can
+    # produce (the slowest real query is ~3 s at sf0.1).
+    times = {f"q{i:03d}".ljust(name_len, "x"): seconds for i in range(72)}
+    twin_latency = {
+        k: {"p50_trigger_ms": 8_640_000_000.9}
+        for k in bench.TWIN_BASELINE_P50_MS
+    }
+    return bench.build_contract_line(
+        times=times,
+        untiered=set(times),
+        total=seconds * 72,
+        extras=seconds * 130,
+        new_sec=seconds * 12,
+        newer_sec=seconds * 5,
+        newest_sec=seconds * 5,
+        beyond_sec=seconds * 50,
+        sf_val=sf_val,
+        warm={f"w{i:03d}".ljust(name_len, "x"): seconds for i in range(20)},
+        twin_latency=twin_latency,
+        prepopulated=99_999,
+        cold_cache={"hits": 99_999, "misses": 99_999},
+    )
+
+
+def test_contract_line_bounded_under_worst_case_widths():
+    line = _line()
+    assert len(line) < 1500, len(line)
+    assert "\n" not in line
+
+
+def test_contract_line_parses_and_carries_every_pin_ratio():
+    parsed = json.loads(_line())
+    for key in (
+        "value",
+        "extras_vs_baseline",
+        "new_vs_baseline",
+        "newer_vs_baseline",
+        "newest_vs_baseline",
+        "beyond_seconds",
+        "twin_vs_baseline",
+        "warm20_sec",
+        "dcache",
+    ):
+        assert key in parsed, key
+        assert parsed[key] is not None, key
+    # The per-query map is capped at the slowest 5 — never the full set.
+    assert len(parsed["queries"]) == 5
+
+
+def test_contract_line_non_sf01_omits_scale_specific_ratios():
+    parsed = json.loads(_line(sf_val=0.01))
+    assert parsed["extras_vs_baseline"] is None
+    assert parsed["newest_vs_baseline"] is None
+    assert parsed["twin_vs_baseline"] is None
+
+
+def test_frozen_suites_are_closed_sets():
+    assert len(bench.BEYOND_BASELINE) == 130
+    assert len(bench.BEYOND_EXTRAS) == 12
+    assert len(bench.BEYOND_NEW) == 5
+    assert len(bench.BEYOND_NEWER) == 5

@@ -307,6 +307,54 @@ def test_disk_memo_scopes_generations_per_fixture_dir(
     assert any(n.startswith("idx@fx_b-") for n in names)
 
 
+def test_disk_memo_prune_spares_legacy_dashed_fixture_dirs(
+    spark, tmp_path, monkeypatch
+):
+    """A prune for scoped 'idx@fx' must not evict a LEGACY-format dir
+    'idx@fx-a-<fp8>' belonging to fixture 'fx-a' (round-12 ADVICE: the
+    rsplit-based match collided across fixtures whose basenames contain
+    a dash; the fix matches generation suffixes by 8-hex segment shape).
+    """
+    import os
+
+    from scala_reactivex_spark.plans.memo import (
+        clear_session_memo,
+        disk_memo,
+    )
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_CACHE", str(cache))
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    (fx / "m.parquet").write_text("x")
+
+    # A pre-round-12 generation dir of the DASHED fixture 'fx-a':
+    # {scoped}-{fp8} with no builder tag.
+    legacy = cache / "idx@fx-a-0123abcd"
+    legacy.mkdir()
+    (legacy / "_COMPLETE").write_text("scalar:1")
+    # And a superseded legacy generation of fixture 'fx' itself, which
+    # SHOULD be pruned when the new write lands.
+    stale_own = cache / "idx@fx-89abcdef"
+    stale_own.mkdir()
+    (stale_own / "_COMPLETE").write_text("scalar:1")
+
+    clear_session_memo()
+    disk_memo(
+        spark, str(fx), "idx",
+        lambda: spark.range(3).selectExpr("id AS v"),
+    )
+    names = os.listdir(cache)
+    assert "idx@fx-a-0123abcd" in names, (
+        "cross-fixture legacy dir wrongly evicted"
+    )
+    assert "idx@fx-89abcdef" not in names, (
+        "superseded own-fixture legacy generation not pruned"
+    )
+    clear_session_memo()
+
+
 def test_disk_memo_invalidates_on_builder_source_edit(
     spark, tmp_path, monkeypatch
 ):

@@ -836,3 +836,33 @@ def test_gate_broadcast_is_size_dispatched(spark, monkeypatch):
     assert "UnresolvedHint" not in (
         plain._jdf.queryExecution().logical().toString()
     )
+
+
+def test_gate_broadcast_is_byte_gated(spark, monkeypatch):
+    """A frame UNDER the row cap but whose rows are fat (per-doc token
+    arrays duplicated per band) must NOT be broadcast: the gate measures
+    bytes via a sampled average-row-size estimate, so a row-cheap hash
+    set and a row-fat band index dispatch independently (round-12
+    ADVICE on GATE_BROADCAST_MAX_ROWS)."""
+    import pyspark.sql.functions as F
+
+    fat = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.array_repeat(F.lit("tokentoken"), 50).alias("toks_ex"),
+    )
+    # ~10 fat rows: well under any row cap; shrink the byte budget so
+    # the measured estimate trips it.
+    monkeypatch.setattr(twins, "GATE_BROADCAST_MAX_BYTES", 100)
+    plain = twins._broadcast_if_small(fat)
+    assert "UnresolvedHint" not in (
+        plain._jdf.queryExecution().logical().toString()
+    )
+    # Same rows inside the budget → hinted.
+    monkeypatch.setattr(twins, "GATE_BROADCAST_MAX_BYTES", 1 << 30)
+    hinted = twins._broadcast_if_small(fat)
+    assert "UnresolvedHint broadcast" in (
+        hinted._jdf.queryExecution().logical().toString()
+    )
+    # The estimate itself over-counts, never under-counts, a row of
+    # known payload: 10 rows × ≥500 chars of tokens each.
+    assert twins._estimated_bytes(fat, 10) >= 10 * 500
