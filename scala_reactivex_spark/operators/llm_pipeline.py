@@ -1553,3 +1553,151 @@ def llm_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_big_1e4"
         ),
     )
+
+
+RESERVOIR_K = 20  # kept docs per stratum (the per-source audit sample)
+RESERVOIR_BUCKETS = 16  # phase-1 split (first md5 nibble)
+
+
+@register(
+    "llm_reservoir_sample",
+    tier="T3",
+    doc=f"Per-stratum deterministic reservoir: exactly min({RESERVOIR_K}, "
+    "n) docs per source, ranked by content hash (never rand() — "
+    "membership is a pure function of the corpus, reproducible across "
+    "runs/engines/partitionings).  Complements llm_stratified_sample "
+    "(proportional rates) with the FIXED-SIZE sample an audit / data "
+    "card / human-eval queue needs.  Scale shape (two-phase): a "
+    f"corpus-wide top-{RESERVOIR_K} per stratum is first taken per "
+    f"(source, md5-nibble) — {RESERVOIR_BUCKETS} bounded local sorts "
+    "in parallel instead of one full-stratum sort — then re-ranked over "
+    f"the ≤{RESERVOIR_BUCKETS}·{RESERVOIR_K} survivors per stratum "
+    "(any stratum-top-k doc is its bucket's top-k, so phase 1 is "
+    "lossless).",
+    oracle=f"""
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {RESERVOIR_K}
+""",
+)
+def llm_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    nib = F.substring("h", 1, 1)
+    local = Window.partitionBy("source", nib).orderBy("h", "doc_id")
+    survivors = docs.withColumn(
+        "lrk", F.row_number().over(local)
+    ).where(F.col("lrk") <= RESERVOIR_K)
+    final = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(final))
+        .where(F.col("rk") <= RESERVOIR_K)
+        .select("source", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+RHO_MARGIN_U = 200_000  # keep-threshold: ≥0.2 log10 per token advantage
+
+
+@register(
+    "llm_rho_select",
+    tier="T3",
+    doc="Reference-model excess-loss selection (RHO-1-style, with the "
+    "per-source unigram LM standing in for the domain reference model): "
+    "each doc is costed under the CORPUS unigram LM and under its own "
+    "SOURCE'S unigram LM; the per-token micro-log10 advantage "
+    "(corpus cost − domain cost) ranks how much more learnable the doc "
+    "is for its domain than for the population — the selection signal "
+    f"targeted-data curation uses.  keep = advantage ≥ {RHO_MARGIN_U} "
+    "(0.2 log10/token).  No smoothing needed: a doc's tokens are "
+    "contained in its source's counts, so domain counts are ≥1.  Scale "
+    "shape: two map-side-combined freq aggregates (tok, and the "
+    "(source, tok) key), 1-row / per-source-bounded broadcast totals, "
+    "two hash joins on the token keys, one per-doc aggregate — the "
+    "llm_ppl_filter plan doubled, nothing quadratic.  Micro-log10 "
+    "pinning identical to llm_ppl_filter (floor(log10·1e6 + 0.5) on "
+    "identical doubles).",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), gfreq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), gtot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM gfreq
+), dfreq AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+), dtot AS (
+  SELECT source, CAST(sum(c) AS DOUBLE) AS t FROM dfreq GROUP BY source
+), costed AS (
+  SELECT toks.doc_id,
+         count(*) AS n_tok,
+         -sum(CAST(floor(log10(CAST(gfreq.c AS DOUBLE) / gtot.t) * 1000000
+                         + 0.5) AS BIGINT)) AS gcost,
+         -sum(CAST(floor(log10(CAST(dfreq.c AS DOUBLE) / dtot.t) * 1000000
+                         + 0.5) AS BIGINT)) AS dcost
+  FROM toks
+  JOIN gfreq USING (tok) CROSS JOIN gtot
+  JOIN dfreq ON dfreq.source = toks.source AND dfreq.tok = toks.tok
+  JOIN dtot ON dtot.source = toks.source
+  GROUP BY toks.doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((gcost - dcost) // n_tok AS BIGINT) AS adv_per_tok_u,
+       CAST(((gcost - dcost) // n_tok >= {RHO_MARGIN_U}) AS INTEGER)
+         AS keep
+FROM costed
+WHERE gcost - dcost >= 0
+""",
+)
+def llm_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    gfreq = toks.groupBy("tok").agg(F.count("*").alias("gc"))
+    gtot = gfreq.agg(F.sum("gc").cast("double").alias("gt"))
+    dfreq = toks.groupBy("source", "tok").agg(F.count("*").alias("dc"))
+    dtot = dfreq.groupBy("source").agg(
+        F.sum("dc").cast("double").alias("dt")
+    )
+    glp = F.floor(
+        F.log10(F.col("gc").cast("double") / F.col("gt")) * 1000000 + 0.5
+    ).cast("bigint")
+    dlp = F.floor(
+        F.log10(F.col("dc").cast("double") / F.col("dt")) * 1000000 + 0.5
+    ).cast("bigint")
+    costed = (
+        toks.join(gfreq, "tok")
+        .crossJoin(F.broadcast(gtot))
+        .join(dfreq, ["source", "tok"])
+        .join(F.broadcast(dtot), "source")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            (-F.sum(glp)).cast("bigint").alias("gcost"),
+            (-F.sum(dlp)).cast("bigint").alias("dcost"),
+        )
+    )
+    adv = F.col("gcost") - F.col("dcost")
+    return (
+        costed.where(adv >= 0)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr("CAST((gcost - dcost) DIV n_tok AS BIGINT)").alias(
+                "adv_per_tok_u"
+            ),
+            F.expr(
+                f"CAST((gcost - dcost) DIV n_tok >= {RHO_MARGIN_U} "
+                "AS INT)"
+            ).alias("keep"),
+        )
+    )

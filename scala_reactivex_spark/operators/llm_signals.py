@@ -1483,3 +1483,95 @@ def llm_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("band_ok"),
         )
     )
+
+
+AFFINITY_ANCHOR = 0  # eval-anchor label (the held-out target class)
+AFFINITY_K = 50  # selected training vectors
+
+
+@register(
+    "llm_eval_affinity",
+    tier="T3",
+    doc="Target-anchored data selection: the corpus-wide top-"
+    f"{AFFINITY_K} embeddings by dot-product affinity to the label-"
+    f"{AFFINITY_ANCHOR} anchor centroid — 'pick the training data most "
+    "like the eval distribution', the embedding-space complement of "
+    "llm_dsir's n-gram importance weights.  Exact integer math end to "
+    "end: components pin to 1e6 (llm_embed_centroid's scheme), the "
+    "centroid is floor(sum/n) per position, and the dot product is a "
+    "sum of 64 bigint products (≤1e14 — exact in both engines).  Scale "
+    "shape: the centroid is one bounded aggregate collapsed to a 1-row "
+    "broadcast array; affinity is a pure zip_with/aggregate projection "
+    "inside codegen (no explode, no Python); selection is a global "
+    "TakeOrderedAndProject — no full sort, no shuffle of the corpus.",
+    oracle=f"""
+WITH pin AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                       AS BIGINT)) AS e
+  FROM embeddings
+), anchor AS (
+  SELECT i, CAST(floor(CAST(sum(e[i]) AS DOUBLE) / count(*)) AS BIGINT)
+           AS c
+  FROM pin, generate_series(1, 64) AS t(i)
+  WHERE label = {AFFINITY_ANCHOR}
+  GROUP BY i
+), cvec AS (
+  SELECT list(c ORDER BY i) AS cv FROM anchor
+), dots AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+                                      i -> e[i] * cv[i])) AS BIGINT)
+           AS dot_1e12
+  FROM pin CROSS JOIN cvec
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label, dot_1e12
+FROM dots
+ORDER BY dot_1e12 DESC, vec_id
+LIMIT {AFFINITY_K}
+""",
+)
+def llm_eval_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pin = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast(
+                "bigint"
+            ),
+        ).alias("e"),
+    )
+    anchor = (
+        pin.where(F.col("label") == AFFINITY_ANCHOR)
+        .select(F.posexplode("e").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    cvec = anchor.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pin.crossJoin(F.broadcast(cvec))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            dot.alias("dot_1e12"),
+        )
+        .orderBy(F.col("dot_1e12").desc(), "vec_id")
+        .limit(AFFINITY_K)
+    )

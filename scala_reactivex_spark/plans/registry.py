@@ -148,11 +148,18 @@ _ROWS_ONLY_GRADED: tuple[str, ...] = ()
 #: grades are the most stale).
 _RECONFIRM_NEXT: tuple[str, ...] = ()
 
-#: Keys to HOLD behind the never-green backlog for one round (used in r7
-#: to keep the window exactly the 47 ungraded round-6 keys).  Cleared for
-#: round 8 per the r07 verdict "Next round" #1: the 10 round-7 additions
-#: are now the only never-green keys and must lead the r08 window.
-_HOLD_NEXT_ROUND: tuple[str, ...] = ()
+#: Keys to HOLD out of this round's window (sorted LAST; used in r7 to
+#: keep the window exactly the 47 ungraded round-6 keys, re-used in r13
+#: for the three round-13 additions so the window stays the r8 cohort +
+#: oldest r9 greens per the r12 verdict #8).  Held keys are verified by
+#: the identical local protocol (scripts/verify_local.py) in their birth
+#: round and become the never-green front of the NEXT round's window
+#: automatically once this tuple is cleared.
+_HOLD_NEXT_ROUND: tuple[str, ...] = (
+    "llm_reservoir_sample",
+    "llm_rho_select",
+    "llm_eval_affinity",
+)
 
 
 def _externally_green() -> dict[str, int]:
@@ -230,7 +237,10 @@ def _grade_order(names):
         back = sorted(
             (n for n in names if n not in rest), key=lambda n: (green[n], n)
         )
-        return front + edited + reconfirm + new_held + back
+        # Held keys sort LAST: their birth-round coverage is the local
+        # verify log; they lead the next round's window as never-green
+        # once the hold is cleared.
+        return front + edited + reconfirm + back + new_held
     rank = {}
     for group, base in (
         (_R345_GREEN, 500_000),

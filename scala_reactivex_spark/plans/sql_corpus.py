@@ -104,6 +104,79 @@ PORTABLE_ORACLE_KEYS: tuple[str, ...] = (
 #: ``datediff(to_date(ts), DATE '1970-01-01')`` (Spark) for the
 #: timestamp_ntz order dates the catalog pins (unix_millis refuses NTZ).
 SPARK_SQL_OVERRIDES: dict[str, str] = {
+    # Round-13 data-selection trio: DuckDB md5(text) → Spark needs the
+    # binary cast; the oracle's window/limit shapes are otherwise plain.
+    "llm_reservoir_sample": """
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(text AS BINARY)), doc_id)
+           AS rk
+  FROM documents
+)
+WHERE rk <= 20
+""",
+    # DuckDB unnest → explode; // → DIV; the micro-log10 pinning is
+    # identical math in both engines.
+    "llm_rho_select": """
+WITH toks AS (
+  SELECT doc_id, source, explode(split(text, ' ')) AS tok FROM documents
+), gfreq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), gtot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM gfreq
+), dfreq AS (
+  SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+), dtot AS (
+  SELECT source, CAST(sum(c) AS DOUBLE) AS t FROM dfreq GROUP BY source
+), costed AS (
+  SELECT toks.doc_id,
+         count(*) AS n_tok,
+         -sum(CAST(floor(log10(CAST(gfreq.c AS DOUBLE) / gtot.t)
+                         * 1000000 + 0.5) AS BIGINT)) AS gcost,
+         -sum(CAST(floor(log10(CAST(dfreq.c AS DOUBLE) / dtot.t)
+                         * 1000000 + 0.5) AS BIGINT)) AS dcost
+  FROM toks
+  JOIN gfreq USING (tok) CROSS JOIN gtot
+  JOIN dfreq ON dfreq.source = toks.source AND dfreq.tok = toks.tok
+  JOIN dtot ON dtot.source = toks.source
+  GROUP BY toks.doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((gcost - dcost) DIV n_tok AS BIGINT) AS adv_per_tok_u,
+       CAST((gcost - dcost) DIV n_tok >= 200000 AS INT) AS keep
+FROM costed
+WHERE gcost - dcost >= 0
+""",
+    # DuckDB list lambdas / generate_series → Spark HOFs; posexplode
+    # via LATERAL VIEW; the integer dot product is exact in both.
+    "llm_eval_affinity": """
+WITH pin AS (
+  SELECT vec_id, label,
+         transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS e
+  FROM embeddings
+), anchor AS (
+  SELECT pos,
+         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM (SELECT pos, v FROM pin
+        LATERAL VIEW posexplode(e) t AS pos, v
+        WHERE label = 0)
+  GROUP BY pos
+), cvec AS (
+  SELECT transform(array_sort(collect_list(struct(pos, c))), s -> s.c)
+           AS cv
+  FROM anchor
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       aggregate(zip_with(e, cv, (x, y) -> x * y), CAST(0 AS BIGINT),
+                 (acc, v) -> acc + v) AS dot_1e12
+FROM pin CROSS JOIN cvec
+ORDER BY dot_1e12 DESC, vec_id
+LIMIT 50
+""",
     # DuckDB list_sum returns HUGEINT for int lists, feeding integer
     # division; Spark needs an explicitly BIGINT-seeded fold.
     "llm_span_corruption": """

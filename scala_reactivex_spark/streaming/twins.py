@@ -2221,3 +2221,96 @@ def twin_ann_pq(
     return spark.read.parquet(out_dir).select(
         "probe_id", "neighbor_id", "adc_d2", "rnk"
     )
+
+
+def affinity_gate_params(spark: SparkSession, sf_dir: str):
+    """(cvec, cutoff) static frames for :func:`twin_eval_affinity` —
+    the batch-trained anchor-centroid array (1 row) and the admission
+    cutoff: the (dot, vec_id) of the LAST member of the batch top-k,
+    so the streaming admit set reproduces llm_eval_affinity's
+    membership exactly, ties included."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        AFFINITY_ANCHOR,
+        llm_eval_affinity,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    pin = emb.where(F.col("label") == AFFINITY_ANCHOR).select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("pos", "v")
+    )
+    cvec = (
+        pin.groupBy("pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("c")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cv")
+        )
+    )
+    topk = llm_eval_affinity(spark, sf_dir)
+    cutoff = topk.orderBy(
+        F.col("dot_1e12").asc(), F.col("vec_id").desc()
+    ).limit(1).select(
+        F.col("dot_1e12").alias("cut_dot"),
+        F.col("vec_id").alias("cut_vid"),
+    )
+    return cvec, cutoff
+
+
+def twin_eval_affinity(
+    sdf: DataFrame, cvec: DataFrame, cutoff: DataFrame
+) -> DataFrame:
+    """Streaming eval-affinity admission gate [T3 — live twin of
+    llm_eval_affinity's selection]: arriving embeddings are scored
+    against the BATCH-trained anchor centroid (1-row broadcast array —
+    the model-serving shape) and admitted iff their (dot, vec_id) ranks
+    at or above the batch top-k's last member — dot > cut_dot, or
+    dot = cut_dot and vec_id ≤ cut_vid, the exact lexicographic rule
+    the batch ORDER BY dot DESC, vec_id LIMIT k applies.  Completely
+    STATELESS per row: append mode, no watermark, no streaming shuffle;
+    the admit set over the drained stream equals the batch selection
+    exactly, ties included."""
+    pinned = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast("bigint"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    admit = (F.col("dot_1e12") > F.col("cut_dot")) | (
+        (F.col("dot_1e12") == F.col("cut_dot"))
+        & (F.col("vec_id") <= F.col("cut_vid"))
+    )
+    return (
+        sdf.select("vec_id", "label", pinned.alias("e"))
+        .crossJoin(F.broadcast(cvec))
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            dot.alias("dot_1e12"),
+            "cut_dot",
+            "cut_vid",
+        )
+        .select(
+            "vec_id",
+            "label",
+            "dot_1e12",
+            admit.cast("int").alias("admit"),
+        )
+    )

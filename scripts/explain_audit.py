@@ -103,6 +103,9 @@ ALLOWED_NESTED_LOOP = {
     "op_pairwise_salted",
     "op_distinct_until_changed_salted",
     "op_debounce_salted",
+    # Round-13 data-selection trio: 1-row scalar broadcast attaches.
+    "llm_rho_select",  # 1-row global LM-total broadcast × token stream
+    "llm_eval_affinity",  # 1-row anchor-centroid-array broadcast × corpus
 }
 
 

@@ -37,11 +37,27 @@ def main() -> int:
     from scala_reactivex_spark.session import get_spark
 
     spark = get_spark("warm-timing")
+    # Execute through the SAME sink bench.py times (noop, full pipeline,
+    # no driver fetch).  The pre-round-13 default was .collect(), which
+    # charged wide full-table projections for driver-side serialization
+    # bench never pays — rel_scalar_battery arbitrated 1.09 s by collect
+    # vs 0.60 s by noop (BASELINE.md round-13 entry), a false-positive
+    # regression verdict waiting to happen.  SPARK_GRAFT_WARM_SINK=collect
+    # restores the old semantics for queries where driver-fetch cost is
+    # itself the question.
+    sink = os.environ.get("SPARK_GRAFT_WARM_SINK", "noop")
+
+    def run(df):
+        if sink == "collect":
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+
     specs = registry()
     out = {}
     for name in names:
         fn = specs[name].fn
-        fn(spark, sf_dir).collect()  # warm-up, untimed
+        run(fn(spark, sf_dir))  # warm-up, untimed
         times = []
         clear = os.environ.get("SPARK_GRAFT_CLEARCACHE", "1") == "1"
         for _ in range(reps):
@@ -60,7 +76,7 @@ def main() -> int:
             if clear:
                 spark.catalog.clearCache()
             t0 = time.time()
-            fn(spark, sf_dir).collect()
+            run(fn(spark, sf_dir))
             times.append(round(time.time() - t0, 3))
         out[name] = {
             "warm_min": min(times),

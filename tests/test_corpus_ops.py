@@ -623,3 +623,107 @@ def test_source_lang_entropy_bounds(spark, sf_dir):
             assert r["entropy_1e6"] == 0
         cap = math.log10(r["n_langs"]) * 1_000_000 + r["n_langs"]
         assert 0 <= r["entropy_1e6"] <= cap
+
+
+def test_reservoir_sample_fixed_size_and_content_addressed(spark, sf_dir):
+    """Exactly min(K, n_source) docs per source, ranks 1..k, and the kept
+    set is precisely the k hash-smallest docs of each stratum (the
+    two-phase bucketed plan must be lossless vs the direct window)."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        RESERVOIR_K,
+        llm_reservoir_sample,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = llm_reservoir_sample(spark, sf_dir).collect()
+    sizes = {
+        r["source"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == set(sizes)
+    docs = {
+        (r["source"], r["doc_id"]): r["text"]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    import hashlib
+
+    for src, kept in by_src.items():
+        want_n = min(RESERVOIR_K, sizes[src])
+        assert len(kept) == want_n
+        assert sorted(r["rk"] for r in kept) == list(range(1, want_n + 1))
+        # Direct recomputation: k smallest (md5(text), doc_id) per source.
+        ranked = sorted(
+            (
+                (hashlib.md5(text.encode()).hexdigest(), d)
+                for (s, d), text in docs.items()
+                if s == src
+            ),
+        )[:want_n]
+        assert {d for _, d in ranked} == {r["doc_id"] for r in kept}
+
+
+def test_rho_select_advantage_nonnegative_and_keep_consistent(
+    spark, sf_dir
+):
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        RHO_MARGIN_U,
+        llm_rho_select,
+    )
+
+    rows = llm_rho_select(spark, sf_dir).collect()
+    assert rows, "selection produced no scored docs"
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r["n_tok"] > 0
+        assert r["adv_per_tok_u"] >= 0
+        assert r["keep"] == int(r["adv_per_tok_u"] >= RHO_MARGIN_U)
+
+
+def test_eval_affinity_matches_numpy_exact(spark, sf_dir):
+    """The affinity top-k must equal an exact integer recomputation
+    (pin → centroid floor-mean → dot) done driver-side with numpy over
+    the raw fixture — catching any float drift in the codegen path."""
+    import math
+
+    import numpy as np
+
+    from scala_reactivex_spark.operators.llm_signals import (
+        AFFINITY_ANCHOR,
+        AFFINITY_K,
+        llm_eval_affinity,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    got = llm_eval_affinity(spark, sf_dir).collect()
+    assert len(got) == AFFINITY_K
+
+    raw = table(spark, sf_dir, "embeddings").collect()
+    pin = {
+        r["vec_id"]: np.array(
+            [math.floor(float(x) * 1000000 + 0.5) for x in r["embedding"]],
+            dtype=np.int64,
+        )
+        for r in raw
+    }
+    anchors = [
+        pin[r["vec_id"]] for r in raw if r["label"] == AFFINITY_ANCHOR
+    ]
+    sums = np.sum(anchors, axis=0, dtype=np.int64)
+    cvec = np.array(
+        [math.floor(s / len(anchors)) for s in sums], dtype=np.int64
+    )
+    dots = sorted(
+        ((int(v @ cvec), vid) for vid, v in pin.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:AFFINITY_K]
+    want = {(vid, d) for d, vid in dots}
+    assert {(r["vec_id"], r["dot_1e12"]) for r in got} == want

@@ -106,4 +106,9 @@ def test_committed_sidecar_is_fresh():
     assert len(data) >= 200
     for name, row in data.items():
         assert set(row) <= {"round", "graded_fp", "verified_fp"}, name
-        assert isinstance(row["round"], int)
+        # Keys never driver-graded (birth-round additions) carry only a
+        # verified_fp stamp until their first grade lands.
+        if "round" in row:
+            assert isinstance(row["round"], int)
+        else:
+            assert row.get("verified_fp"), name

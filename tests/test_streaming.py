@@ -866,3 +866,37 @@ def test_gate_broadcast_is_byte_gated(spark, monkeypatch):
     # The estimate itself over-counts, never under-counts, a row of
     # known payload: 10 rows × ≥500 chars of tokens each.
     assert twins._estimated_bytes(fat, 10) >= 10 * 500
+
+
+def test_twin_eval_affinity_equals_batch_selection(
+    spark, sf_dir, embeddings_stream_src, ckpt
+):
+    """The streaming admission gate reproduces llm_eval_affinity's
+    top-k membership EXACTLY (ties included, via the (dot, vec_id)
+    lexicographic cutoff), and scores every arrival with the same
+    integer dot product."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        AFFINITY_K,
+        llm_eval_affinity,
+    )
+
+    cvec, cutoff = twins.affinity_gate_params(spark, sf_dir)
+    sdf = twins.embeddings_stream(spark, embeddings_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_eval_affinity(sdf, cvec, cutoff), "t_affinity", ckpt
+    )
+    rows = out.collect()
+    admitted = {
+        (r["vec_id"], r["dot_1e12"]) for r in rows if r["admit"] == 1
+    }
+    want = {
+        (r["vec_id"], r["dot_1e12"])
+        for r in llm_eval_affinity(spark, sf_dir).collect()
+    }
+    assert admitted == want
+    assert len(admitted) == AFFINITY_K
+    # Every arriving vector was scored (gate is a projection, not a
+    # filter — the serving tier decides routing downstream).
+    from scala_reactivex_spark.sources.catalog import table
+
+    assert len(rows) == table(spark, sf_dir, "embeddings").count()
