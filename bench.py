@@ -292,6 +292,14 @@ BEYOND_NEWEST: set[str] = {
     "llm_reservoir_sample",
     "llm_rho_select",
     "llm_eval_affinity",
+    # round 13: SPANN-style boundary-replicated ANN (+ bloat profile
+    # and three-way recall gate), trained NB language classifier,
+    # deterministic epoch shuffle with interleave audit
+    "llm_ann_spann",
+    "llm_spann_stats",
+    "llm_spann_recall",
+    "llm_nb_lang",
+    "llm_epoch_shuffle",
 }
 
 

@@ -468,3 +468,81 @@ def llm_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("bigint").alias("entropy_1e6"),
         )
     )
+
+
+def _spann_recall_oracle() -> str:
+    """Compose the three green search oracles — brute force ground
+    truth, single-probe IVF, and SPANN (boundary-replicated, still
+    single-probe) — into the head-to-head recall table that decides
+    whether build-time replication buys back the quantization-boundary
+    misses multiprobe pays query time for."""
+    bf = peek("llm_similarity_topk").oracle
+    ivf = peek("llm_ann_ivf").oracle
+    sp = peek("llm_ann_spann").oracle
+    return f"""
+WITH bf AS (
+{bf}
+), ivf AS (
+{ivf}
+), sp AS (
+{sp}
+)
+SELECT bf.probe_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(ivf.neighbor_id) AS BIGINT) AS hits_ivf,
+       CAST(count(sp.neighbor_id) AS BIGINT) AS hits_spann,
+       CAST(count(ivf.neighbor_id) * 10000 // count(*) AS BIGINT)
+         AS recall_ivf_1e4,
+       CAST(count(sp.neighbor_id) * 10000 // count(*) AS BIGINT)
+         AS recall_spann_1e4
+FROM bf
+LEFT JOIN ivf ON ivf.probe_id = bf.probe_id
+             AND ivf.neighbor_id = bf.neighbor_id
+LEFT JOIN sp ON sp.probe_id = bf.probe_id
+            AND sp.neighbor_id = bf.neighbor_id
+GROUP BY bf.probe_id
+"""
+
+
+@register(
+    "llm_spann_recall",
+    tier="T3",
+    doc="SPANN acceptance gate: per probe, recall@10 of single-probe "
+    "IVF vs SPANN (same single-probe query, boundary-replicated "
+    "postings) against brute-force ground truth — the graded evidence "
+    "that index-time replication recovers boundary misses without "
+    "multiprobe's per-query fan-out.  Oracle embeds the three green "
+    "search oracles; the compare side is probe-bounded (k rows per "
+    "probe), never corpus-scale.",
+    oracle=_spann_recall_oracle(),
+)
+def llm_spann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = llm_similarity.llm_similarity_topk(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    ivf = (
+        llm_similarity.llm_ann_ivf(spark, sf_dir)
+        .select("probe_id", "neighbor_id")
+        .withColumn("hit_ivf", F.lit(1))
+    )
+    sp = (
+        llm_similarity.llm_ann_spann(spark, sf_dir)
+        .select("probe_id", "neighbor_id")
+        .withColumn("hit_spann", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["probe_id", "neighbor_id"], "left")
+        .join(sp, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.count("hit_ivf").cast("bigint").alias("hits_ivf"),
+            F.count("hit_spann").cast("bigint").alias("hits_spann"),
+            F.expr(
+                "CAST(count(hit_ivf) * 10000 DIV count(*) AS BIGINT)"
+            ).alias("recall_ivf_1e4"),
+            F.expr(
+                "CAST(count(hit_spann) * 10000 DIV count(*) AS BIGINT)"
+            ).alias("recall_spann_1e4"),
+        )
+    )

@@ -1701,3 +1701,113 @@ def llm_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+ES_SHARDS = 64  # epoch-shuffle reader shards
+ES_SALT = "e1"  # epoch tag: changing it re-derives a fresh permutation
+
+
+@register(
+    "llm_epoch_shuffle",
+    tier="T3",
+    doc=f"Deterministic epoch shuffle + interleave audit: every doc "
+    f"routes to one of {ES_SHARDS} reader shards by salted ID hash "
+    f"(md5(doc_id || ':{ES_SALT}') first two nibbles) and orders "
+    "WITHIN its shard by the same hash — the distributed form of a "
+    "global training-order permutation (shuffle to a random bucket, "
+    "sort inside the bucket; no corpus-global sort ever "
+    "materializes).  Per shard it emits the numbers an epoch layout "
+    "is accepted by: doc/source counts, top-source share and the "
+    "adjacent-pair same-source rate (1e4) — post-shuffle adjacency "
+    "should sit near the Σshare² mixing floor, where the doc_id-ordered "
+    "input (runs of same-source crawl batches) sits far above it.  "
+    "Salting the ID, not the content, keeps the permutation "
+    "content-independent and O(1) re-derivable per epoch.  Scale "
+    "shape: one hash-partition shuffle (the epoch shuffle itself), "
+    f"per-shard bounded sorts (n/{ES_SHARDS} rows), one aggregate.",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, source,
+         md5(CAST(doc_id AS VARCHAR) || ':{ES_SALT}') AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, source, h,
+         ((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+          + instr('0123456789abcdef', substr(h, 2, 1)) - 1)
+         % {ES_SHARDS} AS shard
+  FROM b
+), adj AS (
+  SELECT shard, source,
+         CASE WHEN lag(source) OVER (PARTITION BY shard
+                                     ORDER BY h, doc_id) = source
+              THEN 1 ELSE 0 END AS same_src
+  FROM s
+), per AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+         CAST(sum(same_src) AS BIGINT) AS n_adj_same
+  FROM adj GROUP BY shard
+), topshare AS (
+  SELECT shard, CAST(max(c) AS BIGINT) AS top_c
+  FROM (SELECT shard, source, count(*) AS c FROM s GROUP BY shard, source)
+  GROUP BY shard
+)
+SELECT p.shard, p.n_docs, p.n_src,
+       CAST(t.top_c * 10000 // p.n_docs AS BIGINT) AS top_share_1e4,
+       CAST(p.n_adj_same * 10000 // greatest(p.n_docs - 1, 1) AS BIGINT)
+         AS adj_same_1e4
+FROM per p JOIN topshare t USING (shard)
+""",
+)
+def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hexpos = "instr('0123456789abcdef', substr(h, {}, 1))"
+    s = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f":{ES_SALT}")
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .withColumn(
+            "shard",
+            F.expr(
+                f"(({hexpos.format(1)} - 1) * 16"
+                f" + {hexpos.format(2)} - 1) % {ES_SHARDS}"
+            ),
+        )
+    )
+    wsh = Window.partitionBy("shard").orderBy("h", "doc_id")
+    adj = s.withColumn(
+        "same_src",
+        F.when(F.lag("source").over(wsh) == F.col("source"), 1).otherwise(
+            0
+        ),
+    )
+    per = adj.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_src"),
+        F.sum("same_src").cast("bigint").alias("n_adj_same"),
+    )
+    topshare = (
+        s.groupBy("shard", "source")
+        .agg(F.count("*").alias("c"))
+        .groupBy("shard")
+        .agg(F.max("c").cast("bigint").alias("top_c"))
+    )
+    return per.join(topshare, "shard").select(
+        "shard",
+        "n_docs",
+        "n_src",
+        F.expr("CAST(top_c * 10000 DIV n_docs AS BIGINT)").alias(
+            "top_share_1e4"
+        ),
+        F.expr(
+            "CAST(n_adj_same * 10000 DIV greatest(n_docs - 1, 1)"
+            " AS BIGINT)"
+        ).alias("adj_same_1e4"),
+    )

@@ -1115,3 +1115,173 @@ def llm_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 10000 + 0.5) AS BIGINT)"
         ).alias("abs_corr_1e4"),
     )
+
+
+@register(
+    "llm_nb_lang",
+    tier="T3",
+    doc="Trained multinomial Naive-Bayes language classifier — the "
+    "model-based stage (the fastText-classifier analog) that "
+    "complements the heuristic llm_lang_id: train on the 80% split "
+    "(doc_id % 5 != 0) with +1-smoothed per-class token likelihoods "
+    "and doc-count priors, score every held-out doc under every class, "
+    "emit the eval confusion matrix.  Scores are SUMS OF PINNED "
+    "INTEGERS (micro-log10 per token), so the argmax is exact and "
+    "engine-independent — ties break on class name, no float argmax "
+    "ambiguity.  Scale shape: two map-side-combined freq aggregates "
+    "(the model), one hash join of eval tokens to the likelihood "
+    "table, a per-(doc, class) aggregate, and a class-dim fanout "
+    "(bounded crossJoin: n_classes rows, broadcast) — the classic "
+    "train-once/score-everything plan with nothing quadratic; the "
+    "unseen-token term folds into (n_tok − n_matched)·miss so eval "
+    "docs never join on the full vocabulary.",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok,
+         doc_id % 5 = 0 AS is_eval
+  FROM documents
+), ttok AS (
+  SELECT lang, unnest(toks) AS tok FROM d WHERE NOT is_eval
+), tokc AS (
+  SELECT lang, tok, count(*) AS c FROM ttok GROUP BY lang, tok
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v FROM ttok
+), nd AS (
+  SELECT lang, count(*) AS nd FROM d WHERE NOT is_eval GROUP BY lang
+), ndt AS (
+  SELECT sum(nd) AS ndt FROM nd
+), cls AS (
+  SELECT t.lang, t.tot, n.nd, v.v,
+         CAST(floor(log10(1.0 / CAST(t.tot + v.v AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS miss_l,
+         CAST(floor(log10(CAST(n.nd AS DOUBLE) / CAST(s.ndt AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS prior_l
+  FROM (SELECT lang, sum(c) AS tot FROM tokc GROUP BY lang) t
+  JOIN nd n USING (lang) CROSS JOIN vocab v CROSS JOIN ndt s
+), llh AS (
+  SELECT t.lang, t.tok,
+         CAST(floor(log10(CAST(t.c + 1 AS DOUBLE)
+                          / CAST(c.tot + c.v AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS l
+  FROM tokc t JOIN cls c USING (lang)
+), etok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM d WHERE is_eval
+), matched AS (
+  SELECT e.doc_id, l.lang, sum(l.l) AS msum, count(*) AS nm
+  FROM etok e JOIN llh l USING (tok) GROUP BY e.doc_id, l.lang
+), grid AS (
+  SELECT d.doc_id, d.lang AS lang_true, c.lang AS cand,
+         CAST(coalesce(m.msum, 0) AS BIGINT)
+         + (CAST(d.n_tok AS BIGINT) - coalesce(m.nm, 0)) * c.miss_l
+         + c.prior_l AS score
+  FROM d CROSS JOIN cls c
+  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = c.lang
+  WHERE d.is_eval
+), pred AS (
+  SELECT doc_id, lang_true, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM grid
+)
+SELECT lang_true AS lang, cand AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY lang_true, cand
+""",
+)
+def llm_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.split("text", " ").alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks").cast("bigint"))
+        .withColumn("is_eval", F.col("doc_id") % 5 == 0)
+    )
+    ttok = d.where(~F.col("is_eval")).select(
+        "lang", F.explode("toks").alias("tok")
+    )
+    tokc = ttok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    vocab = tokc.select("tok").distinct().agg(
+        F.count("*").alias("v")
+    )
+    nd = (
+        d.where(~F.col("is_eval"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("nd"))
+    )
+    ndt = nd.agg(F.sum("nd").alias("ndt"))
+    pin = lambda col: (  # noqa: E731
+        F.floor(F.log10(col) * 1_000_000 + F.lit(0.5)).cast("bigint")
+    )
+    # Per-class constants: token mass, doc prior, unseen-token penalty.
+    # vocab/ndt are 1-row scalar attaches; cls itself is n_classes rows.
+    cls = (
+        tokc.groupBy("lang")
+        .agg(F.sum("c").alias("tot"))
+        .join(nd, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndt))
+        .select(
+            "lang",
+            "tot",
+            "v",
+            pin(
+                F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("miss_l"),
+            pin(
+                F.col("nd").cast("double") / F.col("ndt").cast("double")
+            ).alias("prior_l"),
+        )
+    )
+    llh = tokc.join(cls.select("lang", "tot", "v"), "lang").select(
+        "lang",
+        "tok",
+        pin(
+            (F.col("c") + 1).cast("double")
+            / (F.col("tot") + F.col("v")).cast("double")
+        ).alias("l"),
+    )
+    etok = d.where("is_eval").select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    matched = etok.join(llh, "tok").groupBy("doc_id", "lang").agg(
+        F.sum("l").alias("msum"), F.count("*").alias("nm")
+    )
+    # Class-dim fanout: eval docs x n_classes — bounded broadcast
+    # crossJoin (the scoring grid every argmax classifier materializes).
+    grid = (
+        d.where("is_eval")
+        .select("doc_id", F.col("lang").alias("lang_true"), "n_tok")
+        .crossJoin(
+            F.broadcast(
+                cls.select(
+                    F.col("lang").alias("cand"), "miss_l", "prior_l"
+                )
+            )
+        )
+        .join(
+            matched.withColumnRenamed("lang", "cand"),
+            ["doc_id", "cand"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            "cand",
+            (
+                F.coalesce(F.col("msum"), F.lit(0).cast("bigint"))
+                + (F.col("n_tok") - F.coalesce(F.col("nm"), F.lit(0)))
+                * F.col("miss_l")
+                + F.col("prior_l")
+            ).alias("score"),
+        )
+    )
+    pred = grid.groupBy("doc_id", "lang_true").agg(
+        F.expr("min_by(cand, struct(-score, cand))").alias("pred_lang")
+    )
+    return pred.groupBy(
+        F.col("lang_true").alias("lang"), "pred_lang"
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))

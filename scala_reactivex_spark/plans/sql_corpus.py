@@ -1139,6 +1139,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_ann_ivf_mp",
     "llm_ann_pq",
     "llm_ann_recall",
+    "llm_ann_spann",
     "llm_backoff_lm",
     "llm_bigram_lm",
     "llm_bm25",
@@ -1186,6 +1187,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_embed_norm_stats",
     "llm_embed_pca",
     "llm_embed_quantize",
+    "llm_epoch_shuffle",
     "llm_hard_negatives",
     "llm_hll_portable",
     "llm_hybrid_rrf",
@@ -1205,6 +1207,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_multimodal_frames",
     "llm_multimodal_phash",
     "llm_multimodal_resize",
+    "llm_nb_lang",
     "llm_neg_sampling",
     "llm_oov_rate",
     "llm_pack_sequences",
@@ -1223,6 +1226,8 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_similarity_topk",
     "llm_soft_sample",
     "llm_source_scorecard",
+    "llm_spann_recall",
+    "llm_spann_stats",
     "llm_stratified_sample",
     "llm_template_detect",
     "llm_text_clean",

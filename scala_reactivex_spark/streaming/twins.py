@@ -2314,3 +2314,118 @@ def twin_eval_affinity(
             admit.cast("int").alias("admit"),
         )
     )
+
+
+def nb_model_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-trained Naive-Bayes language model packed into ONE
+    static row of ``array<struct<cand, m, miss_l, prior_l>>`` for
+    :func:`twin_nb_lang` — per class: the token→pinned-log-likelihood
+    map, the unseen-token penalty and the doc-count prior, trained on
+    the same 80% split as llm_nb_lang (llm_text.py).  Map fields are
+    not orderable, so the class array is collected unsorted — scoring
+    is order-independent (argmax over all classes with an explicit
+    (score, cand) rule)."""
+    from scala_reactivex_spark.sources.catalog import table
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 != 0)
+        .select("lang", F.split("text", " ").alias("toks"))
+    )
+    tokc = d.select("lang", F.explode("toks").alias("tok")).groupBy(
+        "lang", "tok"
+    ).agg(F.count("*").alias("c"))
+    vocab = tokc.select("tok").distinct().agg(F.count("*").alias("v"))
+    nd = d.groupBy("lang").agg(F.count("*").alias("nd"))
+    ndt = nd.agg(F.sum("nd").alias("ndt"))
+    pin = lambda col: (  # noqa: E731
+        F.floor(F.log10(col) * 1_000_000 + F.lit(0.5)).cast("bigint")
+    )
+    cls = (
+        tokc.groupBy("lang")
+        .agg(F.sum("c").alias("tot"))
+        .join(nd, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndt))
+        .select(
+            "lang",
+            "tot",
+            "v",
+            pin(
+                F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("miss_l"),
+            pin(
+                F.col("nd").cast("double") / F.col("ndt").cast("double")
+            ).alias("prior_l"),
+        )
+    )
+    per_class = (
+        tokc.join(cls.select("lang", "tot", "v"), "lang")
+        .select(
+            "lang",
+            "tok",
+            pin(
+                (F.col("c") + 1).cast("double")
+                / (F.col("tot") + F.col("v")).cast("double")
+            ).alias("l"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("tok", "l"))
+            ).alias("m")
+        )
+        .join(cls.select("lang", "miss_l", "prior_l"), "lang")
+    )
+    return per_class.agg(
+        F.collect_list(
+            F.struct(
+                F.col("lang").alias("cand"), "m", "miss_l", "prior_l"
+            )
+        ).alias("classes")
+    )
+
+
+def twin_nb_lang(sdf: DataFrame, model: DataFrame) -> DataFrame:
+    """Streaming NB language classification [T3 — live twin of
+    llm_nb_lang's per-doc argmax]: arriving documents are scored under
+    every class of the BATCH-trained model (1-row broadcast
+    array<struct> — the twin_kmeans model-serving shape) entirely with
+    array higher-order functions: per class, score = prior + Σ over
+    tokens of (map-matched pinned log-likelihood, else the class's
+    unseen penalty); argmax by (score DESC, cand ASC) via array_sort
+    on (-score, cand).  Completely STATELESS per row — append mode, no
+    watermark, no streaming shuffle — and the scores are sums of the
+    SAME pinned integers as the batch op, so drained predictions equal
+    the batch grid argmax exactly."""
+    toks = F.split("text", " ")
+    scored = F.transform(
+        F.col("classes"),
+        lambda c: F.struct(
+            (
+                -(
+                    c.getField("prior_l")
+                    + F.aggregate(
+                        toks,
+                        F.lit(0).cast("bigint"),
+                        lambda acc, t: acc
+                        + F.coalesce(
+                            F.element_at(c.getField("m"), t),
+                            c.getField("miss_l"),
+                        ),
+                    )
+                )
+            ).alias("nscore"),
+            c.getField("cand").alias("cand"),
+        ),
+    )
+    best = F.array_sort(scored).getItem(0)
+    return (
+        sdf.crossJoin(F.broadcast(model))
+        .select(
+            "doc_id",
+            "lang",
+            best.getField("cand").alias("pred_lang"),
+            (-best.getField("nscore")).alias("score"),
+        )
+    )

@@ -106,6 +106,14 @@ ALLOWED_NESTED_LOOP = {
     # Round-13 data-selection trio: 1-row scalar broadcast attaches.
     "llm_rho_select",  # 1-row global LM-total broadcast × token stream
     "llm_eval_affinity",  # 1-row anchor-centroid-array broadcast × corpus
+    # Round-13 SPANN family: same ≤8-centroid broadcast cross as
+    # llm_ann_ivf (replication pass) / composed search oracles.
+    "llm_ann_spann",
+    "llm_spann_stats",
+    "llm_spann_recall",
+    # NB classifier: 1-row vocab/doc-total scalar attaches plus the
+    # bounded class-dim scoring fanout (n_classes broadcast rows).
+    "llm_nb_lang",
 }
 
 

@@ -727,3 +727,95 @@ def test_eval_affinity_matches_numpy_exact(spark, sf_dir):
     )[:AFFINITY_K]
     want = {(vid, d) for d, vid in dots}
     assert {(r["vec_id"], r["dot_1e12"]) for r in got} == want
+
+
+def test_spann_recall_dominates_single_probe_ivf(spark, sf_dir):
+    """Boundary replication can only ADD candidates to a probe's bucket
+    (every vector's primary assignment row survives the closure filter),
+    so SPANN's candidate set is a superset of single-probe IVF's and its
+    recall@k must dominate per probe."""
+    from scala_reactivex_spark.operators.llm_compose import (
+        llm_spann_recall,
+    )
+
+    rows = llm_spann_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["hits_spann"] >= r["hits_ivf"], r
+        assert 0 <= r["recall_spann_1e4"] <= 10000
+
+
+def test_spann_postings_cover_primary_assignment(spark, sf_dir):
+    """Index-bloat invariants: every bucket's posting list contains all
+    of its primary members (repl ratio ≥ 1), and the primary counts sum
+    to the corpus size — replication adds rows, never moves them."""
+    from scala_reactivex_spark.operators.llm_similarity import (
+        llm_spann_stats,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    stats = llm_spann_stats(spark, sf_dir).collect()
+    assert stats
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_postings"] for r in stats) >= n_vecs
+    assert sum(r["n_primary"] for r in stats) == n_vecs
+    for r in stats:
+        assert r["n_postings"] >= r["n_primary"]
+        if r["n_primary"] > 0:
+            assert r["repl_1e4"] >= 10000
+
+
+def test_nb_lang_confusion_partitions_eval_split(spark, sf_dir):
+    """The confusion matrix must partition the held-out docs exactly:
+    cell counts sum to |{doc_id % 5 = 0}|, true langs cover the eval
+    split's lang set, and predicted langs only ever come from the TRAIN
+    split's class inventory."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.llm_text import llm_nb_lang
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = llm_nb_lang(spark, sf_dir).collect()
+    docs = table(spark, sf_dir, "documents")
+    n_eval = docs.where(F.col("doc_id") % 5 == 0).count()
+    assert sum(r["n_docs"] for r in rows) == n_eval
+    train_langs = {
+        r["lang"]
+        for r in docs.where(F.col("doc_id") % 5 != 0)
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    eval_langs = {
+        r["lang"]
+        for r in docs.where(F.col("doc_id") % 5 == 0)
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert {r["lang"] for r in rows} == eval_langs
+    assert {r["pred_lang"] for r in rows} <= train_langs
+
+
+def test_epoch_shuffle_conserves_and_mixes(spark, sf_dir):
+    """The shuffle is a partition of the corpus (shard doc counts sum to
+    N), shards are populated and mixed (every ≥10-doc shard sees more
+    than one source), and the layout is a pure function of doc_id — a
+    re-run returns identical rows."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        ES_SHARDS,
+        llm_epoch_shuffle,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = llm_epoch_shuffle(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert {r["shard"] for r in rows} <= set(range(ES_SHARDS))
+    for r in rows:
+        assert 0 < r["top_share_1e4"] <= 10000
+        assert 0 <= r["adj_same_1e4"] <= 10000
+        if r["n_docs"] >= 10:
+            assert r["n_src"] > 1, f"shard {r['shard']} unmixed: {r}"
+    again = llm_epoch_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

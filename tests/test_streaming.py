@@ -900,3 +900,33 @@ def test_twin_eval_affinity_equals_batch_selection(
     from scala_reactivex_spark.sources.catalog import table
 
     assert len(rows) == table(spark, sf_dir, "embeddings").count()
+
+
+def test_twin_nb_lang_equals_batch_confusion(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """The streaming NB classifier reproduces llm_nb_lang's argmax
+    exactly: drained per-doc predictions over the eval split aggregate
+    to the SAME confusion matrix the batch op emits (integer-pinned
+    scores, same (score, cand) tie rule), and every arriving doc is
+    scored — the serving twin is a projection, not a filter."""
+    from scala_reactivex_spark.operators.llm_text import llm_nb_lang
+    from scala_reactivex_spark.sources.catalog import table
+
+    model = twins.nb_model_params(spark, sf_dir)
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_nb_lang(sdf, model), "t_nb_lang", ckpt
+    )
+    rows = out.collect()
+    assert len(rows) == table(spark, sf_dir, "documents").count()
+    got = {}
+    for r in rows:
+        if r["doc_id"] % 5 == 0:
+            key = (r["lang"], r["pred_lang"])
+            got[key] = got.get(key, 0) + 1
+    want = {
+        (r["lang"], r["pred_lang"]): r["n_docs"]
+        for r in llm_nb_lang(spark, sf_dir).collect()
+    }
+    assert got == want
