@@ -338,16 +338,28 @@ FROM j GROUP BY lang
 RAG_TOPK = 5  # retrieved chunks per probe query
 
 
+RAG_QBUDGET = 256  # fixed eval-query budget (scale-invariant cost)
+
+
 @register(
     "llm_chunk_retrieval_recall",
     tier="T3",
     doc="RAG retrieval acceptance eval — the check that closes the "
     "chunking loop: a deterministic quarter of the held-out "
     "'test'-split documents (content-hash routing as llm_doc_split, "
-    "then doc_id % 4 — acceptance evals SAMPLE; the fixture's 31-word "
-    "vocabulary makes every query term match nearly every chunk, the "
-    "same documented pathology as llm_bm25, so the eval corpus stays "
-    "bounded) each issue their leading 4 distinct words as a query "
+    "then doc_id % 4), capped at a FIXED budget of "
+    f"{RAG_QBUDGET} queries by content-hash rank (round-13: a "
+    "fixed-RATE sample grows linearly with the corpus, and the "
+    "fixture's 31-word vocabulary — the documented llm_bm25 pathology "
+    "— makes every query term match nearly every chunk of its "
+    "sub-corpus, so the eval's candidate join blew the probe host's "
+    "spill disk at documents ×1000; a recall ESTIMATE needs a fixed "
+    "query count, not a fixed fraction.  Selection is two-phase like "
+    "llm_reservoir_sample: per-md5-nibble local top-k then a re-rank "
+    "over ≤16·k survivors, so no corpus-wide single-partition sort; "
+    "at sf0.01/sf0.1 the eligible count is under the budget and the "
+    "output is unchanged) each issue their leading 4 distinct words "
+    "as a query "
     "against the FULL chunk "
     "corpus (llm_chunk_overlap geometry); chunks rank by distinct-term "
     f"overlap (ties → doc_id, chunk_idx) and the top {RAG_TOPK} are "
@@ -376,10 +388,13 @@ WITH d AS (
                                          ci * {CHUNK_S} + {CHUNK_W})))
            AS tok
   FROM e
-), q AS (
-  SELECT doc_id AS q_id,
-         unnest(list_distinct(list_slice(toks, 1, 4))) AS tok
+), qsel AS (
+  SELECT doc_id AS q_id, toks,
+         row_number() OVER (ORDER BY md5(text), doc_id) AS qrk
   FROM d WHERE substr(md5(text), 1, 1) >= 'e' AND doc_id % 4 = 0
+), q AS (
+  SELECT q_id, unnest(list_distinct(list_slice(toks, 1, 4))) AS tok
+  FROM qsel WHERE qrk <= {RAG_QBUDGET}
 ), ov AS (
   SELECT q.q_id, ct.doc_id, ct.chunk_idx,
          CAST(count(*) AS BIGINT) AS overlap
@@ -411,11 +426,29 @@ def llm_chunk_retrieval_recall(
         F.explode(F.array_distinct("chunk")).alias("tok"),
     )
     nib = F.expr(_split_expr("spark"))
-    q = (
+    # Fixed-budget query selection, two-phase (no corpus-wide
+    # single-partition sort): any global top-k doc is its md5-nibble
+    # bucket's top-k, so phase 1 is lossless.
+    eligible = (
         docs.where(nib >= "e")
         .where(F.col("doc_id") % 4 == 0)
         .select(
             F.col("doc_id").alias("q_id"),
+            F.md5(F.col("text").cast("binary")).alias("qh"),
+            "text",
+        )
+    )
+    wloc = Window.partitionBy(F.substring("qh", 1, 1)).orderBy(
+        "qh", "q_id"
+    )
+    wglob = Window.orderBy("qh", "q_id")
+    q = (
+        eligible.withColumn("lrk", F.row_number().over(wloc))
+        .where(F.col("lrk") <= RAG_QBUDGET)
+        .withColumn("qrk", F.row_number().over(wglob))
+        .where(F.col("qrk") <= RAG_QBUDGET)
+        .select(
+            "q_id",
             F.explode(
                 F.array_distinct(F.slice(F.split("text", " "), 1, 4))
             ).alias("tok"),
