@@ -299,6 +299,7 @@ BEYOND_NEWEST: set[str] = {
     "llm_spann_stats",
     "llm_spann_recall",
     "llm_nb_lang",
+    "llm_nb_margin_calibration",
     "llm_epoch_shuffle",
 }
 

@@ -1117,25 +1117,11 @@ def llm_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_nb_lang",
-    tier="T3",
-    doc="Trained multinomial Naive-Bayes language classifier — the "
-    "model-based stage (the fastText-classifier analog) that "
-    "complements the heuristic llm_lang_id: train on the 80% split "
-    "(doc_id % 5 != 0) with +1-smoothed per-class token likelihoods "
-    "and doc-count priors, score every held-out doc under every class, "
-    "emit the eval confusion matrix.  Scores are SUMS OF PINNED "
-    "INTEGERS (micro-log10 per token), so the argmax is exact and "
-    "engine-independent — ties break on class name, no float argmax "
-    "ambiguity.  Scale shape: two map-side-combined freq aggregates "
-    "(the model), one hash join of eval tokens to the likelihood "
-    "table, a per-(doc, class) aggregate, and a class-dim fanout "
-    "(bounded crossJoin: n_classes rows, broadcast) — the classic "
-    "train-once/score-everything plan with nothing quadratic; the "
-    "unseen-token term folds into (n_tok − n_matched)·miss so eval "
-    "docs never join on the full vocabulary.",
-    oracle="""
+#: CTE chain shared by the NB-classifier oracles: split -> model
+#: (token counts, vocab, priors, unseen penalty) -> eval scoring grid.
+#: llm_nb_lang and llm_nb_margin_calibration compose from this constant
+#: (same no-string-splitting rule as _IVF_ASSIGNMENT_CTES).
+_NB_GRID_CTES = """
 WITH d AS (
   SELECT doc_id, lang, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n_tok,
@@ -1172,24 +1158,61 @@ WITH d AS (
   FROM etok e JOIN llh l USING (tok) GROUP BY e.doc_id, l.lang
 ), grid AS (
   SELECT d.doc_id, d.lang AS lang_true, c.lang AS cand,
+         CAST(d.n_tok AS BIGINT) AS n_tok,
          CAST(coalesce(m.msum, 0) AS BIGINT)
          + (CAST(d.n_tok AS BIGINT) - coalesce(m.nm, 0)) * c.miss_l
          + c.prior_l AS score
   FROM d CROSS JOIN cls c
   LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = c.lang
   WHERE d.is_eval
-), pred AS (
-  SELECT doc_id, lang_true, cand,
+), scored2 AS (
+  SELECT doc_id, lang_true, cand, n_tok, score,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, cand) AS rn
   FROM grid
-)
+)"""
+
+
+@register(
+    "llm_nb_lang",
+    tier="T3",
+    doc="Trained multinomial Naive-Bayes language classifier — the "
+    "model-based stage (the fastText-classifier analog) that "
+    "complements the heuristic llm_lang_id: train on the 80% split "
+    "(doc_id % 5 != 0) with +1-smoothed per-class token likelihoods "
+    "and doc-count priors, score every held-out doc under every class, "
+    "emit the eval confusion matrix.  Scores are SUMS OF PINNED "
+    "INTEGERS (micro-log10 per token), so the argmax is exact and "
+    "engine-independent — ties break on class name, no float argmax "
+    "ambiguity.  Scale shape: two map-side-combined freq aggregates "
+    "(the model), one hash join of eval tokens to the likelihood "
+    "table, a per-(doc, class) aggregate, and a class-dim fanout "
+    "(bounded crossJoin: n_classes rows, broadcast) — the classic "
+    "train-once/score-everything plan with nothing quadratic; the "
+    "unseen-token term folds into (n_tok − n_matched)·miss so eval "
+    "docs never join on the full vocabulary.",
+    oracle=_NB_GRID_CTES + """
 SELECT lang_true AS lang, cand AS pred_lang,
        CAST(count(*) AS BIGINT) AS n_docs
-FROM pred WHERE rn = 1 GROUP BY lang_true, cand
+FROM scored2 WHERE rn = 1 GROUP BY lang_true, cand
 """,
 )
 def llm_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _nb_grid(spark, sf_dir)
+    pred = grid.groupBy("doc_id", "lang_true").agg(
+        F.expr("min_by(cand, struct(-score, cand))").alias("pred_lang")
+    )
+    return pred.groupBy(
+        F.col("lang_true").alias("lang"), "pred_lang"
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+
+
+def _nb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NB scoring grid (doc_id, lang_true, cand, score) over the
+    eval split — one row per held-out doc x trained class, scores as
+    sums of pinned micro-log10 integers.  Shared by llm_nb_lang
+    (argmax -> confusion) and llm_nb_margin_calibration (margin
+    bands); mirrors the oracle-side _NB_GRID_CTES exactly."""
     d = (
         table(spark, sf_dir, "documents")
         .select(
@@ -1271,6 +1294,7 @@ def llm_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang_true",
             "cand",
+            "n_tok",
             (
                 F.coalesce(F.col("msum"), F.lit(0).cast("bigint"))
                 + (F.col("n_tok") - F.coalesce(F.col("nm"), F.lit(0)))
@@ -1279,9 +1303,81 @@ def llm_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    pred = grid.groupBy("doc_id", "lang_true").agg(
-        F.expr("min_by(cand, struct(-score, cand))").alias("pred_lang")
+    return grid
+
+
+NB_CAL_BAND_U = 25_000  # margin band width: 0.025 log10 per token
+NB_CAL_BANDS = 10  # bands 0..9, top band open-ended
+
+
+@register(
+    "llm_nb_margin_calibration",
+    tier="T3",
+    doc="Classifier calibration table — the reliability artifact any "
+    "model-based filter ships with before its threshold is trusted at "
+    "100 TB: held-out docs bucket by PER-TOKEN decision margin (top "
+    "NB score minus runner-up, DIV n_tok, banded at 0.025 log10/token, "
+    f"top band open) and each band reports doc count and accuracy "
+    "(1e4).  A well-behaved classifier is monotone here — accuracy "
+    "rises with margin — and the band a target precision first clears "
+    "IS the production threshold.  Margins are differences of pinned "
+    "integer scores, so banding is exact in both engines.  Scale "
+    "shape: the llm_nb_lang grid (bounded class fanout) + a per-doc "
+    "5-row sorted-array aggregate + one 10-key hash rollup — no new "
+    "corpus-scale stage.",
+    oracle=_NB_GRID_CTES + f"""
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE correct) AS BIGINT) AS n_correct,
+       CAST(count(*) FILTER (WHERE correct) * 10000 // count(*)
+            AS BIGINT) AS acc_1e4
+FROM (
+  SELECT CASE WHEN b.doc_id IS NULL THEN {NB_CAL_BANDS - 1}
+              ELSE least((a.score - b.score) // a.n_tok
+                         // {NB_CAL_BAND_U}, {NB_CAL_BANDS - 1})
+         END AS band,
+         a.lang_true = a.cand AS correct
+  FROM scored2 a
+  LEFT JOIN scored2 b ON a.doc_id = b.doc_id AND b.rn = 2
+  WHERE a.rn = 1
+)
+GROUP BY band
+""",
+)
+def llm_nb_margin_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    grid = _nb_grid(spark, sf_dir)
+    per = grid.groupBy("doc_id", "lang_true", "n_tok").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct((-F.col("score")).alias("ns"), "cand")
+            )
+        ).alias("arr")
     )
-    return pred.groupBy(
-        F.col("lang_true").alias("lang"), "pred_lang"
-    ).agg(F.count("*").cast("bigint").alias("n_docs"))
+    top = F.col("arr")[0]
+    second = F.col("arr")[1]
+    band = F.when(
+        F.size("arr") < 2, F.lit(NB_CAL_BANDS - 1)
+    ).otherwise(
+        F.least(
+            F.expr(
+                f"(arr[1].ns - arr[0].ns) DIV n_tok DIV {NB_CAL_BAND_U}"
+            ),
+            F.lit(NB_CAL_BANDS - 1).cast("bigint"),
+        )
+    )
+    scored = per.select(
+        band.alias("band"),
+        (top.getField("cand") == F.col("lang_true")).alias("correct"),
+    )
+    return scored.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("correct"), 1))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(count(CASE WHEN correct THEN 1 END) * 10000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("acc_1e4"),
+    )

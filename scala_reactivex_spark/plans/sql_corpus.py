@@ -1208,6 +1208,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_multimodal_phash",
     "llm_multimodal_resize",
     "llm_nb_lang",
+    "llm_nb_margin_calibration",
     "llm_neg_sampling",
     "llm_oov_rate",
     "llm_pack_sequences",

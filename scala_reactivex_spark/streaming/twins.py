@@ -2429,3 +2429,40 @@ def twin_nb_lang(sdf: DataFrame, model: DataFrame) -> DataFrame:
             (-best.getField("nscore")).alias("score"),
         )
     )
+
+
+def twin_epoch_shuffle(sdf: DataFrame) -> DataFrame:
+    """Streaming epoch-shard router [T3 — live twin of
+    llm_epoch_shuffle's shard assignment]: arriving documents route to
+    their reader shard by the SAME salted-ID hash as the batch layout
+    (md5(doc_id || ':e1') first two nibbles mod 64), so an ingest
+    stream lands new docs exactly where the next batch re-layout would
+    put them — the membership is a pure function of doc_id.
+    Completely STATELESS per row: append mode, no watermark, no
+    streaming shuffle; pytest holds drained (doc_id, shard) pairs to
+    the batch op's assignment column."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        ES_SALT,
+        ES_SHARDS,
+    )
+
+    hexpos = "instr('0123456789abcdef', substr(h, {}, 1))"
+    return (
+        sdf.select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(f":{ES_SALT}")
+                ).cast("binary")
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"(({hexpos.format(1)} - 1) * 16"
+                f" + {hexpos.format(2)} - 1) % {ES_SHARDS}"
+            ).alias("shard"),
+        )
+    )

@@ -114,6 +114,7 @@ ALLOWED_NESTED_LOOP = {
     # NB classifier: 1-row vocab/doc-total scalar attaches plus the
     # bounded class-dim scoring fanout (n_classes broadcast rows).
     "llm_nb_lang",
+    "llm_nb_margin_calibration",  # same grid, same bounded fanout
 }
 
 

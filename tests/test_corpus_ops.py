@@ -819,3 +819,36 @@ def test_epoch_shuffle_conserves_and_mixes(spark, sf_dir):
             assert r["n_src"] > 1, f"shard {r['shard']} unmixed: {r}"
     again = llm_epoch_shuffle(spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_nb_margin_calibration_partitions_and_bounds(spark, sf_dir):
+    """Calibration-table laws: the bands partition the eval split
+    (doc counts sum to |eval|), each band's accuracy is a valid rate
+    (n_correct ≤ n_docs, acc in [0, 1e4]), and the total correct count
+    equals the confusion matrix's diagonal mass — the two views of the
+    same grid must agree."""
+    import pyspark.sql.functions as F
+
+    from scala_reactivex_spark.operators.llm_text import (
+        llm_nb_lang,
+        llm_nb_margin_calibration,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    cal = llm_nb_margin_calibration(spark, sf_dir).collect()
+    n_eval = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in cal) == n_eval
+    for r in cal:
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        assert 0 <= r["acc_1e4"] <= 10000
+        assert 0 <= r["band"] <= 9
+    diag = sum(
+        r["n_docs"]
+        for r in llm_nb_lang(spark, sf_dir).collect()
+        if r["lang"] == r["pred_lang"]
+    )
+    assert sum(r["n_correct"] for r in cal) == diag
