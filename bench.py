@@ -301,6 +301,7 @@ BEYOND_NEWEST: set[str] = {
     "llm_nb_lang",
     "llm_nb_margin_calibration",
     "llm_epoch_shuffle",
+    "src_zorder_layout",
 }
 
 

@@ -257,3 +257,108 @@ def src_zonemap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+Z_BITS = 8  # per-dimension resolution of the z-value (16-bit curve)
+Z_BUCKETS = 64  # clustered write buckets (z DIV 1024)
+#: The pruning probe: a query box in NORMALIZED (u8, d8) coordinates —
+#: "one quarter of the user range × one quarter of the day range".
+Z_BOX = (64, 95)
+
+
+def _z_interleave(u: str, d: str) -> str:
+    """SQL for the Morton interleave of two 8-bit coords — pure integer
+    arithmetic ((x DIV 2^i) % 2 bit probes, shifted by powers of two),
+    identical token-for-token in Spark SQL and DuckDB (both spell
+    integer division DIV/// — the caller passes the dialect-neutral
+    form through spark_dialect for the oracle)."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({u} DIV {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({d} DIV {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@register(
+    "src_zorder_layout",
+    tier="T2",
+    doc="Z-order (Morton) clustering audit — the two-dimensional "
+    "complement of src_zonemap_profile and the layout decision a "
+    "100 TB table with TWO hot predicate columns needs: events map "
+    f"(user_id, day) onto a {Z_BITS}-bit-per-dim Morton curve "
+    "(min/max bounds attach as a 1-row broadcast; the interleave is "
+    f"pure integer arithmetic in codegen), cluster into {Z_BUCKETS} "
+    "z-buckets, and each bucket reports its NORMALIZED envelope, the "
+    "envelope area (the zone-map tightness both dimensions share — "
+    "z-order keeps it near area/buckets where a single-column sort "
+    "degenerates to full-width stripes), and whether the standard "
+    f"quarter×quarter probe box [{Z_BOX[0]}, {Z_BOX[1]}]² could skip "
+    "the bucket outright.  Scale shape: one 1-row bounds aggregate, "
+    "one projection, one hash aggregate to a bounded bucket table — "
+    "the same footer-stats derivation as the zonemap profile.",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+), bounds AS (
+  SELECT min(user_id) AS u0, max(user_id) AS u1,
+         min(day) AS d0, max(day) AS d1
+  FROM b
+), n AS (
+  SELECT (user_id - u0) * 256 // (u1 - u0 + 1) AS u8,
+         (day - d0) * 256 // (d1 - d0 + 1) AS d8
+  FROM b CROSS JOIN bounds
+), z AS (
+  SELECT u8, d8, ({_z_interleave("u8", "d8").replace("DIV", "//")})
+           // {65536 // Z_BUCKETS} AS zbucket
+  FROM n
+)
+SELECT zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(u8) AS BIGINT) AS min_u8,
+       CAST(max(u8) AS BIGINT) AS max_u8,
+       CAST(min(d8) AS BIGINT) AS min_d8,
+       CAST(max(d8) AS BIGINT) AS max_d8,
+       CAST((max(u8) - min(u8) + 1) * (max(d8) - min(d8) + 1)
+            AS BIGINT) AS env_area,
+       CAST(max(u8) < {Z_BOX[0]} OR min(u8) > {Z_BOX[1]}
+            OR max(d8) < {Z_BOX[0]} OR min(d8) > {Z_BOX[1]} AS INT)
+         AS skippable
+FROM z GROUP BY zbucket
+""",
+)
+def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ms DIV 86400000").alias("day")
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("u0"),
+        F.max("user_id").alias("u1"),
+        F.min("day").alias("d0"),
+        F.max("day").alias("d1"),
+    )
+    n = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr("(user_id - u0) * 256 DIV (u1 - u0 + 1)").alias("u8"),
+        F.expr("(day - d0) * 256 DIV (d1 - d0 + 1)").alias("d8"),
+    )
+    z = n.select(
+        "u8",
+        "d8",
+        F.expr(
+            f"({_z_interleave('u8', 'd8')}) DIV {65536 // Z_BUCKETS}"
+        ).alias("zbucket"),
+    )
+    return z.groupBy("zbucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("u8").cast("bigint").alias("min_u8"),
+        F.max("u8").cast("bigint").alias("max_u8"),
+        F.min("d8").cast("bigint").alias("min_d8"),
+        F.max("d8").cast("bigint").alias("max_d8"),
+        F.expr(
+            "CAST((max(u8) - min(u8) + 1) * (max(d8) - min(d8) + 1)"
+            " AS BIGINT)"
+        ).alias("env_area"),
+        F.expr(
+            f"CAST(max(u8) < {Z_BOX[0]} OR min(u8) > {Z_BOX[1]}"
+            f" OR max(d8) < {Z_BOX[0]} OR min(d8) > {Z_BOX[1]} AS INT)"
+        ).alias("skippable"),
+    )

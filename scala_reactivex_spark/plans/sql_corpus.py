@@ -1291,6 +1291,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_zip",
     "src_partition_prune",
     "src_zonemap_profile",
+    "src_zorder_layout",
 )
 
 

@@ -115,6 +115,7 @@ ALLOWED_NESTED_LOOP = {
     # bounded class-dim scoring fanout (n_classes broadcast rows).
     "llm_nb_lang",
     "llm_nb_margin_calibration",  # same grid, same bounded fanout
+    "src_zorder_layout",  # 1-row (u, day) bounds broadcast × event stream
 }
 
 

@@ -852,3 +852,39 @@ def test_nb_margin_calibration_partitions_and_bounds(spark, sf_dir):
         if r["lang"] == r["pred_lang"]
     )
     assert sum(r["n_correct"] for r in cal) == diag
+
+
+def test_zorder_buckets_are_tiles(spark, sf_dir):
+    """Morton-curve law: with the z-value's top 6 bits as the bucket id
+    (3 high bits from each dimension), every bucket's envelope lives
+    inside one 32×32 tile of the normalized (u8, d8) plane — bounded
+    WIDTH IN BOTH DIMENSIONS, which is exactly what a single-column
+    sort cannot give (its stripes span the full width of the other
+    dim).  Plus conservation and probe-consistency."""
+    from scala_reactivex_spark.operators.creation import (
+        Z_BOX,
+        src_zorder_layout,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = src_zorder_layout(spark, sf_dir).collect()
+    assert rows
+    n = table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    lo, hi = Z_BOX
+    for r in rows:
+        assert r["max_u8"] - r["min_u8"] <= 31, r
+        assert r["max_d8"] - r["min_d8"] <= 31, r
+        assert r["env_area"] == (r["max_u8"] - r["min_u8"] + 1) * (
+            r["max_d8"] - r["min_d8"] + 1
+        )
+        disjoint = (
+            r["max_u8"] < lo
+            or r["min_u8"] > hi
+            or r["max_d8"] < lo
+            or r["min_d8"] > hi
+        )
+        assert r["skippable"] == int(disjoint)
+    # The probe box covers 1/64 of the tile grid in each dim band —
+    # a healthy z-layout must make SOME buckets skippable.
+    assert any(r["skippable"] for r in rows)
