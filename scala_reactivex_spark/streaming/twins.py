@@ -2466,3 +2466,90 @@ def twin_epoch_shuffle(sdf: DataFrame) -> DataFrame:
             ).alias("shard"),
         )
     )
+
+
+def twin_ann_spann(
+    sdf: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming SPANN ANN serving [live twin of llm_ann_spann's
+    search]: query vectors ARRIVE, the BOUNDARY-REPLICATED posting
+    lists STAND (the disk-tiered ``_spann_postings`` artifact plus the
+    shared IVF centroids).  Each micro-batch assigns its queries to
+    their single nearest centroid (broadcast centroids — SPANN's whole
+    trade: no per-query multiprobe fan-out, the recall was bought at
+    index-build time) and gathers only that one posting list from the
+    static index; scoring and the per-query top-k run in
+    ``foreachBatch`` with the idempotent parquet sink (replays are
+    no-ops).  Batch-equivalence is pytest-asserted against
+    llm_ann_spann for the same probe set."""
+    from scala_reactivex_spark.operators.llm_similarity import (
+        TOPK,
+        _assign_buckets,
+        _ivf_index,
+        _spann_postings,
+        cosine_with_norms,
+        norm_col,
+    )
+    from scala_reactivex_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+    from pyspark.sql import Window
+
+    ev, cent, _ = _ivf_index(spark, sf_dir)
+    post = _spann_postings(spark, sf_dir)
+    commit = idempotent_parquet_sink(out_dir)
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        q = batch_df.select(
+            "vec_id", "embedding", norm_col("embedding").alias("vn")
+        )
+        qb = _assign_buckets(q, cent)
+        probes = q.join(qb, "vec_id").select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("bucket").alias("pbucket"),
+            F.col("embedding").alias("pe"),
+            F.col("vn").alias("pn"),
+        )
+        cands = (
+            F.broadcast(probes)
+            .join(
+                post.alias("r"),
+                (F.col("r.bucket") == F.col("pbucket"))
+                & (F.col("r.vec_id") != F.col("probe_id")),
+            )
+            .join(ev.alias("em"), F.col("r.vec_id") == F.col("em.vec_id"))
+            .select(
+                "probe_id",
+                F.col("r.vec_id").alias("neighbor_id"),
+                F.round(
+                    cosine_with_norms(
+                        "pe", F.col("em.embedding"), "pn", F.col("em.vn")
+                    ),
+                    4,
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id")
+        )
+        commit(
+            cands.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOPK)
+            .select("probe_id", "neighbor_id", "cos_sim", "rnk"),
+            batch_id,
+        )
+
+    query = (
+        sdf.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "probe_id", "neighbor_id", "cos_sim", "rnk"
+    )

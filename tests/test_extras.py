@@ -627,3 +627,35 @@ def test_fixture_cache_rebuilds_when_fixture_regenerated(
     out2 = _evolved_events(spark, str(fix))
     assert out2 != out1, "regenerated fixture must key a fresh cache"
     assert os.path.exists(os.path.join(out2, "_DONE"))
+
+
+def test_twin_ann_spann_serving_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming query vectors against the static boundary-replicated
+    SPANN index reproduce the batch search exactly for the same probe
+    set — single-probe serving, recall already paid at index build —
+    and a replay with the same checkpoint commits nothing new."""
+    from scala_reactivex_spark.operators.llm_similarity import (
+        N_PROBES,
+        llm_ann_spann,
+    )
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "emb_src")
+    (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_PROBES)
+        .repartition(2)
+        .write.parquet(src)
+    )
+    out_dir = str(tmp_path / "spann")
+    ckpt = str(tmp_path / "ckpt")
+    got_df = twins.twin_ann_spann(
+        twins.embeddings_stream(spark, src), spark, sf_dir, out_dir, ckpt
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in llm_ann_spann(spark, sf_dir).collect()}
+    assert got == want and got
+    again = twins.twin_ann_spann(
+        twins.embeddings_stream(spark, src), spark, sf_dir, out_dir, ckpt
+    )
+    assert {tuple(r) for r in again.collect()} == got
