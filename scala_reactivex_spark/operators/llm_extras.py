@@ -417,26 +417,25 @@ def llm_chunk_retrieval_recall(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    from scala_reactivex_spark.operators.llm_retrieval import _split_expr
-
     docs = table(spark, sf_dir, "documents")
     ct = _chunk_table(spark, sf_dir).select(
         "doc_id",
         F.col("ci").alias("chunk_idx"),
         F.explode(F.array_distinct("chunk")).alias("tok"),
     )
-    nib = F.expr(_split_expr("spark"))
     # Fixed-budget query selection, two-phase (no corpus-wide
     # single-partition sort): any global top-k doc is its md5-nibble
-    # bucket's top-k, so phase 1 is lossless.
+    # bucket's top-k, so phase 1 is lossless.  The routing nibble is
+    # qh's first hex char (same md5 as _split_expr), so the hash is
+    # computed once per row.
     eligible = (
-        docs.where(nib >= "e")
-        .where(F.col("doc_id") % 4 == 0)
+        docs.where(F.col("doc_id") % 4 == 0)
         .select(
             F.col("doc_id").alias("q_id"),
             F.md5(F.col("text").cast("binary")).alias("qh"),
             "text",
         )
+        .where(F.substring("qh", 1, 1) >= "e")
     )
     wloc = Window.partitionBy(F.substring("qh", 1, 1)).orderBy(
         "qh", "q_id"

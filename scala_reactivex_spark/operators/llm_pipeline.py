@@ -1718,6 +1718,27 @@ ES_SHARDS = 64  # epoch-shuffle reader shards
 ES_SALT = "e1"  # epoch tag: changing it re-derives a fresh permutation
 
 
+def epoch_hash_col():
+    """The salted epoch-permutation hash of doc_id — THE single
+    definition of the routing recipe (batch op, serving twin and the
+    equivalence test all import it, so the recipe cannot fork)."""
+    return F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{ES_SALT}")).cast(
+            "binary"
+        )
+    )
+
+
+def epoch_shard_col(h: str = "h"):
+    """Reader-shard id from the epoch hash column: first two hex
+    nibbles mod ES_SHARDS (the llm_shard_assign hex-instr idiom)."""
+    hexpos = f"instr('0123456789abcdef', substr({h}, {{}}, 1))"
+    return F.expr(
+        f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
+        f" % {ES_SHARDS}"
+    )
+
+
 @register(
     "llm_epoch_shuffle",
     tier="T3",
@@ -1772,25 +1793,10 @@ FROM per p JOIN topshare t USING (shard)
 """,
 )
 def llm_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hexpos = "instr('0123456789abcdef', substr(h, {}, 1))"
     s = (
         table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "source",
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"), F.lit(f":{ES_SALT}")
-                ).cast("binary")
-            ).alias("h"),
-        )
-        .withColumn(
-            "shard",
-            F.expr(
-                f"(({hexpos.format(1)} - 1) * 16"
-                f" + {hexpos.format(2)} - 1) % {ES_SHARDS}"
-            ),
-        )
+        .select("doc_id", "source", epoch_hash_col().alias("h"))
+        .withColumn("shard", epoch_shard_col("h"))
     )
     wsh = Window.partitionBy("shard").orderBy("h", "doc_id")
     adj = s.withColumn(

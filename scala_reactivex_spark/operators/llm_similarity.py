@@ -1051,7 +1051,7 @@ def _spann_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return post
 
 
-_SPANN_REPL_CTE = """, repl AS (
+_SPANN_REPL_CTE = f""", repl AS (
   SELECT vec_id, cid AS bucket FROM (
     SELECT vec_id, cid,
            CAST(ROUND(dot / (sqrt(na2) * sqrt(nb2)) * 10000, 0) AS BIGINT)
@@ -1059,7 +1059,7 @@ _SPANN_REPL_CTE = """, repl AS (
            MAX(CAST(ROUND(dot / (sqrt(na2) * sqrt(nb2)) * 10000, 0)
                     AS BIGINT)) OVER (PARTITION BY vec_id) AS mxi
     FROM asg_dots)
-  WHERE si >= mxi - 500
+  WHERE si >= mxi - {SPANN_EPS_1E4}
 )"""
 
 _SPANN_ORACLE = _IVF_ASSIGNMENT_CTES + _SPANN_REPL_CTE + """, probes AS (

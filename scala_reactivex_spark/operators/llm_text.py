@@ -1207,34 +1207,26 @@ def llm_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").cast("bigint").alias("n_docs"))
 
 
-def _nb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The NB scoring grid (doc_id, lang_true, cand, score) over the
-    eval split — one row per held-out doc x trained class, scores as
-    sums of pinned micro-log10 integers.  Shared by llm_nb_lang
-    (argmax -> confusion) and llm_nb_margin_calibration (margin
-    bands); mirrors the oracle-side _NB_GRID_CTES exactly."""
+def nb_model_frames(spark: SparkSession, sf_dir: str):
+    """(cls, llh) — the trained NB model: per-class constants (token
+    mass, vocab size, unseen-token penalty, doc prior) and the
+    per-(lang, tok) pinned log-likelihood table, trained on the 80%
+    split.  THE single definition of the training recipe: _nb_grid
+    (batch scoring) and streaming.twins.nb_model_params (the serving
+    pack) both build from it, so smoothing / split-rule / pinning
+    changes cannot fork between batch and serving."""
     d = (
         table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "lang",
-            F.split("text", " ").alias("toks"),
-        )
-        .withColumn("n_tok", F.size("toks").cast("bigint"))
-        .withColumn("is_eval", F.col("doc_id") % 5 == 0)
+        .where(F.col("doc_id") % 5 != 0)
+        .select("lang", F.split("text", " ").alias("toks"))
     )
-    ttok = d.where(~F.col("is_eval")).select(
-        "lang", F.explode("toks").alias("tok")
+    tokc = (
+        d.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
     )
-    tokc = ttok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
-    vocab = tokc.select("tok").distinct().agg(
-        F.count("*").alias("v")
-    )
-    nd = (
-        d.where(~F.col("is_eval"))
-        .groupBy("lang")
-        .agg(F.count("*").alias("nd"))
-    )
+    vocab = tokc.select("tok").distinct().agg(F.count("*").alias("v"))
+    nd = d.groupBy("lang").agg(F.count("*").alias("nd"))
     ndt = nd.agg(F.sum("nd").alias("ndt"))
     pin = lambda col: (  # noqa: E731
         F.floor(F.log10(col) * 1_000_000 + F.lit(0.5)).cast("bigint")
@@ -1267,17 +1259,46 @@ def _nb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tot") + F.col("v")).cast("double")
         ).alias("l"),
     )
-    etok = d.where("is_eval").select(
-        "doc_id", F.explode("toks").alias("tok")
+    return cls, llh
+
+
+def _nb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NB scoring grid (doc_id, lang_true, cand, n_tok, score) over
+    the eval split — one row per held-out doc x trained class, scores
+    as sums of pinned micro-log10 integers; mirrors the oracle-side
+    _NB_GRID_CTES exactly.  Session-memoized + persisted: llm_nb_lang,
+    llm_nb_margin_calibration and the calibration law test all consume
+    it, and the output is bounded (|eval| x n_classes rows)."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "nb_grid",
+        lambda: _nb_grid_build(spark, sf_dir).persist(),
     )
+
+
+def _nb_grid_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cls, llh = nb_model_frames(spark, sf_dir)
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.split("text", " ").alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks").cast("bigint"))
+        .where(F.col("doc_id") % 5 == 0)
+    )
+    etok = d.select("doc_id", F.explode("toks").alias("tok"))
     matched = etok.join(llh, "tok").groupBy("doc_id", "lang").agg(
         F.sum("l").alias("msum"), F.count("*").alias("nm")
     )
     # Class-dim fanout: eval docs x n_classes — bounded broadcast
     # crossJoin (the scoring grid every argmax classifier materializes).
     grid = (
-        d.where("is_eval")
-        .select("doc_id", F.col("lang").alias("lang_true"), "n_tok")
+        d.select("doc_id", F.col("lang").alias("lang_true"), "n_tok")
         .crossJoin(
             F.broadcast(
                 cls.select(

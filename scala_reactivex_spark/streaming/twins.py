@@ -2319,57 +2319,17 @@ def twin_eval_affinity(
 def nb_model_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch-trained Naive-Bayes language model packed into ONE
     static row of ``array<struct<cand, m, miss_l, prior_l>>`` for
-    :func:`twin_nb_lang` — per class: the token→pinned-log-likelihood
-    map, the unseen-token penalty and the doc-count prior, trained on
-    the same 80% split as llm_nb_lang (llm_text.py).  Map fields are
+    :func:`twin_nb_lang` — built from the SAME
+    :func:`llm_text.nb_model_frames` the batch scorer uses, so the
+    serving pack cannot fork from the training recipe.  Map fields are
     not orderable, so the class array is collected unsorted — scoring
     is order-independent (argmax over all classes with an explicit
     (score, cand) rule)."""
-    from scala_reactivex_spark.sources.catalog import table
+    from scala_reactivex_spark.operators.llm_text import nb_model_frames
 
-    d = (
-        table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 5 != 0)
-        .select("lang", F.split("text", " ").alias("toks"))
-    )
-    tokc = d.select("lang", F.explode("toks").alias("tok")).groupBy(
-        "lang", "tok"
-    ).agg(F.count("*").alias("c"))
-    vocab = tokc.select("tok").distinct().agg(F.count("*").alias("v"))
-    nd = d.groupBy("lang").agg(F.count("*").alias("nd"))
-    ndt = nd.agg(F.sum("nd").alias("ndt"))
-    pin = lambda col: (  # noqa: E731
-        F.floor(F.log10(col) * 1_000_000 + F.lit(0.5)).cast("bigint")
-    )
-    cls = (
-        tokc.groupBy("lang")
-        .agg(F.sum("c").alias("tot"))
-        .join(nd, "lang")
-        .crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(ndt))
-        .select(
-            "lang",
-            "tot",
-            "v",
-            pin(
-                F.lit(1.0) / (F.col("tot") + F.col("v")).cast("double")
-            ).alias("miss_l"),
-            pin(
-                F.col("nd").cast("double") / F.col("ndt").cast("double")
-            ).alias("prior_l"),
-        )
-    )
+    cls, llh = nb_model_frames(spark, sf_dir)
     per_class = (
-        tokc.join(cls.select("lang", "tot", "v"), "lang")
-        .select(
-            "lang",
-            "tok",
-            pin(
-                (F.col("c") + 1).cast("double")
-                / (F.col("tot") + F.col("v")).cast("double")
-            ).alias("l"),
-        )
-        .groupBy("lang")
+        llh.groupBy("lang")
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("tok", "l"))
@@ -2442,30 +2402,13 @@ def twin_epoch_shuffle(sdf: DataFrame) -> DataFrame:
     streaming shuffle; pytest holds drained (doc_id, shard) pairs to
     the batch op's assignment column."""
     from scala_reactivex_spark.operators.llm_pipeline import (
-        ES_SALT,
-        ES_SHARDS,
+        epoch_hash_col,
+        epoch_shard_col,
     )
 
-    hexpos = "instr('0123456789abcdef', substr(h, {}, 1))"
-    return (
-        sdf.select(
-            "doc_id",
-            "source",
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"), F.lit(f":{ES_SALT}")
-                ).cast("binary")
-            ).alias("h"),
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.expr(
-                f"(({hexpos.format(1)} - 1) * 16"
-                f" + {hexpos.format(2)} - 1) % {ES_SHARDS}"
-            ).alias("shard"),
-        )
-    )
+    return sdf.select(
+        "doc_id", "source", epoch_hash_col().alias("h")
+    ).select("doc_id", "source", epoch_shard_col("h").alias("shard"))
 
 
 def twin_ann_spann(

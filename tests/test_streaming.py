@@ -940,11 +940,9 @@ def test_twin_epoch_shuffle_matches_batch_assignment(
     (doc_id → shard) equals the batch op's per-shard doc partition
     (reconstructed from the same salted hash), and the stream is a
     pure projection — every doc appears exactly once."""
-    import pyspark.sql.functions as F
-
     from scala_reactivex_spark.operators.llm_pipeline import (
-        ES_SALT,
-        ES_SHARDS,
+        epoch_hash_col,
+        epoch_shard_col,
     )
     from scala_reactivex_spark.sources.catalog import table
 
@@ -953,24 +951,10 @@ def test_twin_epoch_shuffle_matches_batch_assignment(
         twins.twin_epoch_shuffle(sdf), "t_epoch_shard", ckpt
     )
     got = {r["doc_id"]: r["shard"] for r in out.collect()}
-    hexpos = "instr('0123456789abcdef', substr(h, {}, 1))"
     want_rows = (
         table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.md5(
-                F.concat(
-                    F.col("doc_id").cast("string"), F.lit(f":{ES_SALT}")
-                ).cast("binary")
-            ).alias("h"),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                f"(({hexpos.format(1)} - 1) * 16"
-                f" + {hexpos.format(2)} - 1) % {ES_SHARDS}"
-            ).alias("shard"),
-        )
+        .select("doc_id", epoch_hash_col().alias("h"))
+        .select("doc_id", epoch_shard_col("h").alias("shard"))
         .collect()
     )
     want = {r["doc_id"]: r["shard"] for r in want_rows}
