@@ -285,7 +285,12 @@ NEWEST_BASELINE_SEC = 2.33
 
 # Queries registered after round 12 — timed, reported per-query in
 # BENCH_DETAIL.json and summed as beyond_seconds; excluded from all five
-# frozen totals, pinned once the bucket has a quiet-host cold pass.
+# frozen totals.
+#
+# FROZEN at round 14 (10 names, BEYOND_NEWEST_BASELINE below, from the
+# round-13 quiet-host session-end passes recorded in BASELINE.md "BEYOND
+# pin opened").  Do NOT append here — queries registered after round 13
+# go to GROWTH below.
 BEYOND_NEWEST: set[str] = {
     # round 13: data-selection trio (fixed-size stratum reservoir,
     # reference-model excess-loss selection, eval-anchored affinity)
@@ -302,6 +307,30 @@ BEYOND_NEWEST: set[str] = {
     "llm_nb_margin_calibration",
     "llm_epoch_shuffle",
     "src_zorder_layout",
+}
+
+#: BEYOND_NEWEST pin (BASELINE.md, round 14): unlike the five earlier
+#: pins, this bucket's cost is dominated by 11 disk-memoized index
+#: builds, so the pin is REGIME-SPECIFIC and the ratio compares
+#: like-for-like via the run's own cache regime (r13 verdict #2):
+#: 9.16 s build-inclusive (SPARK_GRAFT_FRESH_CACHE=1) / 7.46 s
+#: read-back (standing cache), both from the round-13 quiet-host
+#: session-end passes.
+BEYOND_NEWEST_BASELINE_SEC = {"fresh": 9.16, "readback": 7.46}
+
+# Queries registered after round 13 — timed, reported per-query in
+# BENCH_DETAIL.json and summed as growth_seconds; excluded from all six
+# frozen totals, pinned once the bucket has a quiet-host cold pass.
+GROWTH: set[str] = {
+    # round 14: z-order layout promoted from audit to a real pruned
+    # read; NB calibration composed into a production filter
+    "src_zorder_read",
+    "llm_nb_filter",
+    # round 14: phash-band multimodal near-dup, per-doc n-gram novelty,
+    # quality-vs-diversity capped selection
+    "llm_multimodal_dedup",
+    "llm_ngram_novelty",
+    "llm_diverse_select",
 }
 
 
@@ -414,6 +443,7 @@ def main() -> None:
         | BEYOND_NEW
         | BEYOND_NEWER
         | BEYOND_NEWEST
+        | GROWTH
     ) - set(times)
     assert not missing, f"BEYOND_BASELINE names not in registry: {missing}"
     untiered = (
@@ -423,17 +453,19 @@ def main() -> None:
         - BEYOND_NEW
         - BEYOND_NEWER
         - BEYOND_NEWEST
+        - GROWTH
     )
     # All frozen suites are closed sets: a new registry key missing from
-    # BEYOND_NEWEST would silently inflate the headline total.
+    # GROWTH would silently inflate the headline total.
     assert len(untiered) == 72, (
         f"headline set drifted to {len(untiered)} queries — add new "
-        "registry keys to BEYOND_NEWEST"
+        "registry keys to GROWTH"
     )
     assert len(BEYOND_BASELINE) == 130, "frozen extras suite drifted"
     assert len(BEYOND_EXTRAS) == 12, "frozen new suite drifted"
     assert len(BEYOND_NEW) == 5, "frozen newer suite drifted"
     assert len(BEYOND_NEWER) == 5, "frozen newest suite drifted"
+    assert len(BEYOND_NEWEST) == 10, "frozen beyond suite drifted"
     total = round(sum(times[n] for n in untiered), 3)
     extras = round(
         sum(t for n, t in times.items() if n in BEYOND_BASELINE), 3
@@ -450,6 +482,17 @@ def main() -> None:
     beyond_sec = round(
         sum(t for n, t in times.items() if n in BEYOND_NEWEST), 3
     )
+    growth_sec = round(
+        sum(t for n, t in times.items() if n in GROWTH), 3
+    )
+    # The BEYOND pin is regime-specific (index-build-dominated bucket):
+    # compare this run against the pin recorded under the SAME cache
+    # regime, selected by the flag that redirected the cache root above.
+    beyond_pin = BEYOND_NEWEST_BASELINE_SEC[
+        "fresh"
+        if os.environ.get("SPARK_GRAFT_FRESH_CACHE") == "1"
+        else "readback"
+    ]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -494,6 +537,11 @@ def main() -> None:
         ),
         "beyond_seconds": beyond_sec,
         "beyond": sorted(BEYOND_NEWEST),
+        "beyond_vs_baseline": (
+            round(beyond_sec / beyond_pin, 3) if sf_val == 0.1 else None
+        ),
+        "growth_seconds": growth_sec,
+        "growth": sorted(GROWTH),
         "sf": sf_val,
         # Warm medians of the slowest-N queries (median of warm_reps
         # re-runs in the same session) — the self-arbitrating companion
@@ -561,6 +609,8 @@ def main() -> None:
         newer_sec=newer_sec,
         newest_sec=newest_sec,
         beyond_sec=beyond_sec,
+        beyond_pin=beyond_pin,
+        growth_sec=growth_sec,
         sf_val=sf_val,
         warm=warm,
         twin_latency=twin_latency,
@@ -580,6 +630,8 @@ def build_contract_line(
     newer_sec: float,
     newest_sec: float,
     beyond_sec: float,
+    beyond_pin: float,
+    growth_sec: float,
     sf_val,
     warm: dict[str, float],
     twin_latency: dict[str, dict],
@@ -637,9 +689,18 @@ def build_contract_line(
                 if sf_val == 0.1
                 else None
             ),
-            # Post-r12 growth bucket (no pin yet — pinned once it has a
-            # quiet-host cold pass to freeze).
+            # Post-r12 bucket, pinned at round 14 (BEYOND_NEWEST_BASELINE
+            # — regime-specific: the caller picks the pin matching this
+            # run's cache regime); sf0.1 only like the other pins.
             "beyond_seconds": beyond_sec,
+            "beyond_vs_baseline": (
+                round(beyond_sec / beyond_pin, 3)
+                if sf_val == 0.1
+                else None
+            ),
+            # Post-r13 growth bucket (no pin yet — pinned once it has a
+            # quiet-host cold pass to freeze).
+            "growth_seconds": growth_sec,
             # One-number warm aggregate (sum of the slowest-20 warm
             # medians); the per-query warm map is in BENCH_DETAIL.json.
             "warm20_sec": round(sum(warm.values()), 2),

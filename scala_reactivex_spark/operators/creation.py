@@ -362,3 +362,147 @@ def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" OR max(d8) < {Z_BOX[0]} OR min(d8) > {Z_BOX[1]} AS INT)"
         ).alias("skippable"),
     )
+
+
+#: The z-order READ probe box in normalized (u8, d8) coordinates —
+#: deliberately NOT dyadic-aligned (unlike Z_BOX, which covers exactly
+#: one z-bucket) so the bucket intersection below exercises the general
+#: Morton range decomposition: [48, 131]² intersects 16 of the 64
+#: z-buckets (brute-force decode, asserted in tests/test_zorder_read.py).
+ZREAD_BOX = (48, 131)
+
+
+def _zread_buckets() -> list[int]:
+    """Z-buckets the ZREAD_BOX can intersect — the file-skipping list a
+    z-ordered layout's metadata answers for every probe box.
+
+    Brute-force decode of all 2^(2·Z_BITS) Morton codes (65 536 — a
+    CONSTANT independent of data scale, evaluated once per process at
+    plan-build time; production layouts use the BIGMIN/LITMAX range
+    decomposition for wider curves, which yields the same set)."""
+    import functools
+
+    @functools.lru_cache(maxsize=1)
+    def _compute() -> tuple[int, ...]:
+        lo, hi = ZREAD_BOX
+        cell = 65536 // Z_BUCKETS
+        keep = set()
+        for z in range(65536):
+            u = d = 0
+            for i in range(Z_BITS):
+                d |= ((z >> (2 * i)) & 1) << i
+                u |= ((z >> (2 * i + 1)) & 1) << i
+            if lo <= u <= hi and lo <= d <= hi:
+                keep.add(z // cell)
+        return tuple(sorted(keep))
+
+    return list(_compute())
+
+
+def _zordered_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture dir) a Z-ORDER-CLUSTERED copy of
+    events under ``<repo>/.cache``: rows carry their normalized (u8, d8)
+    coordinates and land in hive directories keyed by their Morton
+    z-bucket — the layout src_zorder_layout's audit scores, actually
+    written so a reader can prune on it.  ``repartition(zbucket)`` keeps
+    the writer at one task per bucket (no small-file fan-out)."""
+    import os
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(repo_root, ".cache", f"events_zorder_{base}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "value",
+            "user_id",
+            F.expr("ms DIV 86400000").alias("day"),
+        )
+        bounds = ev.agg(
+            F.min("user_id").alias("u0"),
+            F.max("user_id").alias("u1"),
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+        )
+        n = ev.crossJoin(F.broadcast(bounds)).select(
+            "event_id",
+            "event_type",
+            "value",
+            F.expr("(user_id - u0) * 256 DIV (u1 - u0 + 1)").alias("u8"),
+            F.expr("(day - d0) * 256 DIV (d1 - d0 + 1)").alias("d8"),
+        )
+        z = n.withColumn(
+            "zbucket",
+            F.expr(
+                f"({_z_interleave('u8', 'd8')}) DIV {65536 // Z_BUCKETS}"
+            ),
+        )
+        (
+            z.repartition("zbucket")
+            .write.mode("overwrite")
+            .partitionBy("zbucket")
+            .parquet(out)
+        )
+    return out
+
+
+@register(
+    "src_zorder_read",
+    tier="T2",
+    doc="Z-order clustering PROMOTED from audit to layout (r13 verdict "
+    "#6): events are physically rewritten into Morton z-bucket hive "
+    "partitions (written once, _zordered_events), and the standard "
+    f"probe box {ZREAD_BOX}² scans ONLY the "
+    "z-buckets whose Morton range intersects the box — 16 of "
+    f"{Z_BUCKETS} buckets (75% of the layout pruned by "
+    "PartitionFilters before any file opens; "
+    "tests/test_zorder_read.py asserts the executed file set).  The "
+    "residual exact (u8, d8) predicate then filters inside the kept "
+    "buckets, so the bucket IN-list only ever widens the result — the "
+    "oracle recomputes from the UNCLUSTERED table and equality proves "
+    "the pruning set is a lossless superset.  Scale shape: this is "
+    "the two-hot-column analog of src_partition_prune — at 100 TB the "
+    "bucket list turns a full scan into a 25% scan with zero shuffle; "
+    "the intersection list is a 65 536-code constant, not data.",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, value, user_id,
+         epoch_ms(ts) // 86400000 AS day
+  FROM events
+), bounds AS (
+  SELECT min(user_id) AS u0, max(user_id) AS u1,
+         min(day) AS d0, max(day) AS d1
+  FROM b
+), n AS (
+  SELECT event_type, value,
+         (user_id - u0) * 256 // (u1 - u0 + 1) AS u8,
+         (day - d0) * 256 // (d1 - d0 + 1) AS d8
+  FROM b CROSS JOIN bounds
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+         AS total_value
+FROM n
+WHERE u8 BETWEEN {ZREAD_BOX[0]} AND {ZREAD_BOX[1]}
+  AND d8 BETWEEN {ZREAD_BOX[0]} AND {ZREAD_BOX[1]}
+GROUP BY event_type
+""",
+)
+def src_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.functions.determinism import dsum
+
+    lo, hi = ZREAD_BOX
+    ev = spark.read.parquet(_zordered_events(spark, sf_dir))
+    return (
+        ev.where(F.col("zbucket").isin(_zread_buckets()))
+        .where(F.col("u8").between(lo, hi) & F.col("d8").between(lo, hi))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -546,3 +546,80 @@ def llm_spann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_spann_1e4"),
         )
     )
+
+
+DIVERSE_CAP = 5  # selected docs per embedding cluster
+
+
+@register(
+    "llm_diverse_select",
+    tier="T3",
+    doc=f"Quality-vs-diversity capped selection — the greedy-MMR-shaped "
+    "curation stage that keeps the corpus from collapsing onto its "
+    "best-scoring mode: the top {DIVERSE_CAP} documents PER EMBEDDING "
+    "CLUSTER by pinned quality score (llm_kmeans' final assignment ⋈ "
+    "llm_quality_score's composite, floor(q·1e4+0.5) so the ranking "
+    "is exact integers in both engines; ties → lowest doc_id).  A "
+    "global quality top-k would take every slot from one dominant "
+    "cluster; the per-cluster cap is the bounded-diversity guarantee "
+    "data-mixing recipes apply before training.  Scale shape: the "
+    "graded k-means assignment (its own cost) ⋈ a pure projection, "
+    "then TWO-PHASE per-cluster top-k (local rank per (cluster, "
+    "doc_id%16) sub-bucket, re-rank over ≤16·cap survivors — "
+    "the llm_reservoir_sample pattern, so a handful of corpus-scale "
+    "clusters never serialize through single-partition sorts).",
+    oracle=f"""
+WITH asn AS (
+{peek("llm_kmeans").oracle}
+), q AS (
+{peek("llm_quality_score").oracle}
+), j AS (
+  SELECT q.doc_id, asn.cluster_id,
+         CAST(floor(q.quality * 10000 + 0.5) AS BIGINT) AS q_1e4
+  FROM q JOIN asn ON q.doc_id = asn.vec_id
+)
+SELECT doc_id, cluster_id, q_1e4, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, cluster_id, q_1e4,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY q_1e4 DESC, doc_id) AS rnk
+  FROM j
+)
+WHERE rnk <= {DIVERSE_CAP}
+""",
+)
+def llm_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scala_reactivex_spark.operators.llm_cluster import (
+        _kmeans_assignment,
+    )
+
+    asn = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster_id")
+    _, _, quality = llm_text.quality_col()
+    q = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.floor(quality * 10000 + F.lit(0.5)).cast("bigint").alias("q_1e4"),
+    )
+    j = q.join(asn, q.doc_id == asn.vec_id).select(
+        "doc_id", "cluster_id", "q_1e4"
+    )
+    # Two-phase per-cluster top-k: any cluster-wide top-cap row is its
+    # (cluster, doc_id%16) sub-bucket's top-cap, so phase 1 is lossless
+    # and no single cluster's members ever sort on one partition.
+    local = Window.partitionBy(
+        "cluster_id", F.col("doc_id") % 16
+    ).orderBy(F.col("q_1e4").desc(), "doc_id")
+    final = Window.partitionBy("cluster_id").orderBy(
+        F.col("q_1e4").desc(), "doc_id"
+    )
+    return (
+        j.withColumn("lrk", F.row_number().over(local))
+        .where(F.col("lrk") <= DIVERSE_CAP)
+        .withColumn("rnk", F.row_number().over(final))
+        .where(F.col("rnk") <= DIVERSE_CAP)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "q_1e4",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -356,7 +356,11 @@ RAG_QBUDGET = 256  # fixed eval-query budget (scale-invariant cost)
     "spill disk at documents ×1000; a recall ESTIMATE needs a fixed "
     "query count, not a fixed fraction.  Selection is two-phase like "
     "llm_reservoir_sample: per-md5-nibble local top-k then a re-rank "
-    "over ≤16·k survivors, so no corpus-wide single-partition sort; "
+    "over ≤2·k survivors (the eligibility filter keeps only the 'e' "
+    "and 'f' nibble buckets, so phase 1 yields at most 2 buckets × k "
+    "rows — r13 ADVICE corrected the earlier ≤16·k claim), via a "
+    "distributed TakeOrderedAndProject rather than a global "
+    "row_number window, so no corpus-wide single-partition sort; "
     "at sf0.01/sf0.1 the eligible count is under the budget and the "
     "output is unchanged) each issue their leading 4 distinct words "
     "as a query "
@@ -440,12 +444,17 @@ def llm_chunk_retrieval_recall(
     wloc = Window.partitionBy(F.substring("qh", 1, 1)).orderBy(
         "qh", "q_id"
     )
-    wglob = Window.orderBy("qh", "q_id")
+    # Phase 2: re-rank the ≤2·k phase-1 survivors with orderBy+limit —
+    # Catalyst compiles this to TakeOrderedAndProject (per-partition
+    # partial top-k, bounded merge), not the all-to-one-partition
+    # WindowExec a global row_number would plan (r13 ADVICE).  The
+    # selected set is identical: the global top-k by (qh, q_id) is the
+    # same rows a global rank <= k filter keeps.
     q = (
         eligible.withColumn("lrk", F.row_number().over(wloc))
         .where(F.col("lrk") <= RAG_QBUDGET)
-        .withColumn("qrk", F.row_number().over(wglob))
-        .where(F.col("qrk") <= RAG_QBUDGET)
+        .orderBy("qh", "q_id")
+        .limit(RAG_QBUDGET)
         .select(
             "q_id",
             F.explode(

@@ -276,24 +276,12 @@ _PHASH_DUCK = (
 )
 
 
-@register(
-    "llm_multimodal_phash",
-    tier="T3",
-    doc=f"Perceptual-hash near-dup for the multimodal binary column: a "
-    f"{PHASH_BITS}-bit dHash (difference hash — the standard image "
-    "near-dup fingerprint) over evenly sampled payload bytes, then "
-    f"banded Hamming LSH ({PHASH_BANDS} × 4-bit bands, equi-join on the "
-    "band value) and exact Hamming verification at distance <= "
-    f"{PHASH_HAM_T}.  By pigeonhole, <= {PHASH_HAM_T} differing bits "
-    f"can touch at most {PHASH_HAM_T} of {PHASH_BANDS} bands, so one "
-    "band always matches: the LSH candidate set has FULL recall at the "
-    "threshold (pytest-asserted against brute force), unlike "
-    "probabilistic MinHash banding.  Buckets over "
-    f"{PHASH_BUCKET_CAP} entries are skipped in both engines (hot-"
-    "bucket cap).  Scale shape: per-row hash (zero shuffle), band "
-    "equi-join candidates, verify on candidates only; production "
-    "widens to 64-bit hashes with 16-bit bands — same plan.",
-    oracle=f"""
+#: The full phash pair query as a NAMED constant: llm_multimodal_phash's
+#: oracle, the ``pairs`` CTE body of llm_multimodal_dedup's recursive
+#: oracle, and plans/sql_corpus's Spark-runnable CC override all compose
+#: the SAME text (the llm_dedup._NEAR_PAIRS_ORACLE convention — no
+#: string-splitting of oracle text).
+_PHASH_PAIRS_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, {_PHASH_DUCK} AS ph
   FROM documents WHERE length(text) >= 2
@@ -319,7 +307,27 @@ FROM cand c
 JOIN h ha ON c.doc_a = ha.doc_id
 JOIN h hb ON c.doc_b = hb.doc_id
 WHERE bit_count(xor(ha.ph, hb.ph)) <= {PHASH_HAM_T}
-""",
+"""
+
+
+@register(
+    "llm_multimodal_phash",
+    tier="T3",
+    doc=f"Perceptual-hash near-dup for the multimodal binary column: a "
+    f"{PHASH_BITS}-bit dHash (difference hash — the standard image "
+    "near-dup fingerprint) over evenly sampled payload bytes, then "
+    f"banded Hamming LSH ({PHASH_BANDS} × 4-bit bands, equi-join on the "
+    "band value) and exact Hamming verification at distance <= "
+    f"{PHASH_HAM_T}.  By pigeonhole, <= {PHASH_HAM_T} differing bits "
+    f"can touch at most {PHASH_HAM_T} of {PHASH_BANDS} bands, so one "
+    "band always matches: the LSH candidate set has FULL recall at the "
+    "threshold (pytest-asserted against brute force), unlike "
+    "probabilistic MinHash banding.  Buckets over "
+    f"{PHASH_BUCKET_CAP} entries are skipped in both engines (hot-"
+    "bucket cap).  Scale shape: per-row hash (zero shuffle), band "
+    "equi-join candidates, verify on candidates only; production "
+    "widens to 64-bit hashes with 16-bit bands — same plan.",
+    oracle=_PHASH_PAIRS_ORACLE,
 )
 def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The perceptual-hash signature store: referenced by both sides of
@@ -387,4 +395,50 @@ def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.expr("CAST(bit_count(pa ^ pb) AS INT)"))
         .where(F.col("hamming") <= PHASH_HAM_T)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+from scala_reactivex_spark.operators.llm_dedup import (  # noqa: E402
+    _CC_ORACLE_SUFFIX,
+)
+
+
+@register(
+    "llm_multimodal_dedup",
+    tier="T3",
+    doc="Multimodal duplicate-cluster resolution — the keep-one-per-"
+    "group step over the PERCEPTUAL near-dup graph, completing the "
+    "image-dedup ladder the way llm_dedup_cluster completes the text "
+    "ladder: connected components (min-label propagation to fixpoint, "
+    "the shared operators/llm_dedup.connected_components driver-"
+    "controlled loop — all data stays distributed) over "
+    "llm_multimodal_phash's Hamming-verified pair set; each payload "
+    "gets cluster_id = min doc_id reachable and is_canonical marks "
+    "the survivor whose bytes a 100 TB media corpus keeps.  Scale "
+    "shape: everything upstream is the banded-LSH pair query (linear "
+    "+ capped buckets); the CC loop is O(log diameter) rounds like "
+    "every other cluster key.  Oracle: DuckDB recursive-CTE "
+    "reachability over the SAME pair query.",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+{_PHASH_PAIRS_ORACLE}{_CC_ORACLE_SUFFIX}""",
+)
+def llm_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Disk-memoized like minhash_cluster: the perceptual cluster labels
+    # are a stored artifact (a production media corpus keeps its dedup
+    # assignment as a table, not a per-session recomputation); the
+    # hook+jump fixpoint is deterministic (min-id labels), so read-back
+    # is value-identical.
+    from scala_reactivex_spark.operators.llm_dedup import (
+        connected_components,
+    )
+    from scala_reactivex_spark.plans.memo import disk_memo
+
+    return disk_memo(
+        spark,
+        sf_dir,
+        "mm_phash_cluster",
+        lambda: connected_components(
+            llm_multimodal_phash(spark, sf_dir).select("doc_a", "doc_b")
+        ),
     )

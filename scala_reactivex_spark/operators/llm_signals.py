@@ -1575,3 +1575,80 @@ def llm_eval_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dot_1e12").desc(), "vec_id")
         .limit(AFFINITY_K)
     )
+
+
+NOV_N = 3  # n-gram width for the novelty signal
+
+
+@register(
+    "llm_ngram_novelty",
+    tier="T3",
+    doc=f"Per-document {NOV_N}-gram novelty — the composition-level "
+    "complement of the dedup ladder: the share of a document's "
+    f"DISTINCT word {NOV_N}-grams that appear in NO other document "
+    "(corpus document frequency 1).  Low novelty flags boilerplate- "
+    "and template-heavy docs that exact/near dedup keeps (they are "
+    "not duplicates, their PHRASES are), the signal CC-corpus "
+    "pipelines threshold before training.  Docs under "
+    f"{NOV_N} tokens have no {NOV_N}-gram and are excluded rather "
+    "than divided by zero.  Scale shape: explode distinct per-doc "
+    "grams (linear), one map-side-combined gram→df aggregate, one "
+    "hash join back on the gram key, one per-doc aggregate — the "
+    "llm_tfidf plan with df=1 as the scored predicate; nothing "
+    "quadratic, hot grams are read-side skew a salted agg absorbs.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + {NOV_N - 1}), ' ')
+           AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, n - {NOV_N - 2})) AS i
+        FROM d WHERE n >= {NOV_N})
+), cnt AS (
+  SELECT gram, count(*) AS df FROM g GROUP BY gram
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_novel,
+       CAST(count(*) FILTER (WHERE df = 1) * 10000 // count(*)
+            AS BIGINT) AS novelty_1e4
+FROM g JOIN cnt USING (gram)
+GROUP BY doc_id
+""",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") >= NOV_N)
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, n - {NOV_N - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {NOV_N})))"
+                )
+            )
+        ).alias("gram"),
+    )
+    cnt = g.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        g.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.count(F.when(F.col("df") == 1, 1))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.expr(
+                "CAST(count(CASE WHEN df = 1 THEN 1 END) * 10000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("novelty_1e4"),
+        )
+    )

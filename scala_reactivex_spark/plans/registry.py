@@ -155,11 +155,12 @@ _RECONFIRM_NEXT: tuple[str, ...] = ()
 #: the identical local protocol (scripts/verify_local.py) in their birth
 #: round and become the never-green front of the NEXT round's window
 #: automatically once this tuple is cleared.
-_HOLD_NEXT_ROUND: tuple[str, ...] = (
-    "llm_reservoir_sample",
-    "llm_rho_select",
-    "llm_eval_affinity",
-)
+#:
+#: CLEARED for round 14 (r13 verdict #1): the three held data-selection
+#: keys (llm_reservoir_sample / llm_rho_select / llm_eval_affinity) now
+#: lead the window as never-driver-green keys so the driver banks them
+#: in CORRECTNESS_r14.json.  Steady-state policy: this tuple stays empty.
+_HOLD_NEXT_ROUND: tuple[str, ...] = ()
 
 
 def _externally_green() -> dict[str, int]:

@@ -1182,6 +1182,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_dedup_substring",
     "llm_doc_fingerprint",
     "llm_domain_mix",
+    "llm_diverse_select",
     "llm_dsir",
     "llm_embed_centroid",
     "llm_embed_norm_stats",
@@ -1209,7 +1210,9 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_multimodal_resize",
     "llm_nb_lang",
     "llm_nb_margin_calibration",
+    "llm_nb_filter",
     "llm_neg_sampling",
+    "llm_ngram_novelty",
     "llm_oov_rate",
     "llm_pack_sequences",
     "llm_pii_scrub",
@@ -1292,6 +1295,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "src_partition_prune",
     "src_zonemap_profile",
     "src_zorder_layout",
+    "src_zorder_read",
 )
 
 
@@ -1341,6 +1345,7 @@ def _cc_spark_overrides() -> dict[str, str]:
     _STATS_TAIL_TEMPLATE / _IMPACT_TAIL_TEMPLATE — no string-splitting
     of oracle text)."""
     from scala_reactivex_spark.operators import llm_dedup as ld
+    from scala_reactivex_spark.operators import llm_multimodal as mm
 
     def core(pairs: str, member: str) -> str:
         return _CC_SPARK_CORE.format(
@@ -1370,6 +1375,12 @@ def _cc_spark_overrides() -> dict[str, str]:
         ),
         "llm_dedup_minhash_cluster": (
             note + core(ld._MINHASH_ORACLE, "members") + members_sql
+        ),
+        # Round 14: the perceptual (phash) pair graph resolves through
+        # the same bounded-propagation chain — the pairs body is the
+        # SAME named constant llm_multimodal_phash's oracle registers.
+        "llm_multimodal_dedup": (
+            note + core(mm._PHASH_PAIRS_ORACLE, "members") + members_sql
         ),
         "llm_cluster_stats": note + ld._STATS_TAIL_TEMPLATE.format(
             members=core(ld._MINHASH_ORACLE, "members")

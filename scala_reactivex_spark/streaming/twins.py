@@ -2346,47 +2346,117 @@ def nb_model_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nb_scored_arr():
+    """Sorted per-class NB score array over the broadcast model — the
+    single serving-side scoring expression: per class, score = prior +
+    Σ over tokens of (map-matched pinned log-likelihood, else the
+    class's unseen penalty), sorted ascending on (-score, cand) so
+    element 0 is the argmax and element 1 the runner-up.  Shared by
+    twin_nb_lang (argmax) and twin_nb_filter (argmax + margin band) so
+    the two serving paths cannot fork."""
+    toks = F.split("text", " ")
+    return F.array_sort(
+        F.transform(
+            F.col("classes"),
+            lambda c: F.struct(
+                (
+                    -(
+                        c.getField("prior_l")
+                        + F.aggregate(
+                            toks,
+                            F.lit(0).cast("bigint"),
+                            lambda acc, t: acc
+                            + F.coalesce(
+                                F.element_at(c.getField("m"), t),
+                                c.getField("miss_l"),
+                            ),
+                        )
+                    )
+                ).alias("ns"),
+                c.getField("cand").alias("cand"),
+            ),
+        )
+    )
+
+
 def twin_nb_lang(sdf: DataFrame, model: DataFrame) -> DataFrame:
     """Streaming NB language classification [T3 — live twin of
     llm_nb_lang's per-doc argmax]: arriving documents are scored under
     every class of the BATCH-trained model (1-row broadcast
     array<struct> — the twin_kmeans model-serving shape) entirely with
-    array higher-order functions: per class, score = prior + Σ over
-    tokens of (map-matched pinned log-likelihood, else the class's
-    unseen penalty); argmax by (score DESC, cand ASC) via array_sort
-    on (-score, cand).  Completely STATELESS per row — append mode, no
-    watermark, no streaming shuffle — and the scores are sums of the
-    SAME pinned integers as the batch op, so drained predictions equal
-    the batch grid argmax exactly."""
-    toks = F.split("text", " ")
-    scored = F.transform(
-        F.col("classes"),
-        lambda c: F.struct(
-            (
-                -(
-                    c.getField("prior_l")
-                    + F.aggregate(
-                        toks,
-                        F.lit(0).cast("bigint"),
-                        lambda acc, t: acc
-                        + F.coalesce(
-                            F.element_at(c.getField("m"), t),
-                            c.getField("miss_l"),
-                        ),
-                    )
-                )
-            ).alias("nscore"),
-            c.getField("cand").alias("cand"),
-        ),
-    )
-    best = F.array_sort(scored).getItem(0)
+    array higher-order functions (shared _nb_scored_arr expression);
+    argmax by (score DESC, cand ASC).  Completely STATELESS per row —
+    append mode, no watermark, no streaming shuffle — and the scores
+    are sums of the SAME pinned integers as the batch op, so drained
+    predictions equal the batch grid argmax exactly."""
+    best = _nb_scored_arr().getItem(0)
     return (
         sdf.crossJoin(F.broadcast(model))
         .select(
             "doc_id",
             "lang",
             best.getField("cand").alias("pred_lang"),
-            (-best.getField("nscore")).alias("score"),
+            (-best.getField("ns")).alias("score"),
+        )
+    )
+
+
+def twin_nb_filter(
+    sdf: DataFrame, model: DataFrame, thr: DataFrame
+) -> DataFrame:
+    """Streaming calibration-thresholded NB language gate [T3 — live
+    twin of llm_nb_filter's keep/drop stage]: arriving documents score
+    under the broadcast batch-trained model (the SAME _nb_scored_arr
+    expression twin_nb_lang serves), derive their per-token margin
+    band with the batch NB_CAL_BAND_U banding, and are kept iff the
+    band clears the BATCH calibration-derived threshold
+    (llm_text.nb_filter_threshold, a 1-row broadcast — the
+    model+policy serving pack).  Unlike the batch key, the stream
+    gates EVERY arriving doc, labeled or not — lang never enters the
+    decision path; on the eval split the drained decisions equal the
+    batch op's exactly (law-tested).  Completely STATELESS per row:
+    append mode, no watermark, no streaming shuffle."""
+    from scala_reactivex_spark.operators.llm_text import (
+        NB_CAL_BAND_U,
+        NB_CAL_BANDS,
+    )
+
+    arr = _nb_scored_arr()
+    scored = (
+        sdf.crossJoin(F.broadcast(model))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+            arr.alias("arr"),
+            F.col("thr_band").cast("bigint").alias("thr_band"),
+        )
+    )
+    # Identical banding arithmetic to llm_text._nb_doc_margins: integer
+    # DIV on the pinned-score margin, top band open-ended.
+    band = F.when(
+        F.size("arr") < 2, F.lit(NB_CAL_BANDS - 1).cast("bigint")
+    ).otherwise(
+        F.least(
+            F.expr(
+                f"(arr[1].ns - arr[0].ns) DIV n_tok DIV {NB_CAL_BAND_U}"
+            ),
+            F.lit(NB_CAL_BANDS - 1).cast("bigint"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("arr")[0].getField("cand").alias("pred_lang"),
+            band.alias("band"),
+            "thr_band",
+        )
+        .select(
+            "doc_id",
+            "pred_lang",
+            "band",
+            "thr_band",
+            (F.col("band") >= F.col("thr_band")).cast("int").alias("kept"),
         )
     )
 

@@ -34,6 +34,8 @@ def _line(sf_val=0.1, *, name_len=64, seconds=8_640_000.999):
         newer_sec=seconds * 5,
         newest_sec=seconds * 5,
         beyond_sec=seconds * 50,
+        beyond_pin=bench.BEYOND_NEWEST_BASELINE_SEC["readback"],
+        growth_sec=seconds * 50,
         sf_val=sf_val,
         warm={f"w{i:03d}".ljust(name_len, "x"): seconds for i in range(20)},
         twin_latency=twin_latency,
@@ -57,6 +59,8 @@ def test_contract_line_parses_and_carries_every_pin_ratio():
         "newer_vs_baseline",
         "newest_vs_baseline",
         "beyond_seconds",
+        "beyond_vs_baseline",
+        "growth_seconds",
         "twin_vs_baseline",
         "warm20_sec",
         "dcache",
@@ -71,6 +75,7 @@ def test_contract_line_non_sf01_omits_scale_specific_ratios():
     parsed = json.loads(_line(sf_val=0.01))
     assert parsed["extras_vs_baseline"] is None
     assert parsed["newest_vs_baseline"] is None
+    assert parsed["beyond_vs_baseline"] is None
     assert parsed["twin_vs_baseline"] is None
 
 
@@ -79,3 +84,6 @@ def test_frozen_suites_are_closed_sets():
     assert len(bench.BEYOND_EXTRAS) == 12
     assert len(bench.BEYOND_NEW) == 5
     assert len(bench.BEYOND_NEWER) == 5
+    assert len(bench.BEYOND_NEWEST) == 10
+    # The beyond pin is regime-specific — both regimes must be present.
+    assert set(bench.BEYOND_NEWEST_BASELINE_SEC) == {"fresh", "readback"}

@@ -932,6 +932,40 @@ def test_twin_nb_lang_equals_batch_confusion(
     assert got == want
 
 
+def test_twin_nb_filter_equals_batch_gate(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """The streaming calibration-thresholded gate reproduces
+    llm_nb_filter's decisions exactly on the eval split (same pinned
+    scores, same banding DIV arithmetic, same broadcast threshold), it
+    gates EVERY arriving doc (projection, not a filter), and the
+    published threshold is the calibration-derived one."""
+    from scala_reactivex_spark.operators.llm_text import (
+        llm_nb_filter,
+        nb_filter_threshold,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    model = twins.nb_model_params(spark, sf_dir)
+    thr = nb_filter_threshold(spark, sf_dir)
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_nb_filter(sdf, model, thr), "t_nb_filter", ckpt
+    )
+    rows = out.collect()
+    assert len(rows) == table(spark, sf_dir, "documents").count()
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["band"], r["thr_band"], r["kept"])
+        for r in rows
+        if r["doc_id"] % 5 == 0
+    }
+    want = {
+        r["doc_id"]: (r["pred_lang"], r["band"], r["thr_band"], r["kept"])
+        for r in llm_nb_filter(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_twin_epoch_shuffle_matches_batch_assignment(
     spark, sf_dir, docs_stream_src, ckpt
 ):
