@@ -330,23 +330,11 @@ def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", F.expr("ms DIV 86400000").alias("day")
     )
-    bounds = ev.agg(
-        F.min("user_id").alias("u0"),
-        F.max("user_id").alias("u1"),
-        F.min("day").alias("d0"),
-        F.max("day").alias("d1"),
+    n = ev.crossJoin(F.broadcast(zorder_bounds(spark, sf_dir))).select(
+        F.expr(ZORDER_U8_EXPR).alias("u8"),
+        F.expr(ZORDER_D8_EXPR).alias("d8"),
     )
-    n = ev.crossJoin(F.broadcast(bounds)).select(
-        F.expr("(user_id - u0) * 256 DIV (u1 - u0 + 1)").alias("u8"),
-        F.expr("(day - d0) * 256 DIV (d1 - d0 + 1)").alias("d8"),
-    )
-    z = n.select(
-        "u8",
-        "d8",
-        F.expr(
-            f"({_z_interleave('u8', 'd8')}) DIV {65536 // Z_BUCKETS}"
-        ).alias("zbucket"),
-    )
+    z = n.select("u8", "d8", F.expr(zbucket_expr()).alias("zbucket"))
     return z.groupBy("zbucket").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.min("u8").cast("bigint").alias("min_u8"),
@@ -399,6 +387,37 @@ def _zread_buckets() -> list[int]:
     return list(_compute())
 
 
+#: The (u8, d8) normalization over (user_id, day, u0, u1, d0, d1) and
+#: the bucket-from-coordinates expression — THE single definition of
+#: the z-layout recipe: the batch writer (_zordered_events) and the
+#: streaming ingest router (streaming.twins.twin_zorder_route) both
+#: compose these, so the layout a stream lands rows into cannot fork
+#: from the layout the batch rewrite produces.
+ZORDER_U8_EXPR = "(user_id - u0) * 256 DIV (u1 - u0 + 1)"
+ZORDER_D8_EXPR = "(day - d0) * 256 DIV (d1 - d0 + 1)"
+
+
+def zbucket_expr() -> str:
+    """Morton z-bucket from normalized (u8, d8) columns."""
+    return f"({_z_interleave('u8', 'd8')}) DIV {65536 // Z_BUCKETS}"
+
+
+def zorder_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (u0, u1, d0, d1) normalization bounds of the z-layout —
+    the broadcastable 'model' a serving-tier router needs to place an
+    arriving row in the batch-written layout."""
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.expr("ms DIV 86400000").alias("day"))
+        .agg(
+            F.min("user_id").alias("u0"),
+            F.max("user_id").alias("u1"),
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+        )
+    )
+
+
 def _zordered_events(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per fixture dir) a Z-ORDER-CLUSTERED copy of
     events under ``<repo>/.cache``: rows carry their normalized (u8, d8)
@@ -421,25 +440,16 @@ def _zordered_events(spark: SparkSession, sf_dir: str) -> str:
             "user_id",
             F.expr("ms DIV 86400000").alias("day"),
         )
-        bounds = ev.agg(
-            F.min("user_id").alias("u0"),
-            F.max("user_id").alias("u1"),
-            F.min("day").alias("d0"),
-            F.max("day").alias("d1"),
-        )
-        n = ev.crossJoin(F.broadcast(bounds)).select(
+        n = ev.crossJoin(
+            F.broadcast(zorder_bounds(spark, sf_dir))
+        ).select(
             "event_id",
             "event_type",
             "value",
-            F.expr("(user_id - u0) * 256 DIV (u1 - u0 + 1)").alias("u8"),
-            F.expr("(day - d0) * 256 DIV (d1 - d0 + 1)").alias("d8"),
+            F.expr(ZORDER_U8_EXPR).alias("u8"),
+            F.expr(ZORDER_D8_EXPR).alias("d8"),
         )
-        z = n.withColumn(
-            "zbucket",
-            F.expr(
-                f"({_z_interleave('u8', 'd8')}) DIV {65536 // Z_BUCKETS}"
-            ),
-        )
+        z = n.withColumn("zbucket", F.expr(zbucket_expr()))
         (
             z.repartition("zbucket")
             .write.mode("overwrite")

@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 # Importing the modules guarantees their @register blocks ran (and gives
 # direct access to the query fns), regardless of load_all() order.
-from scala_reactivex_spark.operators import llm_dedup, llm_similarity, llm_text
+# llm_cluster is peeked at import time too (llm_diverse_select composes
+# the kmeans oracle), so it must load here, not via load_all.
+from scala_reactivex_spark.operators import (
+    llm_cluster,  # noqa: F401 — registers llm_kmeans for peek() below
+    llm_dedup,
+    llm_similarity,
+    llm_text,
+)
 from scala_reactivex_spark.plans.registry import peek, register
 from scala_reactivex_spark.sources.catalog import table
 

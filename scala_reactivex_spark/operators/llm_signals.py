@@ -1620,13 +1620,25 @@ GROUP BY doc_id
 """,
 )
 def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = doc_grams(table(spark, sf_dir, "documents"))
+    cnt = g.groupBy("gram").agg(F.count("*").alias("df"))
+    return novelty_over(g, cnt)
+
+
+def doc_grams(df: DataFrame) -> DataFrame:
+    """(doc_id, gram): each doc's DISTINCT word NOV_N-grams from a
+    (doc_id, text) frame — THE single gram derivation: the batch
+    novelty key, the static corpus gram-frequency table, and the
+    streaming ingest gate (streaming.twins.twin_novelty_gate) all
+    compose it, so the gram definition cannot fork between the signal
+    and its serving path.  Docs under NOV_N tokens have no gram and
+    drop here (the caller's divide-by-zero guard)."""
     d = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("toks"))
+        df.select("doc_id", F.split("text", " ").alias("toks"))
         .withColumn("n", F.size("toks"))
         .where(F.col("n") >= NOV_N)
     )
-    g = d.select(
+    return d.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -1637,7 +1649,13 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    cnt = g.groupBy("gram").agg(F.count("*").alias("df"))
+
+
+def novelty_over(g: DataFrame, cnt: DataFrame) -> DataFrame:
+    """Per-doc novelty report from a (doc_id, gram) frame joined to a
+    (gram, df) document-frequency table — shared by the batch key
+    (cnt derived from the same corpus) and the streaming gate (cnt is
+    the standing corpus table the stream probes)."""
     return (
         g.join(cnt, "gram")
         .groupBy("doc_id")

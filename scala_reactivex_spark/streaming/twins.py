@@ -2566,3 +2566,94 @@ def twin_ann_spann(
     return spark.read.parquet(out_dir).select(
         "probe_id", "neighbor_id", "cos_sim", "rnk"
     )
+
+
+def twin_zorder_route(sdf: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Streaming z-layout ingest router [T2 — live twin of
+    src_zorder_read's write side]: arriving events compute their
+    normalized (u8, d8) coordinates under the BATCH layout's broadcast
+    1-row bounds (operators.creation.zorder_bounds — the router's
+    'model') and their Morton z-bucket with the SAME shared
+    expressions the batch rewrite uses (ZORDER_U8_EXPR / zbucket_expr,
+    so a stream cannot land rows in a different layout than the next
+    batch re-cluster would).  Completely STATELESS per row: append
+    mode, no watermark, no streaming shuffle; pytest holds drained
+    (event_id → zbucket) to the batch clustered copy's partition
+    column."""
+    from scala_reactivex_spark.operators.creation import (
+        ZORDER_D8_EXPR,
+        ZORDER_U8_EXPR,
+        zbucket_expr,
+    )
+
+    return (
+        sdf.select(
+            "event_id",
+            "user_id",
+            F.expr("ms DIV 86400000").alias("day"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            F.expr(ZORDER_U8_EXPR).cast("bigint").alias("u8"),
+            F.expr(ZORDER_D8_EXPR).cast("bigint").alias("d8"),
+        )
+        .select(
+            "event_id",
+            "u8",
+            "d8",
+            F.expr(zbucket_expr()).cast("bigint").alias("zbucket"),
+        )
+    )
+
+
+def twin_novelty_gate(
+    sdf: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Streaming n-gram novelty scoring [T3 — live twin of
+    llm_ngram_novelty]: documents ARRIVE, the corpus gram
+    document-frequency table STANDS (built once from the batch corpus
+    — the standing index an ingest pipeline probes to ask 'is this
+    doc's phrasing new, or boilerplate we already hold?').  Per-doc
+    novelty needs an aggregate over the doc's exploded grams, which is
+    batch semantics per micro-batch — so the scoring runs in
+    ``foreachBatch`` with the idempotent parquet sink (the twin_ann_*
+    serving shape; replays are no-ops), composing the SAME
+    llm_signals.doc_grams / novelty_over recipe as the batch key.
+    Batch-equivalence is pytest-asserted: drained novelty over the
+    full corpus stream equals llm_ngram_novelty exactly (a doc's own
+    grams are in the standing table, so df ≥ 1 always)."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        doc_grams,
+        novelty_over,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+    from scala_reactivex_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    cnt = (
+        doc_grams(table(spark, sf_dir, "documents"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .persist()
+    )
+    commit = idempotent_parquet_sink(out_dir)
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        commit(novelty_over(doc_grams(batch_df), cnt), batch_id)
+
+    query = (
+        sdf.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_grams", "n_novel", "novelty_1e4"
+    )

@@ -993,3 +993,55 @@ def test_twin_epoch_shuffle_matches_batch_assignment(
     )
     want = {r["doc_id"]: r["shard"] for r in want_rows}
     assert got == want and len(got) == len(want_rows)
+
+
+def test_twin_zorder_route_matches_batch_layout(spark, sf_dir, stream_src, ckpt):
+    """The streaming ingest router places every arriving event in
+    exactly the z-bucket the batch clustered rewrite put it in: drained
+    (event_id → zbucket) equals the partition column of the
+    _zordered_events copy, and the route is a pure projection — every
+    event routes exactly once."""
+    from scala_reactivex_spark.operators import creation
+
+    bounds = creation.zorder_bounds(spark, sf_dir)
+    sdf = twins.events_stream(spark, stream_src)
+    out = twins.run_stream_to_table(
+        twins.twin_zorder_route(sdf, bounds), "t_zroute", ckpt
+    )
+    got = {r["event_id"]: r["zbucket"] for r in out.collect()}
+    layout = spark.read.parquet(creation._zordered_events(spark, sf_dir))
+    want = {
+        r["event_id"]: r["zbucket"]
+        for r in layout.select("event_id", "zbucket").collect()
+    }
+    assert got == want
+
+
+def test_twin_novelty_gate_equals_batch(
+    spark, sf_dir, docs_stream_src, ckpt, tmp_path
+):
+    """Drained per-doc novelty over the corpus stream equals the batch
+    signal exactly — the standing gram table carries every doc's own
+    grams, so the stream-side probe reproduces the self-inclusive
+    document frequencies the batch aggregate computes."""
+    from scala_reactivex_spark.operators.llm_signals import (
+        llm_ngram_novelty,
+    )
+
+    sdf = twins.docs_stream(spark, docs_stream_src)
+    out = twins.twin_novelty_gate(
+        sdf,
+        spark,
+        sf_dir,
+        str(tmp_path / "novelty_out"),
+        str(tmp_path / "novelty_ckpt"),
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_1e4"])
+        for r in out.collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_1e4"])
+        for r in llm_ngram_novelty(spark, sf_dir).collect()
+    }
+    assert got == want
