@@ -331,6 +331,9 @@ GROWTH: set[str] = {
     "llm_multimodal_dedup",
     "llm_ngram_novelty",
     "llm_diverse_select",
+    # round 14 second wave: phash cap billing, layout decision table
+    "llm_phash_stats",
+    "src_zorder_compare",
 }
 
 

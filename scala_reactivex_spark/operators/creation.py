@@ -516,3 +516,135 @@ def src_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+#: The three probe shapes of the layout comparison: a quarter-range on
+#: the sorted-first column only, on the second column only, and on both
+#: (the Z_BOX quarter×quarter).  (probe, u_lo, u_hi, d_lo, d_hi).
+ZCMP_PROBES = (
+    ("u_quarter", 64, 95, 0, 255),
+    ("d_quarter", 0, 255, 64, 95),
+    ("both", 64, 95, 64, 95),
+)
+
+
+@register(
+    "src_zorder_compare",
+    tier="T2",
+    doc="Layout decision table: z-order vs single-column sort, graded. "
+    f"events map to normalized (u8, d8) and cluster into {Z_BUCKETS} "
+    "write buckets under BOTH layouts — the Morton z-bucket and the "
+    "user-sorted stripe (u8 DIV 4) — and each layout reports, for "
+    "three probe shapes (first-column quarter, second-column quarter, "
+    "quarter×quarter box), how many buckets its zone-map envelopes "
+    "can SKIP.  This pins the src_zorder_layout docstring's claim "
+    "with a number: the single-column sort skips ~3/4 of buckets on "
+    "ITS column and ZERO on the other, while z-order skips on both — "
+    "the decision a 100 TB table with two hot predicate columns makes "
+    "from exactly this table.  Scale shape: one bounds broadcast, one "
+    "projection, two bounded bucket aggregates, a 6-row rollup.",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+), bounds AS (
+  SELECT min(user_id) AS u0, max(user_id) AS u1,
+         min(day) AS d0, max(day) AS d1
+  FROM b
+), n AS (
+  SELECT (user_id - u0) * 256 // (u1 - u0 + 1) AS u8,
+         (day - d0) * 256 // (d1 - d0 + 1) AS d8
+  FROM b CROSS JOIN bounds
+), z AS (
+  SELECT 'zorder' AS layout,
+         ({_z_interleave("u8", "d8").replace("DIV", "//")})
+           // {65536 // Z_BUCKETS} AS bucket,
+         u8, d8
+  FROM n
+  UNION ALL
+  SELECT 'usort', u8 // {256 // Z_BUCKETS}, u8, d8 FROM n
+), env AS (
+  SELECT layout, bucket,
+         min(u8) AS mu, max(u8) AS xu,
+         min(d8) AS md, max(d8) AS xd
+  FROM z GROUP BY layout, bucket
+), probes AS (
+  SELECT * FROM (VALUES {", ".join(repr(p).replace('"', "'") for p in ZCMP_PROBES)})
+         t(probe, u_lo, u_hi, d_lo, d_hi)
+)
+SELECT layout, probe,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(*) FILTER (WHERE xu < u_lo OR mu > u_hi
+                                OR xd < d_lo OR md > d_hi) AS BIGINT)
+         AS n_skippable,
+       CAST(count(*) FILTER (WHERE xu < u_lo OR mu > u_hi
+                                OR xd < d_lo OR md > d_hi) * 10000
+            // count(*) AS BIGINT) AS skip_1e4
+FROM env CROSS JOIN probes
+GROUP BY layout, probe
+""",
+)
+def src_zorder_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.expr("ms DIV 86400000").alias("day"))
+        .crossJoin(F.broadcast(zorder_bounds(spark, sf_dir)))
+        .select(
+            F.expr(ZORDER_U8_EXPR).alias("u8"),
+            F.expr(ZORDER_D8_EXPR).alias("d8"),
+        )
+    )
+    z = n.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(zbucket_expr()).alias("bucket"),
+        "u8",
+        "d8",
+    ).unionAll(
+        n.select(
+            F.lit("usort").alias("layout"),
+            F.expr(f"u8 DIV {256 // Z_BUCKETS}").alias("bucket"),
+            "u8",
+            "d8",
+        )
+    )
+    env = z.groupBy("layout", "bucket").agg(
+        F.min("u8").alias("mu"),
+        F.max("u8").alias("xu"),
+        F.min("d8").alias("md"),
+        F.max("d8").alias("xd"),
+    )
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("probe"),
+                    F.lit(ul).alias("u_lo"),
+                    F.lit(uh).alias("u_hi"),
+                    F.lit(dl).alias("d_lo"),
+                    F.lit(dh).alias("d_hi"),
+                )
+                for p, ul, uh, dl, dh in ZCMP_PROBES
+            ]
+        )
+    )
+    skippable = (
+        (F.col("xu") < F.col("u_lo"))
+        | (F.col("mu") > F.col("u_hi"))
+        | (F.col("xd") < F.col("d_lo"))
+        | (F.col("md") > F.col("d_hi"))
+    )
+    return (
+        env.select("*", probes.alias("p"))
+        .select("layout", "p.*", "mu", "xu", "md", "xd")
+        .groupBy("layout", "probe")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.count(F.when(skippable, 1))
+            .cast("bigint")
+            .alias("n_skippable"),
+            F.expr(
+                "CAST(count(CASE WHEN xu < u_lo OR mu > u_hi"
+                " OR xd < d_lo OR md > d_hi THEN 1 END) * 10000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("skip_1e4"),
+        )
+    )

@@ -281,7 +281,9 @@ _PHASH_DUCK = (
 #: oracle, and plans/sql_corpus's Spark-runnable CC override all compose
 #: the SAME text (the llm_dedup._NEAR_PAIRS_ORACLE convention — no
 #: string-splitting of oracle text).
-_PHASH_PAIRS_ORACLE = f"""
+#: The hash→bands→bucket-size CTE prefix, shared verbatim by the pair
+#: query below and llm_phash_stats' cap-billing oracle.
+_PHASH_BANDS_CTE = f"""
 WITH h AS (
   SELECT doc_id, {_PHASH_DUCK} AS ph
   FROM documents WHERE length(text) >= 2
@@ -291,7 +293,9 @@ WITH h AS (
       for j, d in enumerate(_PHASH_BAND_DIVS))}) b(j, d)
 ), bsz AS (
   SELECT band, bval, count(*) AS c FROM bands GROUP BY band, bval
-), kept AS (
+)"""
+
+_PHASH_PAIRS_ORACLE = _PHASH_BANDS_CTE + f""", kept AS (
   SELECT bands.doc_id, bands.band, bands.bval
   FROM bands JOIN bsz
     ON bands.band = bsz.band AND bands.bval = bsz.bval
@@ -308,6 +312,27 @@ JOIN h ha ON c.doc_a = ha.doc_id
 JOIN h hb ON c.doc_b = hb.doc_id
 WHERE bit_count(xor(ha.ph, hb.ph)) <= {PHASH_HAM_T}
 """
+
+
+def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual-hash signature store (doc_id, ph): referenced by
+    both sides of the pair query's band self-join AND by the cap-billing
+    stats key, so without caching the per-payload hash fold executes
+    repeatedly — session-memoized + persisted once (plans/memo.py), the
+    same one-build-per-session shape as the SimHash and BM25 indexes."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "phash_sig",
+        lambda: (
+            table(spark, sf_dir, "documents")
+            .where(F.length("text") >= 2)
+            .select("doc_id", F.expr(_PHASH_SPARK).alias("ph"))
+            .persist()
+        ),
+    )
 
 
 @register(
@@ -330,24 +355,7 @@ WHERE bit_count(xor(ha.ph, hb.ph)) <= {PHASH_HAM_T}
     oracle=_PHASH_PAIRS_ORACLE,
 )
 def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The perceptual-hash signature store: referenced by both sides of
-    # the band self-join below, so without caching the per-payload hash
-    # fold executes twice per run — session-memoized + persisted once
-    # (plans/memo.py), the same one-build-per-session shape as the
-    # SimHash and BM25 indexes.
-    from scala_reactivex_spark.plans.memo import session_memo
-
-    h = session_memo(
-        spark,
-        sf_dir,
-        "phash_sig",
-        lambda: (
-            table(spark, sf_dir, "documents")
-            .where(F.length("text") >= 2)
-            .select("doc_id", F.expr(_PHASH_SPARK).alias("ph"))
-            .persist()
-        ),
-    )
+    h = _phash_signatures(spark, sf_dir)
     bands = h.select(
         "doc_id",
         F.explode(
@@ -441,4 +449,62 @@ def llm_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: connected_components(
             llm_multimodal_phash(spark, sf_dir).select("doc_a", "doc_b")
         ),
+    )
+
+
+@register(
+    "llm_phash_stats",
+    tier="T3",
+    doc="Perceptual-LSH cap billing — the hot-bucket accounting every "
+    "capped path here ships (the llm_dedup_minhash_stats discipline, "
+    "extended to the phash band index): per band, the bucket count, "
+    "the largest bucket, how many buckets the "
+    f"{PHASH_BUCKET_CAP}-entry cap drops, and how many doc entries "
+    "those dropped buckets held — the quantity llm_multimodal_phash "
+    "and llm_multimodal_dedup silently exclude, made visible so an "
+    "operator can size the cap against measured bucket density "
+    "instead of trusting it.  Scale shape: the shared band projection "
+    "+ one bounded (band, bval) aggregate + one 8-row rollup.",
+    oracle=_PHASH_BANDS_CTE + f"""
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(count(*) FILTER (WHERE c > {PHASH_BUCKET_CAP}) AS BIGINT)
+         AS n_capped,
+       CAST(coalesce(sum(c) FILTER (WHERE c > {PHASH_BUCKET_CAP}), 0)
+            AS BIGINT) AS n_dropped_entries
+FROM bsz GROUP BY band
+""",
+)
+def llm_phash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _phash_signatures(spark, sf_dir)
+    bands = h.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        ((F.col("ph") / d).cast("bigint") % 16).alias(
+                            "bval"
+                        ),
+                    )
+                    for j, d in enumerate(_PHASH_BAND_DIVS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("bb.band", "bb.bval")
+    bsz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
+    return bsz.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.count(F.when(F.col("c") > PHASH_BUCKET_CAP, 1))
+        .cast("bigint")
+        .alias("n_capped"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") > PHASH_BUCKET_CAP, F.col("c"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_dropped_entries"),
     )

@@ -1215,6 +1215,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_ngram_novelty",
     "llm_oov_rate",
     "llm_pack_sequences",
+    "llm_phash_stats",
     "llm_pii_scrub",
     "llm_pipeline_e2e",
     "llm_pmi",
@@ -1295,6 +1296,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "src_partition_prune",
     "src_zonemap_profile",
     "src_zorder_layout",
+    "src_zorder_compare",
     "src_zorder_read",
 )
 

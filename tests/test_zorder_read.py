@@ -79,3 +79,24 @@ def test_zorder_read_prune_is_lossless(spark, sf_dir):
     got = {r["event_type"]: r["n_events"] for r in pruned.collect()}
     want = {r["event_type"]: r["n_events"] for r in full.collect()}
     assert got == want
+
+
+def test_zorder_compare_pins_the_layout_claim(spark, sf_dir):
+    """The graded comparison table must actually show the decision: the
+    single-column sort skips NOTHING for a second-column-only probe
+    (its buckets are full-width stripes in d), while z-order skips a
+    positive share on EVERY probe shape — the reason a two-hot-column
+    table z-orders instead of sorting."""
+    rows = {
+        (r["layout"], r["probe"]): r
+        for r in creation.src_zorder_compare(spark, sf_dir).collect()
+    }
+    assert rows[("usort", "d_quarter")]["n_skippable"] == 0
+    for probe in ("u_quarter", "d_quarter", "both"):
+        assert rows[("zorder", probe)]["n_skippable"] > 0, probe
+    # And on the box probe, z-order must skip at least as much as the
+    # single-column layout (it strictly dominates on this geometry).
+    assert (
+        rows[("zorder", "both")]["n_skippable"]
+        >= rows[("usort", "both")]["n_skippable"]
+    )
