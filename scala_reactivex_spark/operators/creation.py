@@ -360,6 +360,13 @@ def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZREAD_BOX = (48, 131)
 
 
+#: Memo for _zread_buckets — MODULE level, not a decorator inside the
+#: function body (an inner lru_cache is rebuilt per call, silently
+#: re-running the 65 536-code decode loop on every plan build — caught
+#: in the round-14 self-review).
+_ZREAD_BUCKETS_MEMO: list[int] = []
+
+
 def _zread_buckets() -> list[int]:
     """Z-buckets the ZREAD_BOX can intersect — the file-skipping list a
     z-ordered layout's metadata answers for every probe box.
@@ -368,10 +375,7 @@ def _zread_buckets() -> list[int]:
     CONSTANT independent of data scale, evaluated once per process at
     plan-build time; production layouts use the BIGMIN/LITMAX range
     decomposition for wider curves, which yields the same set)."""
-    import functools
-
-    @functools.lru_cache(maxsize=1)
-    def _compute() -> tuple[int, ...]:
+    if not _ZREAD_BUCKETS_MEMO:
         lo, hi = ZREAD_BOX
         cell = 65536 // Z_BUCKETS
         keep = set()
@@ -382,9 +386,8 @@ def _zread_buckets() -> list[int]:
                 u |= ((z >> (2 * i + 1)) & 1) << i
             if lo <= u <= hi and lo <= d <= hi:
                 keep.add(z // cell)
-        return tuple(sorted(keep))
-
-    return list(_compute())
+        _ZREAD_BUCKETS_MEMO.extend(sorted(keep))
+    return list(_ZREAD_BUCKETS_MEMO)
 
 
 #: The (u8, d8) normalization over (user_id, day, u0, u1, d0, d1) and

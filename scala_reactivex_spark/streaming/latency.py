@@ -139,6 +139,12 @@ def measure_serving_latency(
             "twin_bm25",
             "twin_hybrid_rrf",
             "twin_dedup_gate",
+            # round 14: stateless model-pack twins — measured and
+            # reported in BENCH_DETAIL.json, NEVER in the frozen
+            # TWIN_BASELINE ratio (round-10 ADVICE: additions must not
+            # inflate the pin; they get their own pin when frozen).
+            "twin_nb_filter",
+            "twin_zorder_route",
         }
         if only is None
         else set(only)
@@ -157,6 +163,36 @@ def measure_serving_latency(
     if "twin_dedup_gate" in want:
         incoming_src, ex_hashes, ex_index = _incremental_setup(
             spark, sf_dir, work
+        )
+    nb_model = nb_thr = doc_all_src = None
+    if "twin_nb_filter" in want:
+        from scala_reactivex_spark.operators.llm_text import (
+            nb_filter_threshold,
+        )
+        from scala_reactivex_spark.sources.catalog import table
+
+        nb_model = twins.nb_model_params(spark, sf_dir)
+        nb_thr = nb_filter_threshold(spark, sf_dir)
+        doc_all_src = os.path.join(work, "doc_all_src")
+        (
+            table(spark, sf_dir, "documents")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(doc_all_src)
+        )
+    z_bounds = ev_src = None
+    if "twin_zorder_route" in want:
+        from scala_reactivex_spark.operators.creation import zorder_bounds
+        from scala_reactivex_spark.sources.catalog import table
+
+        z_bounds = zorder_bounds(spark, sf_dir)
+        ev_src = os.path.join(work, "ev_src")
+        (
+            table(spark, sf_dir, "events")
+            .select("event_id", "user_id", "ts")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(ev_src)
         )
 
     def run_ivf(rep: int) -> None:
@@ -206,6 +242,24 @@ def measure_serving_latency(
             os.path.join(work, f"gate_ckpt_{rep}"),
         )
 
+    def run_nb_filter(rep: int) -> None:
+        twins.run_stream_to_table(
+            twins.twin_nb_filter(
+                twins.docs_stream(spark, doc_all_src), nb_model, nb_thr
+            ),
+            f"lat_nbf_{rep}",
+            os.path.join(work, f"nbf_ckpt_{rep}"),
+        )
+
+    def run_zroute(rep: int) -> None:
+        twins.run_stream_to_table(
+            twins.twin_zorder_route(
+                twins.events_stream(spark, ev_src), z_bounds
+            ),
+            f"lat_zrt_{rep}",
+            os.path.join(work, f"zrt_ckpt_{rep}"),
+        )
+
     out: dict[str, dict] = {}
     for name, fn in (
         ("twin_ann_ivf", run_ivf),
@@ -213,6 +267,8 @@ def measure_serving_latency(
         ("twin_bm25", run_bm25),
         ("twin_hybrid_rrf", run_hybrid),
         ("twin_dedup_gate", run_gate),
+        ("twin_nb_filter", run_nb_filter),
+        ("twin_zorder_route", run_zroute),
     ):
         if only is not None and name not in only:
             continue
