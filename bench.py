@@ -350,6 +350,14 @@ def main() -> None:
         os.environ["SPARK_GRAFT_INDEX_CACHE"] = tempfile.mkdtemp(
             prefix="bench_fresh_cache_"
         )
+        # The one-time LAYOUT artifacts (the z-clustered events copy)
+        # live outside the disk-memo tier; redirect them too so a
+        # fresh pass pays the rewrite — otherwise src_zorder_read's
+        # dominant cost never appears in the build-inclusive regime
+        # (round-14 review finding).
+        os.environ["SPARK_GRAFT_LAYOUT_CACHE"] = tempfile.mkdtemp(
+            prefix="bench_fresh_layout_"
+        )
     from scala_reactivex_spark.plans.registry import registry
     from scala_reactivex_spark.session import get_spark
 

@@ -427,14 +427,28 @@ def _zordered_events(spark: SparkSession, sf_dir: str) -> str:
     coordinates and land in hive directories keyed by their Morton
     z-bucket — the layout src_zorder_layout's audit scores, actually
     written so a reader can prune on it.  ``repartition(zbucket)`` keeps
-    the writer at one task per bucket (no small-file fan-out)."""
+    the writer at one task per bucket (no small-file fan-out).
+
+    Cache key = _fixture_tag (basename + content fingerprint, the
+    round-7 convention), NOT basename alone — a regenerated fixture or
+    a second dir sharing a basename would otherwise serve a clustered
+    copy normalized with STALE bounds while the oracle recomputes from
+    the live table (round-14 review finding).  The write root honors
+    ``SPARK_GRAFT_LAYOUT_CACHE`` so bench.py's fresh-cache regime can
+    redirect it and pay the rewrite (the build-inclusive contract)."""
     import os
+
+    from scala_reactivex_spark.operators.llm_extras import _fixture_tag
 
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    base = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(repo_root, ".cache", f"events_zorder_{base}")
+    root = os.environ.get(
+        "SPARK_GRAFT_LAYOUT_CACHE", os.path.join(repo_root, ".cache")
+    )
+    out = os.path.join(
+        root, f"events_zorder_{_fixture_tag(sf_dir, 'events')}"
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = table(spark, sf_dir, "events").select(
             "event_id",

@@ -563,7 +563,7 @@ DIVERSE_CAP = 5  # selected docs per embedding cluster
     tier="T3",
     doc=f"Quality-vs-diversity capped selection — the greedy-MMR-shaped "
     "curation stage that keeps the corpus from collapsing onto its "
-    "best-scoring mode: the top {DIVERSE_CAP} documents PER EMBEDDING "
+    f"best-scoring mode: the top {DIVERSE_CAP} documents PER EMBEDDING "
     "CLUSTER by pinned quality score (llm_kmeans' final assignment ⋈ "
     "llm_quality_score's composite, floor(q·1e4+0.5) so the ranking "
     "is exact integers in both engines; ties → lowest doc_id).  A "

@@ -335,6 +335,30 @@ def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_bands(h: DataFrame) -> DataFrame:
+    """(doc_id, band, bval) band projection over a signature frame —
+    THE single band definition: the pair query's LSH join and the
+    cap-billing stats aggregate must describe the SAME buckets, so a
+    future band-width change cannot desynchronize them (round-14
+    review finding)."""
+    return h.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        ((F.col("ph") / d).cast("bigint") % 16).alias(
+                            "bval"
+                        ),
+                    )
+                    for j, d in enumerate(_PHASH_BAND_DIVS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bval")
+
+
 @register(
     "llm_multimodal_phash",
     tier="T3",
@@ -356,22 +380,7 @@ def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _phash_signatures(spark, sf_dir)
-    bands = h.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        ((F.col("ph") / d).cast("bigint") % 16).alias(
-                            "bval"
-                        ),
-                    )
-                    for j, d in enumerate(_PHASH_BAND_DIVS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bval")
+    bands = _phash_bands(h)
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bval")
@@ -477,23 +486,7 @@ FROM bsz GROUP BY band
 """,
 )
 def llm_phash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    h = _phash_signatures(spark, sf_dir)
-    bands = h.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        ((F.col("ph") / d).cast("bigint") % 16).alias(
-                            "bval"
-                        ),
-                    )
-                    for j, d in enumerate(_PHASH_BAND_DIVS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("bb.band", "bb.bval")
+    bands = _phash_bands(_phash_signatures(spark, sf_dir))
     bsz = bands.groupBy("band", "bval").agg(F.count("*").alias("c"))
     return bsz.groupBy("band").agg(
         F.count("*").cast("bigint").alias("n_buckets"),

@@ -1655,17 +1655,27 @@ def novelty_over(g: DataFrame, cnt: DataFrame) -> DataFrame:
     """Per-doc novelty report from a (doc_id, gram) frame joined to a
     (gram, df) document-frequency table — shared by the batch key
     (cnt derived from the same corpus) and the streaming gate (cnt is
-    the standing corpus table the stream probes)."""
+    the standing corpus table the stream probes).
+
+    LEFT join + df←0 default (round-14 review finding): a gram the
+    standing table has NEVER seen is the most novel case of all — an
+    inner join silently dropped exactly those grams, so a fully-new
+    streamed document produced no output instead of novelty 10000.
+    For the batch key the change is a no-op (cnt derives from the same
+    gram frame, so df ≥ 1 for every joined row and the oracle text is
+    unchanged); df ≤ 1 covers both 'unique in corpus' and 'absent from
+    corpus'."""
     return (
-        g.join(cnt, "gram")
+        g.join(cnt, "gram", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_grams"),
-            F.count(F.when(F.col("df") == 1, 1))
+            F.count(F.when(F.col("df") <= 1, 1))
             .cast("bigint")
             .alias("n_novel"),
             F.expr(
-                "CAST(count(CASE WHEN df = 1 THEN 1 END) * 10000"
+                "CAST(count(CASE WHEN df <= 1 THEN 1 END) * 10000"
                 " DIV count(*) AS BIGINT)"
             ).alias("novelty_1e4"),
         )

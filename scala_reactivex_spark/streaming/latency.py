@@ -116,7 +116,8 @@ def measure_serving_latency(
     only: set[str] | None = None,
 ) -> dict[str, dict]:
     """{twin name: {batches, p50_trigger_ms, max_trigger_ms, cold_sec,
-    warm_drain_sec}} for the five serving twins at ``sf_dir``.
+    warm_drain_sec}} for the serving twins at ``sf_dir`` (five pinned +
+    the round-14 stateless pair, seven by default).
 
     ``only`` restricts to a twin-name subset — the warm-arbitration
     probe (scripts/twin_warm_probe.py) re-measures a single flagged twin

@@ -2576,16 +2576,31 @@ def twin_zorder_route(sdf: DataFrame, bounds: DataFrame) -> DataFrame:
     'model') and their Morton z-bucket with the SAME shared
     expressions the batch rewrite uses (ZORDER_U8_EXPR / zbucket_expr,
     so a stream cannot land rows in a different layout than the next
-    batch re-cluster would).  Completely STATELESS per row: append
-    mode, no watermark, no streaming shuffle; pytest holds drained
-    (event_id → zbucket) to the batch clustered copy's partition
-    column."""
+    batch re-cluster would).
+
+    Arrivals OUTSIDE the bounds snapshot — inevitable for a live
+    stream (a later day than the layout has seen, a new high user_id)
+    — CLAMP to the edge coordinate (0 / 255) so they land in the
+    nearest edge bucket instead of aliasing onto an arbitrary interior
+    bucket through the interleave's low-8-bit reads (round-14 review
+    finding); ``in_bounds = 0`` marks them as the rows the next batch
+    re-cluster must redistribute.  Completely STATELESS per row:
+    append mode, no watermark, no streaming shuffle; pytest holds
+    drained (event_id → zbucket) to the batch clustered copy's
+    partition column and routes synthetic out-of-bounds arrivals to
+    edge buckets."""
     from scala_reactivex_spark.operators.creation import (
         ZORDER_D8_EXPR,
         ZORDER_U8_EXPR,
         zbucket_expr,
     )
 
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.lit(0).cast("bigint"),
+        F.least(F.lit(255).cast("bigint"), c.cast("bigint")),
+    )
+    raw_u = F.expr(ZORDER_U8_EXPR).cast("bigint")
+    raw_d = F.expr(ZORDER_D8_EXPR).cast("bigint")
     return (
         sdf.select(
             "event_id",
@@ -2595,14 +2610,18 @@ def twin_zorder_route(sdf: DataFrame, bounds: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(bounds))
         .select(
             "event_id",
-            F.expr(ZORDER_U8_EXPR).cast("bigint").alias("u8"),
-            F.expr(ZORDER_D8_EXPR).cast("bigint").alias("d8"),
+            clamp(raw_u).alias("u8"),
+            clamp(raw_d).alias("d8"),
+            (raw_u.between(0, 255) & raw_d.between(0, 255))
+            .cast("int")
+            .alias("in_bounds"),
         )
         .select(
             "event_id",
             "u8",
             "d8",
             F.expr(zbucket_expr()).cast("bigint").alias("zbucket"),
+            "in_bounds",
         )
     )
 
@@ -2636,11 +2655,22 @@ def twin_novelty_gate(
         idempotent_parquet_sink,
     )
 
-    cnt = (
-        doc_grams(table(spark, sf_dir, "documents"))
-        .groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .persist()
+    # Session-memoized (one build + one persisted copy per session) —
+    # a bare persist() per invocation would leak one pinned cached
+    # frame per call, the exact class plans/memo.py exists to prevent
+    # (round-14 review finding).
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    cnt = session_memo(
+        spark,
+        sf_dir,
+        "novelty_gram_df",
+        lambda: (
+            doc_grams(table(spark, sf_dir, "documents"))
+            .groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .persist()
+        ),
     )
     commit = idempotent_parquet_sink(out_dir)
 

@@ -1045,3 +1045,64 @@ def test_twin_novelty_gate_equals_batch(
         for r in llm_ngram_novelty(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_twin_zorder_route_clamps_out_of_bounds_arrivals(spark, sf_dir):
+    """A live stream inevitably delivers events beyond the layout's
+    bounds snapshot (later days, new high user ids).  Those must CLAMP
+    to edge coordinates and flag in_bounds = 0 — never alias through
+    the interleave's low-8-bit reads onto an arbitrary interior bucket.
+    The routing expressions are pure projections, so the law is checked
+    on a batch frame (identical plan, no stream scaffolding)."""
+    from scala_reactivex_spark.operators import creation
+
+    bounds = creation.zorder_bounds(spark, sf_dir).collect()[0]
+    u1, d1 = bounds["u1"], bounds["d1"]
+    span_u = u1 - bounds["u0"] + 1
+    rows = [
+        # one full span beyond the max user id — pre-fix this aliased
+        # back onto the u8 of bounds.u0's bucket
+        (1, u1 + span_u, (d1 // 2) * 86400000),
+        # far-future day
+        (2, u1, (d1 + 10_000) * 86400000),
+        # below-bounds user id (negative normalized coordinate)
+        (3, bounds["u0"] - span_u, (d1 // 2) * 86400000),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ms bigint"
+    )
+    got = {
+        r["event_id"]: r
+        for r in twins.twin_zorder_route(
+            batch, creation.zorder_bounds(spark, sf_dir)
+        ).collect()
+    }
+    for eid, r in got.items():
+        assert r["in_bounds"] == 0, eid
+        assert 0 <= r["u8"] <= 255 and 0 <= r["d8"] <= 255, eid
+        assert 0 <= r["zbucket"] < creation.Z_BUCKETS, eid
+    assert got[1]["u8"] == 255
+    assert got[2]["d8"] == 255
+    assert got[3]["u8"] == 0
+
+
+def test_novelty_over_counts_unseen_grams_as_novel(spark):
+    """The serving gate's whole point: a gram ABSENT from the standing
+    corpus table is maximally novel (df = 0), not silently dropped.  A
+    fully-new document must score novelty 10000, and mixed docs count
+    both unseen (df=0) and corpus-unique (df=1) grams."""
+    from scala_reactivex_spark.operators.llm_signals import novelty_over
+
+    g = spark.createDataFrame(
+        [(1, "a b c"), (1, "x y z"), (2, "a b c"), (2, "q r s")],
+        "doc_id bigint, gram string",
+    )
+    cnt = spark.createDataFrame(
+        [("a b c", 5), ("q r s", 1)], "gram string, df bigint"
+    )
+    got = {r["doc_id"]: r for r in novelty_over(g, cnt).collect()}
+    # doc 1: 'a b c' df=5 (not novel), 'x y z' unseen (novel) -> 1/2
+    assert got[1]["n_grams"] == 2 and got[1]["n_novel"] == 1
+    assert got[1]["novelty_1e4"] == 5000
+    # doc 2: 'a b c' df=5, 'q r s' df=1 (corpus-unique, novel) -> 1/2
+    assert got[2]["n_grams"] == 2 and got[2]["n_novel"] == 1
