@@ -1,5 +1,6 @@
 """Serving-latency measurement smoke: the bench's twin-latency map has
-an entry per serving twin with a real trigger→commit number."""
+an entry per measured serving twin (five pinned + the round-14
+stateless pair) with a real trigger→commit number."""
 
 from __future__ import annotations
 
@@ -9,10 +10,14 @@ EXPECTED = {
     "twin_bm25",
     "twin_hybrid_rrf",
     "twin_dedup_gate",
+    # round 14: stateless model-pack twins, measured but NEVER part of
+    # the frozen TWIN_BASELINE ratio (bench.py iterates pin keys only)
+    "twin_nb_filter",
+    "twin_zorder_route",
 }
 
 
-def test_measure_serving_latency_covers_all_five(spark, sf_dir, tmp_path):
+def test_measure_serving_latency_covers_default_set(spark, sf_dir, tmp_path):
     from scala_reactivex_spark.streaming.latency import (
         measure_serving_latency,
     )
