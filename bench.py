@@ -320,7 +320,12 @@ BEYOND_NEWEST_BASELINE_SEC = {"fresh": 9.16, "readback": 7.46}
 
 # Queries registered after round 13 — timed, reported per-query in
 # BENCH_DETAIL.json and summed as growth_seconds; excluded from all six
-# frozen totals, pinned once the bucket has a quiet-host cold pass.
+# frozen totals.
+#
+# FROZEN at round 15 (7 names, GROWTH_BASELINE_SEC below, from the
+# round-14 quiet-host session-end dual-regime passes recorded in
+# BASELINE.md "GROWTH pin opened").  Do NOT append here — queries
+# registered after round 14 go to FRONTIER below.
 GROWTH: set[str] = {
     # round 14: z-order layout promoted from audit to a real pruned
     # read; NB calibration composed into a production filter
@@ -335,6 +340,20 @@ GROWTH: set[str] = {
     "llm_phash_stats",
     "src_zorder_compare",
 }
+
+#: GROWTH pin (BASELINE.md, round 15): REGIME-SPECIFIC like the BEYOND
+#: pin — the bucket's fresh cost is dominated by the one-time z-layout
+#: rewrite and the phash/CC index builds, so build-inclusive and
+#: read-back passes are compared against their own pins, selected by
+#: the run's SPARK_GRAFT_FRESH_CACHE flag.  Both numbers are the
+#: round-14 quiet-host session-end passes.
+GROWTH_BASELINE_SEC = {"fresh": 15.72, "readback": 5.68}
+
+# Queries registered after round 14 — timed, reported per-query in
+# BENCH_DETAIL.json and summed as frontier_seconds; excluded from all
+# seven frozen totals, pinned once the bucket has a quiet-host cold
+# pass (the GROWTH/BEYOND precedent).
+FRONTIER: set[str] = set()
 
 
 def main() -> None:
@@ -455,6 +474,7 @@ def main() -> None:
         | BEYOND_NEWER
         | BEYOND_NEWEST
         | GROWTH
+        | FRONTIER
     ) - set(times)
     assert not missing, f"BEYOND_BASELINE names not in registry: {missing}"
     untiered = (
@@ -465,18 +485,20 @@ def main() -> None:
         - BEYOND_NEWER
         - BEYOND_NEWEST
         - GROWTH
+        - FRONTIER
     )
     # All frozen suites are closed sets: a new registry key missing from
-    # GROWTH would silently inflate the headline total.
+    # FRONTIER would silently inflate the headline total.
     assert len(untiered) == 72, (
         f"headline set drifted to {len(untiered)} queries — add new "
-        "registry keys to GROWTH"
+        "registry keys to FRONTIER"
     )
     assert len(BEYOND_BASELINE) == 130, "frozen extras suite drifted"
     assert len(BEYOND_EXTRAS) == 12, "frozen new suite drifted"
     assert len(BEYOND_NEW) == 5, "frozen newer suite drifted"
     assert len(BEYOND_NEWER) == 5, "frozen newest suite drifted"
     assert len(BEYOND_NEWEST) == 10, "frozen beyond suite drifted"
+    assert len(GROWTH) == 7, "frozen growth suite drifted"
     total = round(sum(times[n] for n in untiered), 3)
     extras = round(
         sum(t for n, t in times.items() if n in BEYOND_BASELINE), 3
@@ -496,14 +518,20 @@ def main() -> None:
     growth_sec = round(
         sum(t for n, t in times.items() if n in GROWTH), 3
     )
-    # The BEYOND pin is regime-specific (index-build-dominated bucket):
-    # compare this run against the pin recorded under the SAME cache
-    # regime, selected by the flag that redirected the cache root above.
-    beyond_pin = BEYOND_NEWEST_BASELINE_SEC[
+    frontier_sec = round(
+        sum(t for n, t in times.items() if n in FRONTIER), 3
+    )
+    # The BEYOND and GROWTH pins are regime-specific (index-build-
+    # dominated buckets): compare this run against the pin recorded
+    # under the SAME cache regime, selected by the flag that redirected
+    # the cache root above.
+    regime = (
         "fresh"
         if os.environ.get("SPARK_GRAFT_FRESH_CACHE") == "1"
         else "readback"
-    ]
+    )
+    beyond_pin = BEYOND_NEWEST_BASELINE_SEC[regime]
+    growth_pin = GROWTH_BASELINE_SEC[regime]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -553,6 +581,11 @@ def main() -> None:
         ),
         "growth_seconds": growth_sec,
         "growth": sorted(GROWTH),
+        "growth_vs_baseline": (
+            round(growth_sec / growth_pin, 3) if sf_val == 0.1 else None
+        ),
+        "frontier_seconds": frontier_sec,
+        "frontier": sorted(FRONTIER),
         "sf": sf_val,
         # Warm medians of the slowest-N queries (median of warm_reps
         # re-runs in the same session) — the self-arbitrating companion
@@ -598,10 +631,13 @@ def main() -> None:
                     "newer_seconds",
                     "newest_seconds",
                     "beyond_seconds",
+                    "growth_seconds",
+                    "frontier_seconds",
                     "extras_vs_baseline",
                     "new_vs_baseline",
                     "newer_vs_baseline",
                     "newest_vs_baseline",
+                    "growth_vs_baseline",
                     "sf",
                     "disk_cache",
                 )
@@ -622,6 +658,8 @@ def main() -> None:
         beyond_sec=beyond_sec,
         beyond_pin=beyond_pin,
         growth_sec=growth_sec,
+        growth_pin=growth_pin,
+        frontier_sec=frontier_sec,
         sf_val=sf_val,
         warm=warm,
         twin_latency=twin_latency,
@@ -643,6 +681,8 @@ def build_contract_line(
     beyond_sec: float,
     beyond_pin: float,
     growth_sec: float,
+    growth_pin: float,
+    frontier_sec: float,
     sf_val,
     warm: dict[str, float],
     twin_latency: dict[str, dict],
@@ -709,9 +749,17 @@ def build_contract_line(
                 if sf_val == 0.1
                 else None
             ),
-            # Post-r13 growth bucket (no pin yet — pinned once it has a
-            # quiet-host cold pass to freeze).
+            # Post-r13 bucket, pinned at round 15 (GROWTH_BASELINE_SEC
+            # — regime-specific like the BEYOND pin); sf0.1 only.
             "growth_seconds": growth_sec,
+            "growth_vs_baseline": (
+                round(growth_sec / growth_pin, 3)
+                if sf_val == 0.1
+                else None
+            ),
+            # Post-r14 frontier bucket (no pin yet — pinned once it has
+            # a quiet-host cold pass to freeze).
+            "frontier_seconds": frontier_sec,
             # One-number warm aggregate (sum of the slowest-20 warm
             # medians); the per-query warm map is in BENCH_DETAIL.json.
             "warm20_sec": round(sum(warm.values()), 2),

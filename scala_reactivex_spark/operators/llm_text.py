@@ -1390,7 +1390,21 @@ def _nb_doc_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed by llm_nb_margin_calibration (banded accuracy), the
     llm_nb_filter keep/drop stage, and the serving twin's law test, so
     threshold semantics cannot fork between the calibration artifact
-    and the filter that applies it."""
+    and the filter that applies it.  Session-memoized + persisted
+    (r14 verdict #5): llm_nb_margin_calibration, llm_nb_filter AND
+    nb_filter_threshold all re-aggregated it on top of the memoized
+    grid — three copies of the same |eval|-row sorted-array pass."""
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "nb_doc_margins",
+        lambda: _nb_doc_margins_build(spark, sf_dir).persist(),
+    )
+
+
+def _nb_doc_margins_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = _nb_grid(spark, sf_dir)
     per = grid.groupBy("doc_id", "lang_true", "n_tok").agg(
         F.array_sort(

@@ -285,6 +285,26 @@ def disk_memo(
     return val
 
 
+def materialize_scalar(spark, df):
+    """Collect a SMALL (1-to-few-row) DataFrame and rebuild it as a
+    literal local-relation frame with the same schema — the 'serving
+    pack' materialization for 1-row model/policy/bounds artifacts that
+    streaming twins crossJoin-broadcast into every micro-batch.
+
+    A lazy frame handed to a stream-static crossJoin re-executes its
+    ENTIRE upstream batch pipeline inside every trigger (the r14
+    twin_nb_filter defect: the full NB training aggregation re-ran per
+    micro-batch, worst twin p50 2044 ms); even a persisted frame still
+    pays a cache scan + broadcast rebuild per trigger.  Collecting and
+    rebuilding severs the lineage completely — the plan under the
+    stream is a LocalRelation, which is what a real serving tier ships
+    (the trained artifact, not the training job).  Caller is
+    responsible for only handing this bounded frames (class packs,
+    1-row thresholds, layout bounds)."""
+    rows = df.collect()
+    return spark.createDataFrame(rows, schema=df.schema)
+
+
 def _unpersist_quietly(obj) -> None:
     """Unpersist any DataFrame(s) inside a memoized value (best-effort —
     entries may be tuples of frames, scalars, or plain objects)."""

@@ -117,7 +117,7 @@ def measure_serving_latency(
 ) -> dict[str, dict]:
     """{twin name: {batches, p50_trigger_ms, max_trigger_ms, cold_sec,
     warm_drain_sec}} for the serving twins at ``sf_dir`` (five pinned +
-    the round-14 stateless pair, seven by default).
+    the three round-14 additions, eight by default — r14 verdict #2).
 
     ``only`` restricts to a twin-name subset — the warm-arbitration
     probe (scripts/twin_warm_probe.py) re-measures a single flagged twin
@@ -146,6 +146,9 @@ def measure_serving_latency(
             # inflate the pin; they get their own pin when frozen).
             "twin_nb_filter",
             "twin_zorder_route",
+            # round 15 (r14 verdict #2): the third round-14 twin gets
+            # p50 evidence too — 8 default entries.
+            "twin_novelty_gate",
         }
         if only is None
         else set(only)
@@ -166,14 +169,15 @@ def measure_serving_latency(
             spark, sf_dir, work
         )
     nb_model = nb_thr = doc_all_src = None
-    if "twin_nb_filter" in want:
-        from scala_reactivex_spark.operators.llm_text import (
-            nb_filter_threshold,
-        )
+    if want & {"twin_nb_filter", "twin_novelty_gate"}:
         from scala_reactivex_spark.sources.catalog import table
 
-        nb_model = twins.nb_model_params(spark, sf_dir)
-        nb_thr = nb_filter_threshold(spark, sf_dir)
+        if "twin_nb_filter" in want:
+            # MATERIALIZED serving pack (r14 verdict #1): the lazy
+            # model/threshold frames re-ran the whole NB training +
+            # calibration pipeline inside every measured micro-batch
+            # (p50 2044 ms measured retrain, not serving).
+            nb_model, nb_thr = twins.nb_serving_pack(spark, sf_dir)
         doc_all_src = os.path.join(work, "doc_all_src")
         (
             table(spark, sf_dir, "documents")
@@ -183,10 +187,10 @@ def measure_serving_latency(
         )
     z_bounds = ev_src = None
     if "twin_zorder_route" in want:
-        from scala_reactivex_spark.operators.creation import zorder_bounds
         from scala_reactivex_spark.sources.catalog import table
 
-        z_bounds = zorder_bounds(spark, sf_dir)
+        # Materialized 1-row bounds pack, same r14-ADVICE rationale.
+        z_bounds = twins.zorder_bounds_pack(spark, sf_dir)
         ev_src = os.path.join(work, "ev_src")
         (
             table(spark, sf_dir, "events")
@@ -261,6 +265,15 @@ def measure_serving_latency(
             os.path.join(work, f"zrt_ckpt_{rep}"),
         )
 
+    def run_novelty(rep: int) -> None:
+        twins.twin_novelty_gate(
+            twins.docs_stream(spark, doc_all_src),
+            spark,
+            sf_dir,
+            os.path.join(work, f"nov_out_{rep}"),
+            os.path.join(work, f"nov_ckpt_{rep}"),
+        )
+
     out: dict[str, dict] = {}
     for name, fn in (
         ("twin_ann_ivf", run_ivf),
@@ -270,6 +283,7 @@ def measure_serving_latency(
         ("twin_dedup_gate", run_gate),
         ("twin_nb_filter", run_nb_filter),
         ("twin_zorder_route", run_zroute),
+        ("twin_novelty_gate", run_novelty),
     ):
         if only is not None and name not in only:
             continue

@@ -2346,58 +2346,169 @@ def nb_model_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nb_scored_arr():
-    """Sorted per-class NB score array over the broadcast model — the
-    single serving-side scoring expression: per class, score = prior +
-    Σ over tokens of (map-matched pinned log-likelihood, else the
-    class's unseen penalty), sorted ascending on (-score, cand) so
-    element 0 is the argmax and element 1 the runner-up.  Shared by
-    twin_nb_lang (argmax) and twin_nb_filter (argmax + margin band) so
-    the two serving paths cannot fork."""
-    toks = F.split("text", " ")
-    return F.array_sort(
-        F.transform(
-            F.col("classes"),
-            lambda c: F.struct(
-                (
-                    -(
-                        c.getField("prior_l")
-                        + F.aggregate(
-                            toks,
-                            F.lit(0).cast("bigint"),
-                            lambda acc, t: acc
-                            + F.coalesce(
-                                F.element_at(c.getField("m"), t),
-                                c.getField("miss_l"),
-                            ),
-                        )
-                    )
-                ).alias("ns"),
-                c.getField("cand").alias("cand"),
-            ),
-        )
+def nb_serving_pack(spark: SparkSession, sf_dir: str):
+    """(model, thr) — the NB model+policy serving pack as two
+    MATERIALIZED 1-row local-relation frames (plans/memo.
+    materialize_scalar), session-memoized per fixture.
+
+    This is what twin_nb_filter must be handed: the lazy
+    :func:`nb_model_params` / ``llm_text.nb_filter_threshold`` frames
+    re-execute the full training + calibration pipeline inside EVERY
+    micro-batch when crossJoin-broadcast into a stream (r14 verdict #1
+    — the per-trigger retrain made twin_nb_filter the worst twin at
+    p50 2044 ms).  Collect-and-rebuild severs the lineage: the plan
+    under the stream is a LocalRelation, the trained-artifact posture
+    a real serving tier has.  Values are identical by construction
+    (the pack IS the batch frames' rows), so the batch-equivalence law
+    tests are unaffected."""
+    from scala_reactivex_spark.operators.llm_text import (
+        nb_filter_threshold,
     )
+    from scala_reactivex_spark.plans.memo import (
+        materialize_scalar,
+        session_memo,
+    )
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "nb_serving_pack",
+        lambda: (
+            materialize_scalar(spark, nb_model_params(spark, sf_dir)),
+            materialize_scalar(
+                spark, nb_filter_threshold(spark, sf_dir)
+            ),
+        ),
+    )
+
+
+def zorder_bounds_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized 1-row z-layout bounds (operators.creation.
+    zorder_bounds) — the ingest router's 'model', collected and
+    rebuilt as a local relation so twin_zorder_route's every
+    micro-batch serves a fixed bounds snapshot instead of re-running
+    the events min/max aggregate (r14 ADVICE: lazy model packs made
+    the measured trigger latency include upstream recompute)."""
+    from scala_reactivex_spark.operators.creation import zorder_bounds
+    from scala_reactivex_spark.plans.memo import (
+        materialize_scalar,
+        session_memo,
+    )
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "zorder_bounds_pack",
+        lambda: materialize_scalar(spark, zorder_bounds(spark, sf_dir)),
+    )
+
+
+def _nb_py_pack(model: DataFrame):
+    """Collect the 1-row model frame into the closure-captured serving
+    pack: (cands ascending, miss/prior int64 vectors aligned to cands,
+    token → per-class log-likelihood int64 vector with unseen classes
+    miss-filled).  THE single serving-side pack layout, shared by
+    twin_nb_lang and twin_nb_filter so the two paths cannot fork.
+
+    Why a Python pack and not a broadcast crossJoin + array
+    higher-order functions (the pre-r15 shape): HOF lambdas evaluate
+    INTERPRETED (no whole-stage codegen) and ``element_at`` on a
+    MapType does a linear scan — per-trigger scoring dominated the
+    twin's p50 (1.6 s on a 2 500-doc micro-batch after the retrain fix
+    alone), and the map scan is O(vocab) per token, which cannot
+    survive a production-sized vocabulary.  The vectorized scorer does
+    one O(1) dict probe + one length-n_classes add per token inside
+    Arrow batches; the pack itself is the bounded trained artifact
+    (n_classes × vocab), exactly what a real serving tier ships to
+    executors as a broadcast variable."""
+    import numpy as np
+
+    [row] = model.collect()
+    classes = sorted(row["classes"], key=lambda c: c["cand"])
+    cands = [c["cand"] for c in classes]
+    miss = np.array([c["miss_l"] for c in classes], dtype=np.int64)
+    prior = np.array([c["prior_l"] for c in classes], dtype=np.int64)
+    tokvec: dict = {}
+    for i, c in enumerate(classes):
+        for t, l in c["m"].items():
+            if t not in tokvec:
+                tokvec[t] = miss.copy()
+            tokvec[t][i] = l
+    return cands, miss, prior, tokvec
+
+
+def _nb_score_block(texts, cands, miss, prior, tokvec):
+    """Score one Arrow batch of texts under the pack: per doc, class
+    scores = prior + Σ tokens (dict-matched pinned log-likelihood
+    vector, else the miss vector); returns (pred, top, second, n_tok)
+    numpy/list columns with the batch tie rule (score DESC, cand ASC —
+    a stable argsort over the ascending-cand axis).  Token rule is
+    identical to the batch op's ``split(text, ' ')``: consecutive
+    spaces yield empty-string tokens that count toward n_tok and miss
+    the vocabulary, in BOTH engines.  All arithmetic is int64 sums of
+    the same pinned integers the batch grid uses — exact."""
+    import numpy as np
+
+    n = len(cands)
+    preds, tops, seconds, ntoks = [], [], [], []
+    for text in texts:
+        toks = text.split(" ")
+        acc = prior.copy()
+        for t in toks:
+            acc += tokvec.get(t, miss)
+        idx = np.argsort(-acc, kind="stable")
+        preds.append(cands[idx[0]])
+        tops.append(int(acc[idx[0]]))
+        seconds.append(int(acc[idx[1]]) if n >= 2 else None)
+        ntoks.append(len(toks))
+    return preds, tops, seconds, ntoks
+
+
+def _nb_band(top: int, second, n_tok: int) -> int:
+    """Margin band, identical to llm_text._nb_doc_margins: per-token
+    margin (non-negative, so // matches Spark's trunc-toward-zero DIV)
+    banded at NB_CAL_BAND_U, top band open-ended; <2 classes ⇒ top
+    band."""
+    from scala_reactivex_spark.operators.llm_text import (
+        NB_CAL_BAND_U,
+        NB_CAL_BANDS,
+    )
+
+    if second is None:
+        return NB_CAL_BANDS - 1
+    return min((top - second) // n_tok // NB_CAL_BAND_U, NB_CAL_BANDS - 1)
 
 
 def twin_nb_lang(sdf: DataFrame, model: DataFrame) -> DataFrame:
     """Streaming NB language classification [T3 — live twin of
     llm_nb_lang's per-doc argmax]: arriving documents are scored under
-    every class of the BATCH-trained model (1-row broadcast
-    array<struct> — the twin_kmeans model-serving shape) entirely with
-    array higher-order functions (shared _nb_scored_arr expression);
-    argmax by (score DESC, cand ASC).  Completely STATELESS per row —
-    append mode, no watermark, no streaming shuffle — and the scores
-    are sums of the SAME pinned integers as the batch op, so drained
-    predictions equal the batch grid argmax exactly."""
-    best = _nb_scored_arr().getItem(0)
-    return (
-        sdf.crossJoin(F.broadcast(model))
-        .select(
-            "doc_id",
-            "lang",
-            best.getField("cand").alias("pred_lang"),
-            (-best.getField("ns")).alias("score"),
-        )
+    every class of the BATCH-trained model — collected ONCE at query
+    construction into the closure-captured serving pack (_nb_py_pack)
+    and applied per micro-batch by the Arrow-vectorized scorer
+    (_nb_score_block); argmax by (score DESC, cand ASC).  Completely
+    STATELESS per row — append mode, no watermark, no streaming
+    shuffle — and the scores are int64 sums of the SAME pinned
+    integers as the batch op, so drained predictions equal the batch
+    grid argmax exactly."""
+    cands, miss, prior, tokvec = _nb_py_pack(model)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds, tops, _seconds, _ntoks = _nb_score_block(
+                pdf["text"], cands, miss, prior, tokvec
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "pred_lang": preds,
+                    "score": pd.Series(tops, dtype="int64"),
+                }
+            )
+
+    return sdf.mapInPandas(
+        score,
+        "doc_id bigint, lang string, pred_lang string, score bigint",
     )
 
 
@@ -2406,58 +2517,50 @@ def twin_nb_filter(
 ) -> DataFrame:
     """Streaming calibration-thresholded NB language gate [T3 — live
     twin of llm_nb_filter's keep/drop stage]: arriving documents score
-    under the broadcast batch-trained model (the SAME _nb_scored_arr
-    expression twin_nb_lang serves), derive their per-token margin
-    band with the batch NB_CAL_BAND_U banding, and are kept iff the
-    band clears the BATCH calibration-derived threshold
-    (llm_text.nb_filter_threshold, a 1-row broadcast — the
-    model+policy serving pack).  Unlike the batch key, the stream
-    gates EVERY arriving doc, labeled or not — lang never enters the
-    decision path; on the eval split the drained decisions equal the
-    batch op's exactly (law-tested).  Completely STATELESS per row:
-    append mode, no watermark, no streaming shuffle."""
-    from scala_reactivex_spark.operators.llm_text import (
-        NB_CAL_BAND_U,
-        NB_CAL_BANDS,
-    )
+    under the batch-trained model — the SAME closure-captured serving
+    pack + Arrow-vectorized scorer twin_nb_lang serves (_nb_py_pack /
+    _nb_score_block; see _nb_py_pack for why this replaced the r14
+    crossJoin-broadcast HOF expression) — derive their per-token
+    margin band with the batch NB_CAL_BAND_U banding (_nb_band, the
+    same trunc-division arithmetic as llm_text._nb_doc_margins), and
+    are kept iff the band clears the BATCH calibration-derived
+    threshold (llm_text.nb_filter_threshold via nb_serving_pack — the
+    model+policy serving pack, collected once at query construction).
+    Unlike the batch key, the stream gates EVERY arriving doc, labeled
+    or not — lang never enters the decision path; on the eval split
+    the drained decisions equal the batch op's exactly (law-tested).
+    Completely STATELESS per row: append mode, no watermark, no
+    streaming shuffle."""
+    cands, miss, prior, tokvec = _nb_py_pack(model)
+    [thr_row] = thr.collect()
+    thr_band = int(thr_row["thr_band"])
 
-    arr = _nb_scored_arr()
-    scored = (
-        sdf.crossJoin(F.broadcast(model))
-        .crossJoin(F.broadcast(thr))
-        .select(
-            "doc_id",
-            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
-            arr.alias("arr"),
-            F.col("thr_band").cast("bigint").alias("thr_band"),
-        )
-    )
-    # Identical banding arithmetic to llm_text._nb_doc_margins: integer
-    # DIV on the pinned-score margin, top band open-ended.
-    band = F.when(
-        F.size("arr") < 2, F.lit(NB_CAL_BANDS - 1).cast("bigint")
-    ).otherwise(
-        F.least(
-            F.expr(
-                f"(arr[1].ns - arr[0].ns) DIV n_tok DIV {NB_CAL_BAND_U}"
-            ),
-            F.lit(NB_CAL_BANDS - 1).cast("bigint"),
-        )
-    )
-    return (
-        scored.select(
-            "doc_id",
-            F.col("arr")[0].getField("cand").alias("pred_lang"),
-            band.alias("band"),
-            "thr_band",
-        )
-        .select(
-            "doc_id",
-            "pred_lang",
-            "band",
-            "thr_band",
-            (F.col("band") >= F.col("thr_band")).cast("int").alias("kept"),
-        )
+    def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds, tops, seconds, ntoks = _nb_score_block(
+                pdf["text"], cands, miss, prior, tokvec
+            )
+            bands = [
+                _nb_band(t, s, n)
+                for t, s, n in zip(tops, seconds, ntoks)
+            ]
+            band_s = pd.Series(bands, dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pred_lang": preds,
+                    "band": band_s,
+                    "thr_band": pd.Series(
+                        [thr_band] * len(pdf), dtype="int64"
+                    ),
+                    "kept": (band_s >= thr_band).astype("int32"),
+                }
+            )
+
+    return sdf.mapInPandas(
+        gate,
+        "doc_id bigint, pred_lang string, band bigint, "
+        "thr_band bigint, kept int",
     )
 
 
@@ -2612,7 +2715,15 @@ def twin_zorder_route(sdf: DataFrame, bounds: DataFrame) -> DataFrame:
             "event_id",
             clamp(raw_u).alias("u8"),
             clamp(raw_d).alias("d8"),
-            (raw_u.between(0, 255) & raw_d.between(0, 255))
+            # in_bounds from the RAW columns against the bounds, not
+            # from the truncated normalized coordinates: integer DIV
+            # truncates toward zero, so an arrival up to span/256 BELOW
+            # u0/d0 normalizes to raw 0 and would pass between(0,255)
+            # while being outside the layout's bounds (r14 ADVICE).
+            (
+                F.col("user_id").between(F.col("u0"), F.col("u1"))
+                & F.col("day").between(F.col("d0"), F.col("d1"))
+            )
             .cast("int")
             .alias("in_bounds"),
         )

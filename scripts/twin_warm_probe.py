@@ -38,9 +38,18 @@ def main() -> int:
         measure_serving_latency,
     )
 
+    # Probe-able = every twin the latency harness measures, pinned or
+    # not: unpinned twins (the post-r9 additions reporting through
+    # twin_worst_p50_ms) need isolated arbitration too — the r14
+    # twin_nb_filter retrain fix is verified exactly this way.
+    measurable = {
+        "twin_ann_ivf", "twin_ann_pq", "twin_bm25", "twin_hybrid_rrf",
+        "twin_dedup_gate", "twin_nb_filter", "twin_zorder_route",
+        "twin_novelty_gate",
+    }
     if not names:
         names = set(TWIN_BASELINE_P50_MS)
-    unknown = names - set(TWIN_BASELINE_P50_MS)
+    unknown = names - measurable
     if unknown:
         print(f"unknown twins: {sorted(unknown)}", file=sys.stderr)
         return 2
@@ -56,12 +65,16 @@ def main() -> int:
     )
     summary = {}
     for name, m in sorted(out.items()):
-        pin = TWIN_BASELINE_P50_MS[name]
+        pin = TWIN_BASELINE_P50_MS.get(name)
         p50 = m["p50_trigger_ms"]
         summary[name] = {
             **m,
             "pin_ms": pin,
-            "vs_pin": round(p50 / pin, 3) if p50 is not None else None,
+            "vs_pin": (
+                round(p50 / pin, 3)
+                if p50 is not None and pin is not None
+                else None
+            ),
             "reps": reps,
         }
         print(json.dumps({name: summary[name]}, sort_keys=True))

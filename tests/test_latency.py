@@ -14,6 +14,8 @@ EXPECTED = {
     # the frozen TWIN_BASELINE ratio (bench.py iterates pin keys only)
     "twin_nb_filter",
     "twin_zorder_route",
+    # round 15 (r14 verdict #2): the third round-14 twin measured too
+    "twin_novelty_gate",
 }
 
 

@@ -939,15 +939,15 @@ def test_twin_nb_filter_equals_batch_gate(
     llm_nb_filter's decisions exactly on the eval split (same pinned
     scores, same banding DIV arithmetic, same broadcast threshold), it
     gates EVERY arriving doc (projection, not a filter), and the
-    published threshold is the calibration-derived one."""
-    from scala_reactivex_spark.operators.llm_text import (
-        llm_nb_filter,
-        nb_filter_threshold,
-    )
+    published threshold is the calibration-derived one.  Runs against
+    the MATERIALIZED serving pack (nb_serving_pack — what the latency
+    bench serves, r14 verdict #1), so the collect-and-rebuild
+    round-trip of the nested map/struct model schema is itself under
+    the law."""
+    from scala_reactivex_spark.operators.llm_text import llm_nb_filter
     from scala_reactivex_spark.sources.catalog import table
 
-    model = twins.nb_model_params(spark, sf_dir)
-    thr = nb_filter_threshold(spark, sf_dir)
+    model, thr = twins.nb_serving_pack(spark, sf_dir)
     sdf = twins.docs_stream(spark, docs_stream_src)
     out = twins.run_stream_to_table(
         twins.twin_nb_filter(sdf, model, thr), "t_nb_filter", ckpt
@@ -1067,6 +1067,13 @@ def test_twin_zorder_route_clamps_out_of_bounds_arrivals(spark, sf_dir):
         (2, u1, (d1 + 10_000) * 86400000),
         # below-bounds user id (negative normalized coordinate)
         (3, bounds["u0"] - span_u, (d1 // 2) * 86400000),
+        # JUST below the bounds (u0 - 1): integer DIV truncates toward
+        # zero so this normalizes to raw 0 and passed the pre-r15
+        # normalized-coordinate bounds check — in_bounds must come from
+        # the raw columns (r14 ADVICE)
+        (4, bounds["u0"] - 1, (d1 // 2) * 86400000),
+        # same hole on the day axis
+        (5, u1, (bounds["d0"] - 1) * 86400000),
     ]
     batch = spark.createDataFrame(
         rows, "event_id bigint, user_id bigint, ms bigint"
@@ -1084,6 +1091,9 @@ def test_twin_zorder_route_clamps_out_of_bounds_arrivals(spark, sf_dir):
     assert got[1]["u8"] == 255
     assert got[2]["d8"] == 255
     assert got[3]["u8"] == 0
+    # the just-below rows clamp to the edge coordinate AND flag
+    assert got[4]["u8"] == 0
+    assert got[5]["d8"] == 0
 
 
 def test_novelty_over_counts_unseen_grams_as_novel(spark):
