@@ -353,7 +353,17 @@ GROWTH_BASELINE_SEC = {"fresh": 15.72, "readback": 5.68}
 # BENCH_DETAIL.json and summed as frontier_seconds; excluded from all
 # seven frozen totals, pinned once the bucket has a quiet-host cold
 # pass (the GROWTH/BEYOND precedent).
-FRONTIER: set[str] = set()
+FRONTIER: set[str] = {
+    # round 15: packing acceptance audit, epoch repeat-factor recipe,
+    # count-cutoff LM pruning, LSH band-config tuner, compaction plan
+    # EXECUTED as a written layout, ANALYZE-style column stats
+    "llm_pack_efficiency",
+    "llm_repeat_plan",
+    "llm_ngram_lm_prune",
+    "llm_minhash_band_tune",
+    "llm_compaction_exec",
+    "src_table_stats",
+}
 
 
 def main() -> None:

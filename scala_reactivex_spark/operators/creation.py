@@ -259,6 +259,73 @@ def src_zonemap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Columns the ANALYZE-style stats pass profiles (lineitem — the fact
+#: table a CBO cares most about).
+STATS_COLUMNS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_returnflag",
+    "l_linestatus",
+)
+
+
+@register(
+    "src_table_stats",
+    tier="T2",
+    doc="ANALYZE TABLE-style per-column statistics (round 15) — the "
+    "optimizer-stats collection pass every cost-based planner needs "
+    "before it can size joins and pick broadcast sides at 100 TB: for "
+    f"each of lineitem's {len(STATS_COLUMNS)} profiled columns, row "
+    "count, null count, exact NDV and the distinct ratio (1e4).  One "
+    "scan: Spark plans the multi-distinct aggregate as a single "
+    "Expand + two-phase hash aggregate (the grouping-sets trick "
+    "ANALYZE itself uses).  Exact NDV is the graded contract at "
+    "fixture scale; the documented 100 TB path swaps count(DISTINCT) "
+    "for the mergeable one-pass sketch the suite already grades "
+    "portably (llm_hll_portable / rel_agg_approx) — same plan shape "
+    "minus the Expand.",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         {', '.join(
+            f'CAST(count({c}) AS BIGINT) AS nn_{i}, '
+            f'CAST(count(DISTINCT {c}) AS BIGINT) AS ndv_{i}'
+            for i, c in enumerate(STATS_COLUMNS))}
+  FROM lineitem
+)
+{' UNION ALL '.join(
+    f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{i} AS n_null, "
+    f"ndv_{i} AS ndv, ndv_{i} * 10000 // n_rows AS ndv_ratio_1e4 FROM s"
+    for i, c in enumerate(STATS_COLUMNS))}
+""",
+)
+def src_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for i, c in enumerate(STATS_COLUMNS):
+        aggs.append(F.count(c).cast("bigint").alias(f"nn_{i}"))
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"ndv_{i}"))
+    one = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{i}")).alias("n_null"),
+            F.col(f"ndv_{i}").alias("ndv"),
+            F.expr(f"ndv_{i} * 10000 DIV n_rows").alias(
+                "ndv_ratio_1e4"
+            ),
+        )
+        for i, c in enumerate(STATS_COLUMNS)
+    ]
+    return one.select(
+        F.explode(F.array(*structs)).alias("s")
+    ).select("s.*")
+
+
 Z_BITS = 8  # per-dimension resolution of the z-value (16-bit curve)
 Z_BUCKETS = 64  # clustered write buckets (z DIV 1024)
 #: The pruning probe: a query box in NORMALIZED (u8, d8) coordinates —

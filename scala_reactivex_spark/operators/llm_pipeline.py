@@ -149,6 +149,157 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_pack_efficiency",
+    tier="T3",
+    doc="Packing-efficiency audit — the acceptance gate on the "
+    "llm_pack_sequences layout (round 15; the plan-consumes-artifact "
+    "pattern of llm_nb_filter / llm_corpus_filter): per lang, how well "
+    f"did the {CONTEXT_TOKENS}-token windows fill?  Emits pack count, "
+    "doc count, token total, OVERFLOW packs (start-offset binning lets "
+    "a straddling doc push its starting pack past the budget), "
+    "underfull packs, mean fill (1e4 of budget) and the worst pack — "
+    "the numbers that decide whether the packing order (or the budget) "
+    "needs retuning before a training run is launched.  Scale shape: "
+    "one bounded rollup OVER the pack layout's own output (packs ≈ "
+    "corpus_tokens / budget rows, langs × packs keys) — no new "
+    "corpus-scale stage beyond the graded packing itself.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT lang,
+         CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok)
+              // {CONTEXT_TOKENS} AS BIGINT) AS pack_id,
+         n_tok
+  FROM toks
+), packs AS (
+  SELECT lang, pack_id, count(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+  FROM packed GROUP BY lang, pack_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(pack_tokens) AS BIGINT) AS tokens,
+       CAST(count(*) FILTER (WHERE pack_tokens > {CONTEXT_TOKENS})
+            AS BIGINT) AS overflow_packs,
+       CAST(count(*) FILTER (WHERE pack_tokens < {CONTEXT_TOKENS})
+            AS BIGINT) AS underfull_packs,
+       CAST(sum(pack_tokens) * 10000
+            // (count(*) * {CONTEXT_TOKENS}) AS BIGINT) AS fill_1e4,
+       CAST(max(pack_tokens) AS BIGINT) AS max_pack_tokens
+FROM packs GROUP BY lang
+""",
+)
+def llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packs = llm_pack_sequences(spark, sf_dir)
+    return packs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_packs"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("pack_tokens").cast("bigint").alias("tokens"),
+        F.count(F.when(F.col("pack_tokens") > CONTEXT_TOKENS, 1))
+        .cast("bigint")
+        .alias("overflow_packs"),
+        F.count(F.when(F.col("pack_tokens") < CONTEXT_TOKENS, 1))
+        .cast("bigint")
+        .alias("underfull_packs"),
+        F.expr(
+            f"CAST(sum(pack_tokens) * 10000"
+            f" DIV (count(*) * {CONTEXT_TOKENS}) AS BIGINT)"
+        ).alias("fill_1e4"),
+        F.max("pack_tokens").cast("bigint").alias("max_pack_tokens"),
+    )
+
+
+#: Max repeat factor a single source may contribute (1e4 units = 3
+#: epochs): past a few repeats, repeated data stops helping and starts
+#: hurting (Muennighoff et al. 2023, "Scaling Data-Constrained LMs"),
+#: so the recipe caps repeats and reports the shortfall instead of
+#: silently over-sampling a small source.
+REPEAT_CAP_1E4 = 30_000
+
+
+@register(
+    "llm_repeat_plan",
+    tier="T3",
+    doc="Epoch repeat-factor plan — the data-recipe table a "
+    "data-constrained training run is launched from (round 15): the "
+    "corpus token total is shared FAIRLY across sources (target = "
+    "total DIV n_sources, the equal-allocation baseline a mixture "
+    "tuner then perturbs), and each source's repeat factor is its "
+    "target over its actual tokens, capped at "
+    f"{REPEAT_CAP_1E4 / 1e4:g} epochs (Muennighoff 2023's "
+    "diminishing-returns regime).  Emits per source: docs, tokens, "
+    "fair-share target, repeat_1e4, the planned token contribution "
+    "under the cap, and a capped flag — sources whose flag is set "
+    "cannot fill their allocation and the gap must be re-planned, "
+    "never silently over-sampled.  Integer arithmetic end to end.  "
+    "Scale shape: one map-side-combined per-source aggregate (sources "
+    "≪ docs) + two 1-row broadcast scalar attaches — no corpus-scale "
+    "join.",
+    oracle=f"""
+WITH src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM src
+)
+SELECT s.source, s.n_docs, s.tokens,
+       CAST(t.total // t.n_sources AS BIGINT) AS target_tokens,
+       CAST(least((t.total // t.n_sources) * 10000 // s.tokens,
+                  {REPEAT_CAP_1E4}) AS BIGINT) AS repeat_1e4,
+       CAST(s.tokens * least((t.total // t.n_sources) * 10000
+                             // s.tokens, {REPEAT_CAP_1E4}) // 10000
+            AS BIGINT) AS planned_tokens,
+       CAST((t.total // t.n_sources) * 10000 // s.tokens
+            > {REPEAT_CAP_1E4} AS INT) AS capped
+FROM src s CROSS JOIN tot t
+""",
+)
+def llm_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+        )
+    )
+    tot = src.agg(
+        F.sum("tokens").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    raw = "(total DIV n_sources) * 10000 DIV tokens"
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.expr("CAST(total DIV n_sources AS BIGINT)").alias(
+            "target_tokens"
+        ),
+        F.expr(
+            f"CAST(least({raw}, {REPEAT_CAP_1E4}) AS BIGINT)"
+        ).alias("repeat_1e4"),
+        F.expr(
+            f"CAST(tokens * least({raw}, {REPEAT_CAP_1E4}) DIV 10000"
+            " AS BIGINT)"
+        ).alias("planned_tokens"),
+        F.expr(f"CAST({raw} > {REPEAT_CAP_1E4} AS INT)").alias("capped"),
+    )
+
+
+@register(
     "llm_embed_quantize",
     tier="T3",
     doc="Per-vector int8 quantization (max-abs scaling): q_i = "
@@ -1070,7 +1221,20 @@ def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COMPACT_TARGET = 2_048  # target output-file bytes (fixture-scaled)
+#: Target output-file bytes.  Fixture-scaled default; env-overridable
+#: (SPARK_GRAFT_COMPACT_TARGET) because a real OPTIMIZE keeps the FILE
+#: SIZE fixed as the corpus grows — so file COUNT grows linearly, and
+#: a local probe at sf100 must raise the target to keep the hive
+#: directory fan-out inside what one machine's FS can hold (the probe
+#: measures the routing join + rewrite shuffle, which are
+#: target-independent).  Read once at import; both engines' oracles
+#: interpolate the same value, so the override is cross-engine
+#: consistent within a process.
+import os as _os  # noqa: E402
+
+COMPACT_TARGET = int(
+    _os.environ.get("SPARK_GRAFT_COMPACT_TARGET", "2048")
+)
 
 
 @register(
@@ -1113,30 +1277,7 @@ FROM offs GROUP BY 1, 2
 """,
 )
 def llm_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hexpos = (
-        "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
-    )
-    shard = F.expr(
-        f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
-        f" % {N_SHARDS}"
-    )
-    frag = (
-        table(spark, sf_dir, "documents")
-        .select(shard.alias("shard"), "source", "n_chars")
-        .groupBy("shard", "source")
-        .agg(
-            F.sum("n_chars").cast("bigint").alias("bytes"),
-            F.count("*").cast("bigint").alias("n_docs"),
-        )
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("source")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = frag.withColumn(
-        "start_off", F.coalesce(F.sum("bytes").over(w), F.lit(0))
-    )
+    offs = _compaction_offsets(spark, sf_dir)
     return offs.groupBy(
         "shard",
         F.expr(f"CAST(start_off DIV {COMPACT_TARGET} AS BIGINT)").alias(
@@ -1149,6 +1290,157 @@ def llm_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST(sum(bytes) * 10000 DIV {COMPACT_TARGET} AS BIGINT)"
         ).alias("fill_1e4"),
+    )
+
+
+def _compaction_shard_col():
+    """First-md5-byte shard of a doc's text — shared by the plan, the
+    executor's per-doc routing, and both oracles."""
+    hexpos = (
+        "instr('0123456789abcdef', substr(md5(cast(text as binary)), {}, 1))"
+    )
+    return F.expr(
+        f"(({hexpos.format(1)} - 1) * 16 + {hexpos.format(2)} - 1)"
+        f" % {N_SHARDS}"
+    )
+
+
+def _compaction_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, source, bytes, n_docs, start_off) fragment table with
+    start-offset cumulative window — THE single definition of the
+    compaction binning input, shared by llm_compaction_plan and the
+    round-15 llm_compaction_exec so the executed layout cannot fork
+    from the plan it claims to implement."""
+    frag = (
+        table(spark, sf_dir, "documents")
+        .select(_compaction_shard_col().alias("shard"), "source", "n_chars")
+        .groupBy("shard", "source")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return frag.withColumn(
+        "start_off", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    )
+
+
+def _compacted_docs(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture content) the EXECUTED compaction
+    layout: every doc routes to its fragment's planned (shard,
+    out_file) and the corpus is rewritten as hive-partitioned parquet,
+    one task per planned output file (``repartition(shard, out_file)``
+    before ``partitionBy`` keeps the writer at one file per planned
+    file — no small-file fan-out, which is the entire point of
+    OPTIMIZE).  Same cache-root + fixture-tag convention as
+    creation._zordered_events: keyed by fixture CONTENT, redirected by
+    SPARK_GRAFT_LAYOUT_CACHE so the bench's fresh regime pays the
+    rewrite."""
+    import os
+
+    from scala_reactivex_spark.operators.llm_extras import _fixture_tag
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    root = os.environ.get(
+        "SPARK_GRAFT_LAYOUT_CACHE", os.path.join(repo_root, ".cache")
+    )
+    # Cache key carries the TARGET too: an env-overridden target (the
+    # sf100 probe) must never serve a layout binned at a different one.
+    out = os.path.join(
+        root,
+        f"docs_compact_{_fixture_tag(sf_dir, 'documents')}"
+        f"_t{COMPACT_TARGET}",
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        assign = _compaction_offsets(spark, sf_dir).select(
+            "shard",
+            "source",
+            F.expr(
+                f"CAST(start_off DIV {COMPACT_TARGET} AS BIGINT)"
+            ).alias("out_file"),
+        )
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            "n_chars",
+            _compaction_shard_col().alias("shard"),
+        )
+        (
+            # Fragment table is bounded (shards × sources) — broadcast.
+            docs.join(F.broadcast(assign), ["shard", "source"])
+            .repartition("shard", "out_file")
+            .write.mode("overwrite")
+            .partitionBy("shard", "out_file")
+            .parquet(out)
+        )
+    return out
+
+
+@register(
+    "llm_compaction_exec",
+    tier="T3",
+    doc="Compaction EXECUTED (round 15) — llm_compaction_plan promoted "
+    "from plan to layout, the src_zorder_read precedent: every doc is "
+    "routed to its fragment's planned (shard, out_file) and the corpus "
+    "is physically rewritten as hive-partitioned parquet, one writer "
+    "task per planned file (_compacted_docs, written once per fixture "
+    "content).  The graded query reads the WRITTEN layout back and "
+    "audits it against the plan: per output file — input-fragment "
+    "count, docs, bytes, and the actual parquet file count "
+    "(input_file_name), which must be exactly 1; equality with the "
+    "plan-side oracle proves the rewrite landed the plan bit-for-bit.  "
+    "Scale shape: one broadcast fragment join + one shuffle on the "
+    "output-file key for the rewrite (the OPTIMIZE job itself), then "
+    "a partition-local audit scan — at 100 TB the audit prunes to any "
+    "shard subset via the hive keys.",
+    oracle=f"""
+WITH frag AS (
+  SELECT ((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+          + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+         % {N_SHARDS} AS shard,
+         source,
+         CAST(sum(n_chars) AS BIGINT) AS bytes,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+), offs AS (
+  SELECT shard, source, bytes, n_docs,
+         coalesce(sum(bytes) OVER (PARTITION BY shard ORDER BY source
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS start_off
+  FROM frag
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(start_off // {COMPACT_TARGET} AS BIGINT) AS out_file,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(bytes) AS BIGINT) AS bytes,
+       CAST(1 AS BIGINT) AS n_files
+FROM offs GROUP BY 1, 2
+""",
+)
+def llm_compaction_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    layout = spark.read.parquet(_compacted_docs(spark, sf_dir))
+    # input_file_name() is non-deterministic to the analyzer — project
+    # it BEFORE the aggregate (it is stable per scanned row).
+    rows = layout.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("out_file").cast("bigint").alias("out_file"),
+        "source",
+        "n_chars",
+        F.input_file_name().alias("fname"),
+    )
+    return rows.groupBy("shard", "out_file").agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+        F.countDistinct("fname").cast("bigint").alias("n_files"),
     )
 
 

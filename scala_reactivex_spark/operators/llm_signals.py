@@ -668,6 +668,84 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count thresholds the LM-pruning audit sweeps (min bigram count kept).
+LM_PRUNE_THRESHOLDS = (1, 2, 4, 8)
+
+
+@register(
+    "llm_ngram_lm_prune",
+    tier="T3",
+    doc="Count-threshold LM pruning audit (round 15) — the table-size "
+    "vs coverage trade every n-gram LM ships with (the classic "
+    "count-cutoff pruning of SRILM/KenLM): for each threshold in "
+    f"{LM_PRUNE_THRESHOLDS}, keep only bigram TYPES seen >= t times "
+    "and report types kept, type retention (1e4) and OCCURRENCE "
+    "coverage retained (1e4) — the number that says how much of the "
+    "corpus the pruned model still scores without backoff.  Composes "
+    "the SAME bigram frequency table as llm_bigram_lm (one gram-key "
+    "shuffle); the threshold sweep is a bounded conditional rollup "
+    "over gram types — types ≪ occurrences, and no per-threshold "
+    "corpus re-scan.  Scale shape: identical to llm_bigram_lm's "
+    "frequency pass; the sweep adds one broadcast-size aggregate.",
+    oracle=f"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i])) AS b1,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                               i -> words[i + 1])) AS b2
+  FROM w
+), bgfreq AS (
+  SELECT b1, b2, count(*) AS c2 FROM bg GROUP BY b1, b2
+), thr(t) AS (
+  VALUES {', '.join(f'({t})' for t in LM_PRUNE_THRESHOLDS)}
+)
+SELECT thr.t AS min_count,
+       CAST(count(*) FILTER (WHERE c2 >= thr.t) AS BIGINT)
+         AS kept_grams,
+       CAST(count(*) AS BIGINT) AS total_grams,
+       CAST(count(*) FILTER (WHERE c2 >= thr.t) * 10000 // count(*)
+            AS BIGINT) AS kept_1e4,
+       CAST(sum(c2) FILTER (WHERE c2 >= thr.t) * 10000 // sum(c2)
+            AS BIGINT) AS covered_1e4
+FROM bgfreq CROSS JOIN thr GROUP BY thr.t
+""",
+)
+def llm_ngram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        table(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("words"))
+        .where(F.size("words") >= 2)
+    )
+    bg = w.select(F.explode(F.expr(BIGRAM_PAIR_EXPR)).alias("bb")).select(
+        "bb.b1", "bb.b2"
+    )
+    bgfreq = bg.groupBy("b1", "b2").agg(F.count("*").alias("c2"))
+    thr = F.explode(
+        F.array(*[F.lit(t) for t in LM_PRUNE_THRESHOLDS])
+    ).alias("min_count")
+    return (
+        bgfreq.select("c2", thr)
+        .groupBy("min_count")
+        .agg(
+            F.count(F.when(F.col("c2") >= F.col("min_count"), 1))
+            .cast("bigint")
+            .alias("kept_grams"),
+            F.count("*").cast("bigint").alias("total_grams"),
+            F.expr(
+                "CAST(count(CASE WHEN c2 >= min_count THEN 1 END)"
+                " * 10000 DIV count(*) AS BIGINT)"
+            ).alias("kept_1e4"),
+            F.expr(
+                "CAST(sum(CASE WHEN c2 >= min_count THEN c2 END)"
+                " * 10000 DIV sum(c2) AS BIGINT)"
+            ).alias("covered_1e4"),
+        )
+    )
+
+
 WINNOW_FP_CAP = 64  # skip fingerprints shared by more than this many docs
 WINNOW_MATCH_MIN = 2  # report pairs sharing at least this many fingerprints
 
@@ -1131,6 +1209,40 @@ def _cm_seeds():
     return affine_seeds(CM_DEPTH, seed=20260814)
 
 
+def cm_bucket_structs() -> str:
+    """SQL array of (d, bucket) probes for a hashed token column ``h``
+    — THE single definition of the CM bucket family, shared by the
+    batch audit (build + probe sides) and the streaming sketch twin so
+    the served sketch cannot fork from the graded one."""
+    from scala_reactivex_spark.functions.portable_hash import P31
+
+    return ", ".join(
+        f"struct({d} AS d, (({a}L * h + {b}L) % {P31}) % {CM_WIDTH}"
+        " AS bucket)"
+        for d, (a, b) in enumerate(_cm_seeds())
+    )
+
+
+def cm_cells(tok: DataFrame) -> DataFrame:
+    """(d, bucket, c) Count-Min cells of a token frame — one hash
+    aggregate to CM_DEPTH × CM_WIDTH cells.  CM is additive/mergeable,
+    so the SAME expression is a batch build over a static corpus and a
+    running streaming aggregate over an arriving one (twins.
+    twin_count_min drains to identical cells — law-tested)."""
+    from scala_reactivex_spark.functions.portable_hash import (
+        kr31_spark_expr,
+    )
+
+    th = tok.select(F.expr(kr31_spark_expr("token")).alias("h"))
+    return (
+        th.select(
+            F.explode(F.expr(f"array({cm_bucket_structs()})")).alias("s")
+        )
+        .groupBy("s.d", "s.bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 @register(
     "llm_count_min",
     tier="T3",
@@ -1182,32 +1294,21 @@ LIMIT {CM_TOPK}
 )
 def llm_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scala_reactivex_spark.functions.portable_hash import (
-        P31,
         kr31_spark_expr,
     )
 
-    seeds = _cm_seeds()
     tok = table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("token")
     )
     th = tok.select("token", F.expr(kr31_spark_expr("token")).alias("h"))
-    bucket_structs = ", ".join(
-        f"struct({d} AS d, (({a}L * h + {b}L) % {P31}) % {CM_WIDTH}"
-        " AS bucket)"
-        for d, (a, b) in enumerate(seeds)
-    )
-    cells = (
-        th.select(F.explode(F.expr(f"array({bucket_structs})")).alias("s"))
-        .groupBy("s.d", "s.bucket")
-        .agg(F.count("*").alias("c"))
-    )
+    cells = cm_cells(tok)
     exact = th.groupBy("token").agg(
         F.max("h").alias("h"), F.count("*").alias("n")
     )
     probes = exact.select(
         "token",
         "n",
-        F.explode(F.expr(f"array({bucket_structs})")).alias("s"),
+        F.explode(F.expr(f"array({cm_bucket_structs()})")).alias("s"),
     ).select("token", "n", "s.d", "s.bucket")
     est = (
         probes.join(F.broadcast(cells), ["d", "bucket"])

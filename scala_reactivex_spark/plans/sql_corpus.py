@@ -1155,6 +1155,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_chunk_overlap",
     "llm_chunk_retrieval_recall",
     "llm_cluster_purity",
+    "llm_compaction_exec",
     "llm_compaction_plan",
     "llm_containment_lsh",
     "llm_corpus_diff",
@@ -1201,6 +1202,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_lang_id",
     "llm_line_dedup",
     "llm_line_dedup_purge",
+    "llm_minhash_band_tune",
     "llm_minhash_est",
     "llm_mix_budget",
     "llm_mix_temperature",
@@ -1212,8 +1214,10 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_nb_margin_calibration",
     "llm_nb_filter",
     "llm_neg_sampling",
+    "llm_ngram_lm_prune",
     "llm_ngram_novelty",
     "llm_oov_rate",
+    "llm_pack_efficiency",
     "llm_pack_sequences",
     "llm_phash_stats",
     "llm_pii_scrub",
@@ -1224,6 +1228,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_quality_length_corr",
     "llm_quality_rules",
     "llm_quality_score",
+    "llm_repeat_plan",
     "llm_repetition_score",
     "llm_semdedup",
     "llm_seq_len_hist",
@@ -1294,6 +1299,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_with_latest_from",
     "op_zip",
     "src_partition_prune",
+    "src_table_stats",
     "src_zonemap_profile",
     "src_zorder_layout",
     "src_zorder_compare",

@@ -117,7 +117,8 @@ def measure_serving_latency(
 ) -> dict[str, dict]:
     """{twin name: {batches, p50_trigger_ms, max_trigger_ms, cold_sec,
     warm_drain_sec}} for the serving twins at ``sf_dir`` (five pinned +
-    the three round-14 additions, eight by default — r14 verdict #2).
+    the three round-14 additions — r14 verdict #2 — + the round-15
+    compaction router, nine by default).
 
     ``only`` restricts to a twin-name subset — the warm-arbitration
     probe (scripts/twin_warm_probe.py) re-measures a single flagged twin
@@ -147,8 +148,10 @@ def measure_serving_latency(
             "twin_nb_filter",
             "twin_zorder_route",
             # round 15 (r14 verdict #2): the third round-14 twin gets
-            # p50 evidence too — 8 default entries.
+            # p50 evidence too, plus the round-15 compaction ingest
+            # router — 9 default entries.
             "twin_novelty_gate",
+            "twin_compaction_route",
         }
         if only is None
         else set(only)
@@ -168,8 +171,9 @@ def measure_serving_latency(
         incoming_src, ex_hashes, ex_index = _incremental_setup(
             spark, sf_dir, work
         )
-    nb_model = nb_thr = doc_all_src = None
-    if want & {"twin_nb_filter", "twin_novelty_gate"}:
+    nb_model = nb_thr = doc_all_src = c_assign = None
+    if want & {"twin_nb_filter", "twin_novelty_gate",
+               "twin_compaction_route"}:
         from scala_reactivex_spark.sources.catalog import table
 
         if "twin_nb_filter" in want:
@@ -178,6 +182,8 @@ def measure_serving_latency(
             # calibration pipeline inside every measured micro-batch
             # (p50 2044 ms measured retrain, not serving).
             nb_model, nb_thr = twins.nb_serving_pack(spark, sf_dir)
+        if "twin_compaction_route" in want:
+            c_assign = twins.compaction_assign_pack(spark, sf_dir)
         doc_all_src = os.path.join(work, "doc_all_src")
         (
             table(spark, sf_dir, "documents")
@@ -274,6 +280,15 @@ def measure_serving_latency(
             os.path.join(work, f"nov_ckpt_{rep}"),
         )
 
+    def run_croute(rep: int) -> None:
+        twins.run_stream_to_table(
+            twins.twin_compaction_route(
+                twins.docs_stream(spark, doc_all_src), c_assign
+            ),
+            f"lat_crt_{rep}",
+            os.path.join(work, f"crt_ckpt_{rep}"),
+        )
+
     out: dict[str, dict] = {}
     for name, fn in (
         ("twin_ann_ivf", run_ivf),
@@ -284,6 +299,7 @@ def measure_serving_latency(
         ("twin_nb_filter", run_nb_filter),
         ("twin_zorder_route", run_zroute),
         ("twin_novelty_gate", run_novelty),
+        ("twin_compaction_route", run_croute),
     ):
         if only is not None and name not in only:
             continue

@@ -1532,27 +1532,13 @@ def twin_count_min(sdf: DataFrame) -> DataFrame:
     the sketch current in complete mode.  CM cells are pure sums — the
     canonical MERGEABLE summary, which is exactly why a sketch is the
     structure you maintain ON the stream while exact per-key counts
-    need unbounded state.  State here is 4×64 cells, constant forever."""
-    from scala_reactivex_spark.functions.portable_hash import (
-        P31,
-        kr31_spark_expr,
-    )
-    from scala_reactivex_spark.operators.llm_signals import (
-        CM_WIDTH,
-        _cm_seeds,
-    )
+    need unbounded state.  State here is 4×64 cells, constant forever.
+    Round 15: builds through llm_signals.cm_cells, the SAME shared
+    expression the batch audit uses — the bucket family cannot fork."""
+    from scala_reactivex_spark.operators.llm_signals import cm_cells
 
-    bucket_structs = ", ".join(
-        f"struct({d} AS d, (({a}L * h + {b}L) % {P31}) % {CM_WIDTH}"
-        " AS bucket)"
-        for d, (a, b) in enumerate(_cm_seeds())
-    )
-    return (
+    return cm_cells(
         sdf.select(F.explode(F.split("text", " ")).alias("token"))
-        .select(F.expr(kr31_spark_expr("token")).alias("h"))
-        .select(F.explode(F.expr(f"array({bucket_structs})")).alias("s"))
-        .groupBy("s.d", "s.bucket")
-        .agg(F.count("*").alias("c"))
     )
 
 
@@ -2734,6 +2720,76 @@ def twin_zorder_route(sdf: DataFrame, bounds: DataFrame) -> DataFrame:
             F.expr(zbucket_expr()).cast("bigint").alias("zbucket"),
             "in_bounds",
         )
+    )
+
+
+def compaction_assign_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (shard, source, out_file) fragment routing table —
+    the compaction layout's 'model' (bounded: shards × sources rows),
+    collected and rebuilt as a local relation (plans/memo.
+    materialize_scalar) and session-memoized, so the ingest router's
+    every micro-batch serves a fixed plan snapshot instead of
+    re-running the fragment window (the r14-ADVICE lazy-model-pack
+    defect class)."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        COMPACT_TARGET,
+        _compaction_offsets,
+    )
+    from scala_reactivex_spark.plans.memo import (
+        materialize_scalar,
+        session_memo,
+    )
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "compaction_assign_pack",
+        lambda: materialize_scalar(
+            spark,
+            _compaction_offsets(spark, sf_dir).select(
+                "shard",
+                "source",
+                F.expr(
+                    f"CAST(start_off DIV {COMPACT_TARGET} AS BIGINT)"
+                ).alias("out_file"),
+            ),
+        ),
+    )
+
+
+def twin_compaction_route(sdf: DataFrame, assign: DataFrame) -> DataFrame:
+    """Streaming compaction ingest router [T2 — live twin of
+    llm_compaction_exec's write side, round 15]: arriving documents
+    compute their content shard with the SAME md5-nibble expression
+    the batch rewrite uses (llm_pipeline._compaction_shard_col — the
+    shard rule cannot fork) and join the broadcast plan snapshot
+    (compaction_assign_pack) to land in the planned (shard, out_file)
+    — so a live ingest stream appends into exactly the files the next
+    OPTIMIZE pass laid out.  Arrivals whose (shard, source) fragment
+    is OUTSIDE the plan snapshot — a brand-new source, the inevitable
+    live-stream case — flag ``planned = 0`` with out_file −1: they
+    queue for the next compaction pass instead of aliasing into an
+    arbitrary planned file (the twin_zorder_route out-of-bounds
+    contract).  Completely STATELESS per row: append mode, no
+    watermark, no streaming shuffle (the plan side is broadcast);
+    pytest holds drained routes to the written layout's partition
+    columns."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        _compaction_shard_col,
+    )
+
+    routed = sdf.select(
+        "doc_id",
+        "source",
+        _compaction_shard_col().alias("shard"),
+    ).join(F.broadcast(assign), ["shard", "source"], "left")
+    return routed.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.coalesce(F.col("out_file"), F.lit(-1))
+        .cast("bigint")
+        .alias("out_file"),
+        F.col("out_file").isNotNull().cast("int").alias("planned"),
     )
 
 

@@ -45,7 +45,7 @@ def main() -> int:
     measurable = {
         "twin_ann_ivf", "twin_ann_pq", "twin_bm25", "twin_hybrid_rrf",
         "twin_dedup_gate", "twin_nb_filter", "twin_zorder_route",
-        "twin_novelty_gate",
+        "twin_novelty_gate", "twin_compaction_route",
     }
     if not names:
         names = set(TWIN_BASELINE_P50_MS)

@@ -14,8 +14,10 @@ EXPECTED = {
     # the frozen TWIN_BASELINE ratio (bench.py iterates pin keys only)
     "twin_nb_filter",
     "twin_zorder_route",
-    # round 15 (r14 verdict #2): the third round-14 twin measured too
+    # round 15 (r14 verdict #2): the third round-14 twin measured too,
+    # plus the round-15 compaction ingest router
     "twin_novelty_gate",
+    "twin_compaction_route",
 }
 
 

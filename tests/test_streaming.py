@@ -966,6 +966,55 @@ def test_twin_nb_filter_equals_batch_gate(
     assert got == want
 
 
+def test_twin_compaction_route_matches_written_layout(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """The streaming ingest router lands every arriving doc in exactly
+    the (shard, out_file) the executed compaction layout holds it in:
+    drained routes equal the written layout's partition columns, all
+    flagged planned (every fixture source is in the plan snapshot)."""
+    from scala_reactivex_spark.operators.llm_pipeline import (
+        _compacted_docs,
+    )
+
+    assign = twins.compaction_assign_pack(spark, sf_dir)
+    out = twins.run_stream_to_table(
+        twins.twin_compaction_route(
+            twins.docs_stream(spark, docs_stream_src), assign
+        ),
+        "t_croute",
+        ckpt,
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["out_file"], r["planned"])
+        for r in out.collect()
+    }
+    layout = spark.read.parquet(_compacted_docs(spark, sf_dir))
+    want = {
+        r["doc_id"]: (int(r["shard"]), int(r["out_file"]), 1)
+        for r in layout.select("doc_id", "shard", "out_file").collect()
+    }
+    assert got == want
+
+
+def test_twin_compaction_route_flags_unplanned_sources(spark, sf_dir):
+    """An arriving doc from a source the plan snapshot has never seen
+    must flag planned = 0 / out_file = -1 (queued for the next
+    OPTIMIZE pass) — never alias into a planned file.  The route is a
+    pure projection + broadcast join, so the law is checked on a batch
+    frame (identical plan, no stream scaffolding)."""
+    batch = spark.createDataFrame(
+        [(999_999_001, "zz unseen text zz", "brand-new-source")],
+        "doc_id bigint, text string, source string",
+    )
+    rows = twins.twin_compaction_route(
+        batch, twins.compaction_assign_pack(spark, sf_dir)
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["planned"] == 0
+    assert rows[0]["out_file"] == -1
+
+
 def test_twin_epoch_shuffle_matches_batch_assignment(
     spark, sf_dir, docs_stream_src, ckpt
 ):
