@@ -1266,12 +1266,16 @@ def _nb_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NB scoring grid (doc_id, lang_true, cand, n_tok, score) over
     the eval split — one row per held-out doc x trained class, scores
     as sums of pinned micro-log10 integers; mirrors the oracle-side
-    _NB_GRID_CTES exactly.  Session-memoized + persisted: llm_nb_lang,
-    llm_nb_margin_calibration and the calibration law test all consume
-    it, and the output is bounded (|eval| x n_classes rows)."""
-    from scala_reactivex_spark.plans.memo import session_memo
+    _NB_GRID_CTES exactly.  Disk-memoized (round 15, r14 verdict #5
+    follow-through): llm_nb_lang, llm_nb_margin_calibration,
+    llm_nb_filter and the calibration law test all consume it, the
+    output is bounded (|eval| x n_classes rows), and the build is
+    deterministic (pinned integers) — so later sessions read the
+    finished grid back instead of re-running the training explode +
+    join chain, the stored-model posture the serving pack already has."""
+    from scala_reactivex_spark.plans.memo import disk_memo
 
-    return session_memo(
+    return disk_memo(
         spark,
         sf_dir,
         "nb_grid",
