@@ -363,6 +363,10 @@ FRONTIER: set[str] = {
     "llm_minhash_band_tune",
     "llm_compaction_exec",
     "src_table_stats",
+    # round 15 second wave: quality-drift PSI monitor, dedup threshold
+    # sensitivity over the standing verified pair set
+    "llm_quality_psi",
+    "llm_dedup_threshold_sweep",
 }
 
 

@@ -153,6 +153,120 @@ def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PSI bands over the [0, 1] quality score (decile cut, top-closed).
+PSI_BANDS = 10
+
+
+@register(
+    "llm_quality_psi",
+    tier="T3",
+    doc="Quality-distribution drift monitor (round 15) — the "
+    "population-stability-index table every production filter ships "
+    "with: two "
+    "corpus snapshots (deterministic doc_id-parity halves standing in "
+    "for t0/t1) band their composite quality score (shared "
+    f"quality_col recipe) into {PSI_BANDS} deciles, and each band "
+    "reports both counts, both add-one-smoothed shares (1e6) and its "
+    "PSI contribution floor((p_new − p_old)·ln(p_new/p_old)·1e6 + "
+    "0.5) — non-negative by construction, summing to the headline "
+    "drift number (PSI > 0.2 ⇒ the filter's threshold needs "
+    "recalibration).  Smoothing keeps empty bands defined; a "
+    f"{PSI_BANDS}-row spine makes both engines emit every band.  "
+    "Scale shape: one corpus scan → 10-key hash rollup + two 1-row "
+    "scalar attaches; ln on identical smoothed rationals is the "
+    "pinned-double convention of llm_hll_portable.",
+    oracle=f"""
+WITH x AS (
+  SELECT doc_id, doc_id % 2 AS snap,
+         ROUND((CASE WHEN len(string_split(text, ' ')) BETWEEN 20
+                     AND 80 THEN 1.0 ELSE 0.5 END)
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the', 'a'))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+               * (CAST(len(list_distinct(string_split(text, ' ')))
+                       AS DOUBLE) / len(string_split(text, ' '))),
+               4) AS quality
+  FROM documents
+), banded AS (
+  SELECT least(CAST(floor(quality * {PSI_BANDS}) AS BIGINT),
+               {PSI_BANDS - 1}) AS band,
+         snap
+  FROM x
+), counts AS (
+  SELECT s.band,
+         CAST(coalesce(sum(CASE WHEN snap = 0 THEN 1 END), 0)
+              AS BIGINT) AS n_old,
+         CAST(coalesce(sum(CASE WHEN snap = 1 THEN 1 END), 0)
+              AS BIGINT) AS n_new
+  FROM (SELECT unnest(range(0, {PSI_BANDS})) AS band) s
+  LEFT JOIN banded ON s.band = banded.band
+  GROUP BY s.band
+), tot AS (
+  SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM counts
+)
+SELECT CAST(band AS BIGINT) AS band, n_old, n_new,
+       CAST(floor((n_old + 1) * 1000000.0
+                  / (t_old + {PSI_BANDS}) + 0.5) AS BIGINT) AS p_old_1e6,
+       CAST(floor((n_new + 1) * 1000000.0
+                  / (t_new + {PSI_BANDS}) + 0.5) AS BIGINT) AS p_new_1e6,
+       CAST(floor((((n_new + 1.0) / (t_new + {PSI_BANDS}))
+                   - ((n_old + 1.0) / (t_old + {PSI_BANDS})))
+                  * ln(((n_new + 1.0) / (t_new + {PSI_BANDS}))
+                       / ((n_old + 1.0) / (t_old + {PSI_BANDS})))
+                  * 1000000 + 0.5) AS BIGINT) AS psi_1e6
+FROM counts CROSS JOIN tot
+""",
+)
+def llm_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, quality = quality_col()
+    banded = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("snap"),
+        F.least(
+            F.floor(quality * PSI_BANDS).cast("bigint"),
+            F.lit(PSI_BANDS - 1).cast("bigint"),
+        ).alias("band"),
+    )
+    spine = spark.range(0, PSI_BANDS).select(F.col("id").alias("band"))
+    counts = (
+        spine.join(banded, "band", "left")
+        .groupBy("band")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("snap") == 0, 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_old"),
+            F.coalesce(
+                F.sum(F.when(F.col("snap") == 1, 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    po = f"((n_old + 1.0) / (t_old + {PSI_BANDS}))"
+    pn = f"((n_new + 1.0) / (t_new + {PSI_BANDS}))"
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_old",
+        "n_new",
+        F.expr(
+            f"CAST(floor((n_old + 1) * 1000000.0"
+            f" / (t_old + {PSI_BANDS}) + 0.5) AS BIGINT)"
+        ).alias("p_old_1e6"),
+        F.expr(
+            f"CAST(floor((n_new + 1) * 1000000.0"
+            f" / (t_new + {PSI_BANDS}) + 0.5) AS BIGINT)"
+        ).alias("p_new_1e6"),
+        F.expr(
+            f"CAST(floor(({pn} - {po}) * ln({pn} / {po})"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("psi_1e6"),
+    )
+
+
 def lang_id_model(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:

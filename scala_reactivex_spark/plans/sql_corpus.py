@@ -1181,6 +1181,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_dedup_simhash",
     "llm_dedup_simhash_nn",
     "llm_dedup_substring",
+    "llm_dedup_threshold_sweep",
     "llm_doc_fingerprint",
     "llm_domain_mix",
     "llm_diverse_select",
@@ -1226,6 +1227,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_ppl_filter",
     "llm_pq_recall",
     "llm_quality_length_corr",
+    "llm_quality_psi",
     "llm_quality_rules",
     "llm_quality_score",
     "llm_repeat_plan",

@@ -176,3 +176,46 @@ def test_table_stats_bounds(spark, sf_dir):
     assert rows["l_returnflag"]["ndv"] <= 3
     assert rows["l_linenumber"]["ndv"] <= 7
     assert rows["l_orderkey"]["ndv"] > rows["l_returnflag"]["ndv"]
+
+
+def test_quality_psi_laws(spark, sf_dir):
+    """PSI invariants: every band emits (spine), per-band contributions
+    are non-negative (the (p1-p0)ln(p1/p0) form), counts reconcile with
+    the corpus split, and identical snapshots would score zero —
+    approximated here by asserting the parity split's total PSI is
+    small relative to the 0.2 recalibration alarm (the halves are
+    exchangeable draws from one corpus)."""
+    from scala_reactivex_spark.operators.llm_text import (
+        PSI_BANDS,
+        llm_quality_psi,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    rows = llm_quality_psi(spark, sf_dir).collect()
+    assert len(rows) == PSI_BANDS
+    assert all(r["psi_1e6"] >= 0 for r in rows)
+    n = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_old"] + r["n_new"] for r in rows) == n
+    total_psi = sum(r["psi_1e6"] for r in rows) / 1e6
+    assert total_psi < 0.2, total_psi
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    """Tightening the cut-off only shrinks everything (monotone in t),
+    and the production floor row covers the full verified pair set."""
+    from scala_reactivex_spark.operators.llm_dedup import (
+        llm_dedup_minhash,
+        llm_dedup_threshold_sweep,
+    )
+
+    rows = {
+        r["t_1e4"]: r
+        for r in llm_dedup_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert rows[9500]["n_pairs"] == llm_dedup_minhash(spark, sf_dir).count()
+    ts = sorted(rows)
+    for lo, hi in zip(ts, ts[1:]):
+        for col in ("n_pairs", "n_docs_involved", "n_dup_candidates"):
+            assert rows[hi][col] <= rows[lo][col], (col, lo, hi)
+    for r in rows.values():
+        assert r["n_dup_candidates"] <= r["n_docs_involved"]
