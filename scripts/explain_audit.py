@@ -75,6 +75,13 @@ ALLOWED_NESTED_LOOP = {
     "llm_hybrid_rrf",  # 5 broadcast probe rows × corpus stream (RRF fuse)
     "llm_pq_recall",  # composes llm_ann_pq (its bounded LUT crosses)
     "llm_count_min",  # 1-row corpus-total broadcast × audited head terms
+    "llm_quality_psi",  # 1-row (t_old, t_new) totals broadcast × 10 bands
+    "llm_repeat_plan",  # 1-row (total, n_sources) broadcast × sources
+    "llm_nb_filter",  # 1-row calibration-threshold broadcast × eval docs
+    # 1-row normalization-bounds broadcast × events projection (the
+    # shared zorder_bounds attach; surfaced once the r15 margins memo
+    # changed the upstream lineage the audit walks)
+    "src_zorder_compare",
     "llm_bpb",  # composes llm_unigram_lm (its 1-row corpus-total cross)
     "llm_lang_confusion",  # composes llm_lang_id's broadcast profile join
     "llm_neg_sampling",  # 1-row weight-sum broadcast × vocab table
