@@ -490,7 +490,7 @@ def main() -> None:
         | GROWTH
         | FRONTIER
     ) - set(times)
-    assert not missing, f"BEYOND_BASELINE names not in registry: {missing}"
+    assert not missing, f"tiered-suite names not in registry: {missing}"
     untiered = (
         set(times)
         - BEYOND_BASELINE

@@ -19,6 +19,8 @@ All integer/ratio outputs follow the determinism conventions (§2.11).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1230,10 +1232,8 @@ def llm_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: target-independent).  Read once at import; both engines' oracles
 #: interpolate the same value, so the override is cross-engine
 #: consistent within a process.
-import os as _os  # noqa: E402
-
 COMPACT_TARGET = int(
-    _os.environ.get("SPARK_GRAFT_COMPACT_TARGET", "2048")
+    os.environ.get("SPARK_GRAFT_COMPACT_TARGET", "2048")
 )
 
 
@@ -1340,10 +1340,19 @@ def _compacted_docs(spark: SparkSession, sf_dir: str) -> str:
     OPTIMIZE).  Same cache-root + fixture-tag convention as
     creation._zordered_events: keyed by fixture CONTENT, redirected by
     SPARK_GRAFT_LAYOUT_CACHE so the bench's fresh regime pays the
-    rewrite."""
-    import os
+    rewrite.  The cache name carries (a) the TARGET — an
+    env-overridden target (the sf100 probe) must never serve a layout
+    binned at a different one — and (b) this module's BUILDER VERSION
+    token (memo._builder_src_tag), so editing the compaction recipe
+    invalidates the written layout deterministically instead of
+    silently serving the pre-edit one across sessions (the disk_memo
+    r11 convention; round-15 review finding).  Superseded generations
+    of the same fixture are pruned on write."""
+    import re
+    import shutil
 
     from scala_reactivex_spark.operators.llm_extras import _fixture_tag
+    from scala_reactivex_spark.plans.memo import _builder_src_tag
 
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -1351,14 +1360,26 @@ def _compacted_docs(spark: SparkSession, sf_dir: str) -> str:
     root = os.environ.get(
         "SPARK_GRAFT_LAYOUT_CACHE", os.path.join(repo_root, ".cache")
     )
-    # Cache key carries the TARGET too: an env-overridden target (the
-    # sf100 probe) must never serve a layout binned at a different one.
+    tag = _fixture_tag(sf_dir, "documents")
     out = os.path.join(
         root,
-        f"docs_compact_{_fixture_tag(sf_dir, 'documents')}"
-        f"_t{COMPACT_TARGET}",
+        f"docs_compact_{tag}_t{COMPACT_TARGET}"
+        f"_{_builder_src_tag(_compacted_docs)}",
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # Prune superseded generations for the SAME fixture tag
+        # (different target or builder version) before writing — each
+        # is a full corpus rewrite, and the dir grows without bound
+        # otherwise.  Segment-shape match, never a bare prefix test.
+        gen = re.compile(
+            re.escape(f"docs_compact_{tag}_t")
+            + r"\d+(_([0-9a-f]{8}|nosrc000))?"
+        )
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                full = os.path.join(root, d)
+                if full != out and os.path.isdir(full) and gen.fullmatch(d):
+                    shutil.rmtree(full, ignore_errors=True)
         assign = _compaction_offsets(spark, sf_dir).select(
             "shard",
             "source",

@@ -30,6 +30,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 
+#: THE default measured-twin set — the single list the harness, the
+#: arbitration probe (scripts/twin_warm_probe.py) and the smoke test
+#: (tests/test_latency.py) all share, so a twin added here is
+#: automatically probe-able and test-covered (round-15 review finding:
+#: three hand-synced copies).  Five pinned + the round-14 stateless
+#: additions + the round-15 compaction router; additions NEVER join
+#: the frozen TWIN_BASELINE ratio (round-10 ADVICE) — they report via
+#: twin_worst_p50_ms until their own pin freezes.
+DEFAULT_TWINS: tuple[str, ...] = (
+    "twin_ann_ivf",
+    "twin_ann_pq",
+    "twin_bm25",
+    "twin_hybrid_rrf",
+    "twin_dedup_gate",
+    "twin_nb_filter",
+    "twin_zorder_route",
+    "twin_novelty_gate",
+    "twin_compaction_route",
+)
+
+
 class _ProgressTap(StreamingQueryListener):
     """Collects triggerExecution ms for every progress event with input
     rows — attached around each twin run, detached after."""
@@ -122,7 +143,7 @@ def measure_serving_latency(
 
     ``only`` restricts to a twin-name subset — the warm-arbitration
     probe (scripts/twin_warm_probe.py) re-measures a single flagged twin
-    with more reps without paying the other four's drains."""
+    with more reps without paying the other eight's drains."""
     from scala_reactivex_spark.operators.llm_retrieval import (
         bm25_contrib,
         hybrid_corpus,
@@ -134,28 +155,7 @@ def measure_serving_latency(
     # must not pay the other twins' index builds and probe-source
     # writes (round-12 review) — on a fresh cache those dominate the
     # probe's wall time.
-    want = (
-        {
-            "twin_ann_ivf",
-            "twin_ann_pq",
-            "twin_bm25",
-            "twin_hybrid_rrf",
-            "twin_dedup_gate",
-            # round 14: stateless model-pack twins — measured and
-            # reported in BENCH_DETAIL.json, NEVER in the frozen
-            # TWIN_BASELINE ratio (round-10 ADVICE: additions must not
-            # inflate the pin; they get their own pin when frozen).
-            "twin_nb_filter",
-            "twin_zorder_route",
-            # round 15 (r14 verdict #2): the third round-14 twin gets
-            # p50 evidence too, plus the round-15 compaction ingest
-            # router — 9 default entries.
-            "twin_novelty_gate",
-            "twin_compaction_route",
-        }
-        if only is None
-        else set(only)
-    )
+    want = set(DEFAULT_TWINS) if only is None else set(only)
     src = (
         _probe_sources(spark, sf_dir, work)
         if want & {"twin_ann_ivf", "twin_ann_pq", "twin_bm25",

@@ -2450,19 +2450,15 @@ def _nb_score_block(texts, cands, miss, prior, tokvec):
     return preds, tops, seconds, ntoks
 
 
-def _nb_band(top: int, second, n_tok: int) -> int:
+def _nb_band(top: int, second, n_tok: int, band_u: int, n_bands: int) -> int:
     """Margin band, identical to llm_text._nb_doc_margins: per-token
     margin (non-negative, so // matches Spark's trunc-toward-zero DIV)
-    banded at NB_CAL_BAND_U, top band open-ended; <2 classes ⇒ top
-    band."""
-    from scala_reactivex_spark.operators.llm_text import (
-        NB_CAL_BAND_U,
-        NB_CAL_BANDS,
-    )
-
+    banded at band_u (= NB_CAL_BAND_U), top band open-ended; <2 classes
+    ⇒ top band.  Constants are parameters so the per-doc hot loop does
+    no import-machinery work (round-15 review finding)."""
     if second is None:
-        return NB_CAL_BANDS - 1
-    return min((top - second) // n_tok // NB_CAL_BAND_U, NB_CAL_BANDS - 1)
+        return n_bands - 1
+    return min((top - second) // n_tok // band_u, n_bands - 1)
 
 
 def twin_nb_lang(sdf: DataFrame, model: DataFrame) -> DataFrame:
@@ -2517,6 +2513,11 @@ def twin_nb_filter(
     the drained decisions equal the batch op's exactly (law-tested).
     Completely STATELESS per row: append mode, no watermark, no
     streaming shuffle."""
+    from scala_reactivex_spark.operators.llm_text import (
+        NB_CAL_BAND_U,
+        NB_CAL_BANDS,
+    )
+
     cands, miss, prior, tokvec = _nb_py_pack(model)
     [thr_row] = thr.collect()
     thr_band = int(thr_row["thr_band"])
@@ -2527,7 +2528,7 @@ def twin_nb_filter(
                 pdf["text"], cands, miss, prior, tokvec
             )
             bands = [
-                _nb_band(t, s, n)
+                _nb_band(t, s, n, NB_CAL_BAND_U, NB_CAL_BANDS)
                 for t, s, n in zip(tops, seconds, ntoks)
             ]
             band_s = pd.Series(bands, dtype="int64")

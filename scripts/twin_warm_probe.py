@@ -38,15 +38,14 @@ def main() -> int:
         measure_serving_latency,
     )
 
-    # Probe-able = every twin the latency harness measures, pinned or
-    # not: unpinned twins (the post-r9 additions reporting through
-    # twin_worst_p50_ms) need isolated arbitration too — the r14
-    # twin_nb_filter retrain fix is verified exactly this way.
-    measurable = {
-        "twin_ann_ivf", "twin_ann_pq", "twin_bm25", "twin_hybrid_rrf",
-        "twin_dedup_gate", "twin_nb_filter", "twin_zorder_route",
-        "twin_novelty_gate", "twin_compaction_route",
-    }
+    # Probe-able = every twin the latency harness measures (the shared
+    # DEFAULT_TWINS list), pinned or not: unpinned twins (the post-r9
+    # additions reporting through twin_worst_p50_ms) need isolated
+    # arbitration too — the r14 twin_nb_filter retrain fix is verified
+    # exactly this way.
+    from scala_reactivex_spark.streaming.latency import DEFAULT_TWINS
+
+    measurable = set(DEFAULT_TWINS)
     if not names:
         names = set(TWIN_BASELINE_P50_MS)
     unknown = names - measurable

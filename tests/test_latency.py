@@ -1,24 +1,12 @@
 """Serving-latency measurement smoke: the bench's twin-latency map has
-an entry per measured serving twin (five pinned + the round-14
-stateless pair) with a real trigger→commit number."""
+an entry per measured serving twin (the shared DEFAULT_TWINS list)
+with a real trigger→commit number."""
 
 from __future__ import annotations
 
-EXPECTED = {
-    "twin_ann_ivf",
-    "twin_ann_pq",
-    "twin_bm25",
-    "twin_hybrid_rrf",
-    "twin_dedup_gate",
-    # round 14: stateless model-pack twins, measured but NEVER part of
-    # the frozen TWIN_BASELINE ratio (bench.py iterates pin keys only)
-    "twin_nb_filter",
-    "twin_zorder_route",
-    # round 15 (r14 verdict #2): the third round-14 twin measured too,
-    # plus the round-15 compaction ingest router
-    "twin_novelty_gate",
-    "twin_compaction_route",
-}
+from scala_reactivex_spark.streaming.latency import DEFAULT_TWINS
+
+EXPECTED = set(DEFAULT_TWINS)
 
 
 def test_measure_serving_latency_covers_default_set(spark, sf_dir, tmp_path):
