@@ -1826,6 +1826,68 @@ def twin_hll(sdf: DataFrame) -> DataFrame:
     )
 
 
+def quality_baseline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor's standing baseline: the t0 snapshot's
+    per-band quality counts (band, n_old, t_old — the llm_quality_psi
+    doc_id-parity 'old' half), MATERIALIZED (plans/memo.
+    materialize_scalar, 10 rows) and session-memoized so the streaming
+    monitor serves a fixed artifact — the nb_serving_pack posture."""
+    from scala_reactivex_spark.operators.llm_text import (
+        PSI_BANDS,
+        llm_quality_psi,
+    )
+    from scala_reactivex_spark.plans.memo import (
+        materialize_scalar,
+        session_memo,
+    )
+
+    def build() -> DataFrame:
+        counts = llm_quality_psi(spark, sf_dir).select("band", "n_old")
+        tot = counts.agg(F.sum("n_old").alias("t_old"))
+        return materialize_scalar(
+            spark, counts.crossJoin(F.broadcast(tot))
+        )
+
+    return session_memo(spark, sf_dir, "quality_baseline_pack", build)
+
+
+def twin_quality_drift(sdf: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Streaming quality-drift monitor [T3 — live companion of
+    llm_quality_psi, round 15]: arriving documents band their
+    composite quality score (the SAME shared quality_col projection)
+    and a complete-mode grouped count keeps each band's arrived total
+    current against the broadcast batch baseline — state is the
+    10-cell band histogram, constant forever (the twin_count_min
+    sketch-on-stream posture).  The baseline attaches BEFORE the
+    aggregate (streaming disallows post-agg stream-static joins — the
+    twin_ppl_filter convention), so every output row carries
+    (band, n_arrived, n_old, t_old) and the dashboard-side PSI is the
+    10-row reduction over the drained table with llm_quality_psi's
+    exact smoothed formula — per-band normalization needs the arrived
+    TOTAL, a cross-band quantity no single streaming aggregate can
+    attach to its own rows, so the roll-up is the consumer's (stated,
+    not hidden; law-tested against the batch formula in
+    tests/test_streaming.py)."""
+    from scala_reactivex_spark.operators.llm_text import (
+        PSI_BANDS,
+        quality_col,
+    )
+
+    _, _, quality = quality_col()
+    banded = sdf.select(
+        F.least(
+            F.floor(quality * PSI_BANDS).cast("bigint"),
+            F.lit(PSI_BANDS - 1).cast("bigint"),
+        ).alias("band")
+    )
+    return (
+        banded.join(F.broadcast(baseline), "band")
+        .groupBy("band", "n_old", "t_old")
+        .agg(F.count("*").cast("bigint").alias("n_arrived"))
+        .select("band", "n_arrived", "n_old", "t_old")
+    )
+
+
 def twin_salt_dispatch(sdf: DataFrame) -> DataFrame:
     """Streaming skew monitor [T1 — live twin of op_salt_dispatch_stats]:
     arriving events maintain the standing per-key count table

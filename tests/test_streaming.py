@@ -1015,6 +1015,65 @@ def test_twin_compaction_route_flags_unplanned_sources(spark, sf_dir):
     assert rows[0]["out_file"] == -1
 
 
+def test_twin_quality_drift_counts_and_psi_match_batch(
+    spark, sf_dir, docs_stream_src, ckpt
+):
+    """Drained per-band arrival counts over the corpus stream equal
+    the batch band histogram, and the dashboard-side 10-row PSI
+    reduction over the drained table (arrived-corpus vs the t0
+    baseline, llm_quality_psi's exact smoothed formula) equals the
+    same formula computed from batch counts."""
+    import math
+
+    from scala_reactivex_spark.operators.llm_text import (
+        PSI_BANDS,
+        llm_quality_psi,
+    )
+
+    baseline = twins.quality_baseline_pack(spark, sf_dir)
+    out = twins.run_stream_to_table(
+        twins.twin_quality_drift(
+            twins.docs_stream(spark, docs_stream_src), baseline
+        ),
+        "t_qdrift",
+        ckpt,
+        output_mode="complete",
+    )
+    drained = {r["band"]: r for r in out.collect()}
+    batch = {r["band"]: r for r in llm_quality_psi(spark, sf_dir).collect()}
+    # bands with zero corpus docs never arrive — the drained table
+    # holds exactly the populated bands
+    populated = {
+        b for b, r in batch.items() if r["n_old"] + r["n_new"] > 0
+    }
+    assert set(drained) == populated
+    for b in populated:
+        assert (
+            drained[b]["n_arrived"]
+            == batch[b]["n_old"] + batch[b]["n_new"]
+        )
+        assert drained[b]["n_old"] == batch[b]["n_old"]
+
+    def psi(rows, t_new):
+        tot = 0.0
+        for r in rows.values():
+            po = (r["n_old"] + 1.0) / (r["t_old"] + PSI_BANDS)
+            pn = (r["n_arrived"] + 1.0) / (t_new + PSI_BANDS)
+            tot += (pn - po) * math.log(pn / po)
+        return tot
+
+    t_new = sum(r["n_arrived"] for r in drained.values())
+    want_rows = {
+        b: {
+            "n_old": batch[b]["n_old"],
+            "t_old": drained[b]["t_old"],
+            "n_arrived": batch[b]["n_old"] + batch[b]["n_new"],
+        }
+        for b in populated
+    }
+    assert abs(psi(drained, t_new) - psi(want_rows, t_new)) < 1e-12
+
+
 def test_twin_epoch_shuffle_matches_batch_assignment(
     spark, sf_dir, docs_stream_src, ckpt
 ):
