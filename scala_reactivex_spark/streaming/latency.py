@@ -48,6 +48,7 @@ DEFAULT_TWINS: tuple[str, ...] = (
     "twin_zorder_route",
     "twin_novelty_gate",
     "twin_compaction_route",
+    "twin_quality_drift",
 )
 
 
@@ -139,11 +140,11 @@ def measure_serving_latency(
     """{twin name: {batches, p50_trigger_ms, max_trigger_ms, cold_sec,
     warm_drain_sec}} for the serving twins at ``sf_dir`` (five pinned +
     the three round-14 additions — r14 verdict #2 — + the round-15
-    compaction router, nine by default).
+    compaction router and quality-drift monitor, ten by default).
 
     ``only`` restricts to a twin-name subset — the warm-arbitration
     probe (scripts/twin_warm_probe.py) re-measures a single flagged twin
-    with more reps without paying the other eight's drains."""
+    with more reps without paying the other nine's drains."""
     from scala_reactivex_spark.operators.llm_retrieval import (
         bm25_contrib,
         hybrid_corpus,
@@ -171,9 +172,9 @@ def measure_serving_latency(
         incoming_src, ex_hashes, ex_index = _incremental_setup(
             spark, sf_dir, work
         )
-    nb_model = nb_thr = doc_all_src = c_assign = None
+    nb_model = nb_thr = doc_all_src = c_assign = q_base = None
     if want & {"twin_nb_filter", "twin_novelty_gate",
-               "twin_compaction_route"}:
+               "twin_compaction_route", "twin_quality_drift"}:
         from scala_reactivex_spark.sources.catalog import table
 
         if "twin_nb_filter" in want:
@@ -184,6 +185,8 @@ def measure_serving_latency(
             nb_model, nb_thr = twins.nb_serving_pack(spark, sf_dir)
         if "twin_compaction_route" in want:
             c_assign = twins.compaction_assign_pack(spark, sf_dir)
+        if "twin_quality_drift" in want:
+            q_base = twins.quality_baseline_pack(spark, sf_dir)
         doc_all_src = os.path.join(work, "doc_all_src")
         (
             table(spark, sf_dir, "documents")
@@ -289,6 +292,16 @@ def measure_serving_latency(
             os.path.join(work, f"crt_ckpt_{rep}"),
         )
 
+    def run_qdrift(rep: int) -> None:
+        twins.run_stream_to_table(
+            twins.twin_quality_drift(
+                twins.docs_stream(spark, doc_all_src), q_base
+            ),
+            f"lat_qdr_{rep}",
+            os.path.join(work, f"qdr_ckpt_{rep}"),
+            output_mode="complete",
+        )
+
     out: dict[str, dict] = {}
     for name, fn in (
         ("twin_ann_ivf", run_ivf),
@@ -300,6 +313,7 @@ def measure_serving_latency(
         ("twin_zorder_route", run_zroute),
         ("twin_novelty_gate", run_novelty),
         ("twin_compaction_route", run_croute),
+        ("twin_quality_drift", run_qdrift),
     ):
         if only is not None and name not in only:
             continue
