@@ -351,8 +351,12 @@ GROWTH_BASELINE_SEC = {"fresh": 15.72, "readback": 5.68}
 
 # Queries registered after round 14 — timed, reported per-query in
 # BENCH_DETAIL.json and summed as frontier_seconds; excluded from all
-# seven frozen totals, pinned once the bucket has a quiet-host cold
-# pass (the GROWTH/BEYOND precedent).
+# seven frozen totals.
+#
+# FROZEN at round 16 (8 names, FRONTIER_BASELINE_SEC below, from the
+# round-15 session-end dual-regime passes recorded in BASELINE.md
+# "FRONTIER pin opened").  Do NOT append here — queries registered
+# after round 15 go to HORIZON below.
 FRONTIER: set[str] = {
     # round 15: packing acceptance audit, epoch repeat-factor recipe,
     # count-cutoff LM pruning, LSH band-config tuner, compaction plan
@@ -368,6 +372,23 @@ FRONTIER: set[str] = {
     "llm_quality_psi",
     "llm_dedup_threshold_sweep",
 }
+
+#: FRONTIER pin (BASELINE.md, round 16): REGIME-SPECIFIC like the
+#: BEYOND/GROWTH pins — the bucket's fresh cost pays the one-time
+#: compaction layout rewrite and the re-keyed pair-set builds, so
+#: build-inclusive and read-back passes compare against their own
+#: pins, selected by the run's SPARK_GRAFT_FRESH_CACHE flag.  Both
+#: numbers are the round-15 session-end passes (fresh 17.66 s; the
+#: read-back number is the FINAL committed artifact's 11.00 s, which
+#: superseded the earlier 10.42 s pass — BASELINE.md "Round-15 FINAL
+#: committed read-back artifact").
+FRONTIER_BASELINE_SEC = {"fresh": 17.66, "readback": 11.00}
+
+# Queries registered after round 15 — timed, reported per-query in
+# BENCH_DETAIL.json and summed as horizon_seconds; excluded from all
+# eight frozen totals, pinned once the bucket has a quiet-host cold
+# pass (the FRONTIER/GROWTH/BEYOND precedent).
+HORIZON: set[str] = set()
 
 
 def main() -> None:
@@ -489,6 +510,7 @@ def main() -> None:
         | BEYOND_NEWEST
         | GROWTH
         | FRONTIER
+        | HORIZON
     ) - set(times)
     assert not missing, f"tiered-suite names not in registry: {missing}"
     untiered = (
@@ -500,12 +522,13 @@ def main() -> None:
         - BEYOND_NEWEST
         - GROWTH
         - FRONTIER
+        - HORIZON
     )
     # All frozen suites are closed sets: a new registry key missing from
-    # FRONTIER would silently inflate the headline total.
+    # HORIZON would silently inflate the headline total.
     assert len(untiered) == 72, (
         f"headline set drifted to {len(untiered)} queries — add new "
-        "registry keys to FRONTIER"
+        "registry keys to HORIZON"
     )
     assert len(BEYOND_BASELINE) == 130, "frozen extras suite drifted"
     assert len(BEYOND_EXTRAS) == 12, "frozen new suite drifted"
@@ -513,6 +536,7 @@ def main() -> None:
     assert len(BEYOND_NEWER) == 5, "frozen newest suite drifted"
     assert len(BEYOND_NEWEST) == 10, "frozen beyond suite drifted"
     assert len(GROWTH) == 7, "frozen growth suite drifted"
+    assert len(FRONTIER) == 8, "frozen frontier suite drifted"
     total = round(sum(times[n] for n in untiered), 3)
     extras = round(
         sum(t for n, t in times.items() if n in BEYOND_BASELINE), 3
@@ -535,7 +559,10 @@ def main() -> None:
     frontier_sec = round(
         sum(t for n, t in times.items() if n in FRONTIER), 3
     )
-    # The BEYOND and GROWTH pins are regime-specific (index-build-
+    horizon_sec = round(
+        sum(t for n, t in times.items() if n in HORIZON), 3
+    )
+    # The BEYOND/GROWTH/FRONTIER pins are regime-specific (index-build-
     # dominated buckets): compare this run against the pin recorded
     # under the SAME cache regime, selected by the flag that redirected
     # the cache root above.
@@ -546,6 +573,7 @@ def main() -> None:
     )
     beyond_pin = BEYOND_NEWEST_BASELINE_SEC[regime]
     growth_pin = GROWTH_BASELINE_SEC[regime]
+    frontier_pin = FRONTIER_BASELINE_SEC[regime]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -600,6 +628,11 @@ def main() -> None:
         ),
         "frontier_seconds": frontier_sec,
         "frontier": sorted(FRONTIER),
+        "frontier_vs_baseline": (
+            round(frontier_sec / frontier_pin, 3) if sf_val == 0.1 else None
+        ),
+        "horizon_seconds": horizon_sec,
+        "horizon": sorted(HORIZON),
         "sf": sf_val,
         # Warm medians of the slowest-N queries (median of warm_reps
         # re-runs in the same session) — the self-arbitrating companion
@@ -647,11 +680,13 @@ def main() -> None:
                     "beyond_seconds",
                     "growth_seconds",
                     "frontier_seconds",
+                    "horizon_seconds",
                     "extras_vs_baseline",
                     "new_vs_baseline",
                     "newer_vs_baseline",
                     "newest_vs_baseline",
                     "growth_vs_baseline",
+                    "frontier_vs_baseline",
                     "sf",
                     "disk_cache",
                 )
@@ -674,6 +709,8 @@ def main() -> None:
         growth_sec=growth_sec,
         growth_pin=growth_pin,
         frontier_sec=frontier_sec,
+        frontier_pin=frontier_pin,
+        horizon_sec=horizon_sec,
         sf_val=sf_val,
         warm=warm,
         twin_latency=twin_latency,
@@ -697,6 +734,8 @@ def build_contract_line(
     growth_sec: float,
     growth_pin: float,
     frontier_sec: float,
+    frontier_pin: float,
+    horizon_sec: float,
     sf_val,
     warm: dict[str, float],
     twin_latency: dict[str, dict],
@@ -771,9 +810,17 @@ def build_contract_line(
                 if sf_val == 0.1
                 else None
             ),
-            # Post-r14 frontier bucket (no pin yet — pinned once it has
-            # a quiet-host cold pass to freeze).
+            # Post-r14 bucket, pinned at round 16 (FRONTIER_BASELINE_SEC
+            # — regime-specific like the BEYOND/GROWTH pins); sf0.1 only.
             "frontier_seconds": frontier_sec,
+            "frontier_vs_baseline": (
+                round(frontier_sec / frontier_pin, 3)
+                if sf_val == 0.1
+                else None
+            ),
+            # Post-r15 horizon bucket (no pin yet — pinned once it has
+            # a quiet-host cold pass to freeze).
+            "horizon_seconds": horizon_sec,
             # One-number warm aggregate (sum of the slowest-20 warm
             # medians); the per-query warm map is in BENCH_DETAIL.json.
             "warm20_sec": round(sum(warm.values()), 2),

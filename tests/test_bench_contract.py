@@ -38,6 +38,8 @@ def _line(sf_val=0.1, *, name_len=64, seconds=8_640_000.999):
         growth_sec=seconds * 50,
         growth_pin=bench.GROWTH_BASELINE_SEC["readback"],
         frontier_sec=seconds * 50,
+        frontier_pin=bench.FRONTIER_BASELINE_SEC["readback"],
+        horizon_sec=seconds * 50,
         sf_val=sf_val,
         warm={f"w{i:03d}".ljust(name_len, "x"): seconds for i in range(20)},
         twin_latency=twin_latency,
@@ -65,6 +67,8 @@ def test_contract_line_parses_and_carries_every_pin_ratio():
         "growth_seconds",
         "growth_vs_baseline",
         "frontier_seconds",
+        "frontier_vs_baseline",
+        "horizon_seconds",
         "twin_vs_baseline",
         "warm20_sec",
         "dcache",
@@ -81,6 +85,7 @@ def test_contract_line_non_sf01_omits_scale_specific_ratios():
     assert parsed["newest_vs_baseline"] is None
     assert parsed["beyond_vs_baseline"] is None
     assert parsed["growth_vs_baseline"] is None
+    assert parsed["frontier_vs_baseline"] is None
     assert parsed["twin_vs_baseline"] is None
 
 
@@ -91,6 +96,8 @@ def test_frozen_suites_are_closed_sets():
     assert len(bench.BEYOND_NEWER) == 5
     assert len(bench.BEYOND_NEWEST) == 10
     assert len(bench.GROWTH) == 7
+    assert len(bench.FRONTIER) == 8
     # Regime-specific pins — both regimes must be present.
     assert set(bench.BEYOND_NEWEST_BASELINE_SEC) == {"fresh", "readback"}
     assert set(bench.GROWTH_BASELINE_SEC) == {"fresh", "readback"}
+    assert set(bench.FRONTIER_BASELINE_SEC) == {"fresh", "readback"}
