@@ -1388,11 +1388,17 @@ def twin_dedup_incremental(
 
     - exact: content-hash equi-join against the existing md5 set.
     - near: the arriving doc computes its own MinHash signature and LSH
-      band buckets PER ROW (nested higher-order functions — the
-      char-level Karp-Rabin fold runs inside ``transform`` over the
-      token array, so no explode, no aggregation, no state), probes the
-      capped static (band, bucket) index, and verifies candidates with
-      exact per-row Jaccard via ``array_intersect`` sizes.  A probe into
+      band buckets PER ROW (higher-order functions — no explode, no
+      aggregation, no state), probes the capped static (band, bucket)
+      index, and verifies candidates with exact per-row Jaccard via
+      ``array_intersect`` sizes.  The char-level Karp-Rabin fold is
+      HOISTED into one ``transform`` over the token array, so each
+      token is hashed once and the 16 affine permutations min over the
+      precomputed int64 hashes — the batch operator's hash-once
+      structure (minhash_signatures hashes per exploded token, then 16
+      min-aggs); the pre-hoist shape re-ran the per-char interpreted
+      fold inside every seed's lambda, 16× the dominant per-trigger
+      cost (round-16 serving audit).  A probe into
       a hot bucket finds nothing because the cap already removed that
       bucket from the static index — identical semantics to the batch
       operator, where BOTH sides of a hot bucket are dropped.
@@ -1444,9 +1450,14 @@ def twin_dedup_incremental(
         for a, b in MINHASH_SEEDS[:MINHASH_K]
     )
     kr = kr31_spark_expr("t")
+    # Hash once per token into a standalone COLUMN (th), then permute:
+    # bit-identical values to the per-seed inline fold at 1/16th the
+    # interpreted per-char work.  th must be its own projection — an
+    # inline sub-expression inside the outer seed lambda would be
+    # re-evaluated per seed element (HOF lambdas get no CSE).
     sig = (
         f"transform(array({seed_structs}), "
-        f"s -> array_min(transform(toks, t -> (s.a * ({kr}) + s.b)"
+        f"s -> array_min(transform(th, h -> (s.a * h + s.b)"
         f" % {P31})))"
     )
     rows_per_band = MINHASH_K // LSH_BANDS
@@ -1458,7 +1469,8 @@ def twin_dedup_incremental(
         for band in range(LSH_BANDS)
     )
     banded = (
-        base.withColumn("sig", F.expr(sig))
+        base.withColumn("th", F.expr(f"transform(toks, t -> {kr})"))
+        .withColumn("sig", F.expr(sig))
         .select(
             "doc_id",
             "toks",
@@ -1865,9 +1877,11 @@ def twin_quality_drift(sdf: DataFrame, baseline: DataFrame) -> DataFrame:
     10-row reduction over the drained table with llm_quality_psi's
     exact smoothed formula — per-band normalization needs the arrived
     TOTAL, a cross-band quantity no single streaming aggregate can
-    attach to its own rows, so the roll-up is the consumer's (stated,
-    not hidden; law-tested against the batch formula in
-    tests/test_streaming.py)."""
+    attach to its own rows, so the roll-up is :func:`quality_drift_view`
+    (REQUIRED, not optional: the drained table alone omits bands with
+    zero arrivals — the strongest drift signal — which the view
+    re-emits by left-joining the 10-band baseline; ADVICE r15,
+    empty-band case law-tested in tests/test_streaming.py)."""
     from scala_reactivex_spark.operators.llm_text import (
         PSI_BANDS,
         quality_col,
@@ -1885,6 +1899,45 @@ def twin_quality_drift(sdf: DataFrame, baseline: DataFrame) -> DataFrame:
         .groupBy("band", "n_old", "t_old")
         .agg(F.count("*").cast("bigint").alias("n_arrived"))
         .select("band", "n_arrived", "n_old", "t_old")
+    )
+
+
+def quality_drift_view(materialized: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Dashboard roll-up over twin_quality_drift's sink table — the
+    BASELINE side drives band emission (ADVICE r15): the twin's inner
+    join + grouped count cannot emit a row for a band with ZERO
+    arrivals, yet an emptied-out band is the strongest drift signal
+    and llm_quality_psi's add-one-smoothed formula assigns it a
+    nonzero PSI contribution.  This view left-joins the drained counts
+    onto the full 10-band baseline pack, zero-fills n_arrived, and
+    computes every band's smoothed contribution — so the consumer
+    never silently understates PSI (the salt_dispatch_view pattern:
+    cross-band derivation is a batch view over the materialized sink,
+    not streaming state).  Output: (band, n_arrived, n_old, t_old,
+    t_new, psi_contrib); total PSI = SUM(psi_contrib).  Bounded by
+    construction (PSI_BANDS rows)."""
+    from scala_reactivex_spark.operators.llm_text import PSI_BANDS
+
+    arrived = materialized.select("band", "n_arrived")
+    tot = arrived.agg(
+        F.coalesce(F.sum("n_arrived"), F.lit(0)).cast("bigint").alias("t_new")
+    )
+    filled = (
+        baseline.join(arrived, "band", "left")
+        .na.fill({"n_arrived": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    po = (F.col("n_old") + F.lit(1.0)) / (F.col("t_old") + F.lit(PSI_BANDS))
+    pn = (F.col("n_arrived") + F.lit(1.0)) / (
+        F.col("t_new") + F.lit(PSI_BANDS)
+    )
+    return filled.select(
+        "band",
+        F.col("n_arrived").cast("bigint").alias("n_arrived"),
+        "n_old",
+        "t_old",
+        "t_new",
+        ((pn - po) * F.log(pn / po)).alias("psi_contrib"),
     )
 
 
@@ -2538,6 +2591,11 @@ def twin_nb_lang(sdf: DataFrame, model: DataFrame) -> DataFrame:
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # Null texts drop BEFORE scoring — exact batch parity: the
+            # batch grid's explode(split(text, ' ')) drops a NULL-text
+            # doc entirely, and an unguarded .split on None would kill
+            # the streaming query (ADVICE r15).
+            pdf = pdf[pdf["text"].notna()]
             preds, tops, _seconds, _ntoks = _nb_score_block(
                 pdf["text"], cands, miss, prior, tokvec
             )
@@ -2586,6 +2644,8 @@ def twin_nb_filter(
 
     def gate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # Same null-text drop as twin_nb_lang (batch explode parity).
+            pdf = pdf[pdf["text"].notna()]
             preds, tops, seconds, ntoks = _nb_score_block(
                 pdf["text"], cands, miss, prior, tokvec
             )

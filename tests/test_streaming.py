@@ -1062,16 +1062,75 @@ def test_twin_quality_drift_counts_and_psi_match_batch(
             tot += (pn - po) * math.log(pn / po)
         return tot
 
-    t_new = sum(r["n_arrived"] for r in drained.values())
+    # The REQUIRED dashboard roll-up (quality_drift_view) emits ALL
+    # PSI_BANDS bands — baseline-driven, zero-filled — and its summed
+    # psi_contrib equals the smoothed formula over the full band set
+    # (not just populated bands; ADVICE r15).
+    view = {
+        r["band"]: r
+        for r in twins.quality_drift_view(out, baseline).collect()
+    }
+    assert set(view) == set(range(PSI_BANDS))
+    t_new = sum(r["n_arrived"] for r in view.values())
     want_rows = {
         b: {
             "n_old": batch[b]["n_old"],
-            "t_old": drained[b]["t_old"],
+            "t_old": view[b]["t_old"],
             "n_arrived": batch[b]["n_old"] + batch[b]["n_new"],
         }
-        for b in populated
+        for b in range(PSI_BANDS)
     }
-    assert abs(psi(drained, t_new) - psi(want_rows, t_new)) < 1e-12
+    got_psi = sum(r["psi_contrib"] for r in view.values())
+    assert abs(got_psi - psi(want_rows, t_new)) < 1e-12
+
+
+def test_quality_drift_view_emits_empty_bands(spark, sf_dir, tmp_path):
+    """A band that EMPTIES OUT in the live stream must still appear in
+    the roll-up with its nonzero smoothed PSI contribution (ADVICE r15:
+    the inner-join drained table alone drops it, silently understating
+    PSI).  Stream only docs from a single band; the view must emit all
+    PSI_BANDS rows, zero-filled, with the exact smoothed formula."""
+    import math
+
+    from scala_reactivex_spark.operators.llm_text import (
+        PSI_BANDS,
+        quality_col,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+
+    _, _, quality = quality_col()
+    band = F.least(
+        F.floor(quality * PSI_BANDS).cast("bigint"),
+        F.lit(PSI_BANDS - 1).cast("bigint"),
+    )
+    docs = table(spark, sf_dir, "documents").withColumn("b", band)
+    one_band = int(docs.agg(F.min("b")).collect()[0][0])
+    src = str(tmp_path / "one_band_src")
+    docs.where(F.col("b") == one_band).drop("b").coalesce(1).write.parquet(src)
+
+    baseline = twins.quality_baseline_pack(spark, sf_dir)
+    out = twins.run_stream_to_table(
+        twins.twin_quality_drift(twins.docs_stream(spark, src), baseline),
+        "t_qdrift_empty",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    # The drained table holds ONLY the one arrived band...
+    assert {r["band"] for r in out.collect()} == {one_band}
+    # ...but the roll-up emits every band, zero-filled.
+    view = {
+        r["band"]: r
+        for r in twins.quality_drift_view(out, baseline).collect()
+    }
+    assert set(view) == set(range(PSI_BANDS))
+    t_new = view[one_band]["n_arrived"]
+    assert t_new > 0
+    for b, r in view.items():
+        if b != one_band:
+            assert r["n_arrived"] == 0
+        po = (r["n_old"] + 1.0) / (r["t_old"] + PSI_BANDS)
+        pn = (r["n_arrived"] + 1.0) / (t_new + PSI_BANDS)
+        assert abs(r["psi_contrib"] - (pn - po) * math.log(pn / po)) < 1e-12
 
 
 def test_twin_epoch_shuffle_matches_batch_assignment(
