@@ -1347,7 +1347,8 @@ def _compacted_docs(spark: SparkSession, sf_dir: str) -> str:
     invalidates the written layout deterministically instead of
     silently serving the pre-edit one across sessions (the disk_memo
     r11 convention; round-15 review finding).  Superseded generations
-    of the same fixture are pruned on write."""
+    of the same fixture are pruned only AFTER a successful write
+    (write-then-prune, ADVICE r15)."""
     import re
     import shutil
 
@@ -1367,19 +1368,6 @@ def _compacted_docs(spark: SparkSession, sf_dir: str) -> str:
         f"_{_builder_src_tag(_compacted_docs)}",
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        # Prune superseded generations for the SAME fixture tag
-        # (different target or builder version) before writing — each
-        # is a full corpus rewrite, and the dir grows without bound
-        # otherwise.  Segment-shape match, never a bare prefix test.
-        gen = re.compile(
-            re.escape(f"docs_compact_{tag}_t")
-            + r"\d+(_([0-9a-f]{8}|nosrc000))?"
-        )
-        if os.path.isdir(root):
-            for d in os.listdir(root):
-                full = os.path.join(root, d)
-                if full != out and os.path.isdir(full) and gen.fullmatch(d):
-                    shutil.rmtree(full, ignore_errors=True)
         assign = _compaction_offsets(spark, sf_dir).select(
             "shard",
             "source",
@@ -1401,6 +1389,24 @@ def _compacted_docs(spark: SparkSession, sf_dir: str) -> str:
             .partitionBy("shard", "out_file")
             .parquet(out)
         )
+        # Prune superseded generations for the SAME fixture tag
+        # (different target or builder version) AFTER the new layout's
+        # _SUCCESS-marked write completes — disk_memo's write-then-
+        # prune order (ADVICE r15: pruning first meant an interrupted
+        # rewrite left NO generation on disk, and a concurrent session
+        # scanning an older generation could have it rmtree'd
+        # mid-scan).  Each generation is a full corpus rewrite, so the
+        # dir still cannot grow without bound.  Segment-shape match,
+        # never a bare prefix test.
+        gen = re.compile(
+            re.escape(f"docs_compact_{tag}_t")
+            + r"\d+(_([0-9a-f]{8}|nosrc000))?"
+        )
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                full = os.path.join(root, d)
+                if full != out and os.path.isdir(full) and gen.fullmatch(d):
+                    shutil.rmtree(full, ignore_errors=True)
     return out
 
 

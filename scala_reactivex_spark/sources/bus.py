@@ -3,14 +3,18 @@ verdict's residual gap #4: "twins run on file/rate sources only").
 
 This sandbox has no network, so no real Kafka — but the thing a
 Kafka-backed deployment actually changes is the SOURCE SCHEMA, not the
-query: Spark's Kafka source delivers ``(key, value, topic, partition,
-offset, timestamp)`` rows and every downstream operator reads parsed
-columns out of ``value``.  This module provides that exact surface over
-any replayable file source, so every serving twin runs unchanged
-against a bus-shaped stream today and swaps to
-``spark.readStream.format("kafka")`` by replacing ONE reader call —
-the adapter is the seam, asserted by tests/test_bus.py running a real
-twin over it and matching the plain-source results.
+query: Spark's Kafka source delivers ``(key BINARY, value BINARY,
+topic STRING, partition INT, offset BIGINT, timestamp TIMESTAMP,
+timestampType INT)`` rows and every downstream operator reads parsed
+columns out of ``value``.  This module provides that LITERAL surface —
+same column names AND types, key/value as binary, the time column
+named ``timestamp`` with its ``timestampType`` companion (ADVICE r15:
+the first cut used ``ts`` and string key/value, which would have broken
+the advertised one-reader swap) — over any replayable file source, so
+every serving twin runs unchanged against a bus-shaped stream today
+and swaps to ``spark.readStream.format("kafka")`` by replacing ONE
+reader call — the adapter is the seam, asserted by tests/test_bus.py
+running real twins over it and matching the plain-source results.
 
 Design notes (the honest parts, stated rather than faked):
 
@@ -43,20 +47,24 @@ BUS_PARTITIONS = 8
 
 def to_bus(df: DataFrame, key_col: str, topic: str,
            n_partitions: int = BUS_PARTITIONS) -> DataFrame:
-    """Wrap any (streaming or batch) frame in the Kafka source schema:
-    (key string, value json-string, topic, partition int, offset
-    bigint, ts timestamp).  Pure projection — stateless, streamable in
-    append mode."""
+    """Wrap any (streaming or batch) frame in the LITERAL Kafka source
+    schema: (key binary, value binary — UTF-8 JSON bytes, exactly what
+    a JSON-over-Kafka topic carries —, topic string, partition int,
+    offset bigint, timestamp timestamp, timestampType int).  Pure
+    projection — stateless, streamable in append mode.  timestampType
+    is 0 (Kafka CreateTime — the producer stamped it, which is what
+    this adapter does)."""
     cols = [c for c in df.columns if c != "__ts"]
     return df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*cols)).alias("value"),
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*cols)).cast("binary").alias("value"),
         F.lit(topic).alias("topic"),
         (F.crc32(F.col(key_col).cast("string")) % n_partitions)
         .cast("int")
         .alias("partition"),
         F.col(key_col).cast("bigint").alias("offset"),
-        F.current_timestamp().alias("ts"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
     )
 
 
@@ -85,11 +93,12 @@ def bus_stream(
 
 def parse_bus(bus: DataFrame, schema: str) -> DataFrame:
     """Consumer side: recover the typed record columns from ``value``
-    (from_json + caller schema — the standard Spark Kafka-consumer
-    pattern).  The bus metadata columns stay available for
-    offset-tracking sinks."""
+    (CAST(value AS STRING) + from_json + caller schema — the standard
+    Spark Kafka-consumer pattern, verbatim: value arrives as binary
+    from a real broker and from :func:`to_bus` alike).  The bus
+    metadata columns stay available for offset-tracking sinks."""
     return bus.select(
-        F.from_json("value", schema).alias("r"),
+        F.from_json(F.col("value").cast("string"), schema).alias("r"),
         "topic",
         "partition",
         "offset",
