@@ -91,6 +91,37 @@ def fold31_duck(list_expr: str) -> str:
     )
 
 
+#: Fixed coefficients for the 31-bit avalanche finalizer (mix31_*) —
+#: from the shared LCG family so both engines see the same literals.
+MIX31_SEEDS = affine_seeds(2)
+
+
+def mix31_spark_expr(col: str) -> str:
+    """Spark SQL: murmur-style avalanche finalizer over a 31-bit hash —
+    xor-shift + affine, twice, all inside int64.
+
+    The raw Karp-Rabin fold does NOT avalanche on short inputs (a
+    k-digit numeric string folds to a value whose BIT LENGTH tracks k,
+    so leading-zero ranks cluster at a few values — measured round 16:
+    the rank histogram of kr31 over l_orderkey strings had mass only at
+    {1, 2, 10, 18, 26}, wrecking any HLL built on it).  Consumers that
+    read the hash's HIGH bits as uniform (HLL rank) must mix through
+    this finalizer; consumers that only need equality or modular
+    spread (MinHash, LSH buckets, sampling) stay on the raw fold.
+    Composition of two affines is one affine, so the nonlinearity
+    comes from the interleaved xor-shifts."""
+    (a, b), (a2, b2) = MIX31_SEEDS
+    g = f"(({a} * (({col}) ^ SHIFTRIGHT(({col}), 15)) + {b}) % {P31})"
+    return f"(({a2} * ({g} ^ SHIFTRIGHT({g}, 13)) + {b2}) % {P31})"
+
+
+def mix31_duck_expr(col: str) -> str:
+    """DuckDB twin of :func:`mix31_spark_expr` (xor(a,b) spelling)."""
+    (a, b), (a2, b2) = MIX31_SEEDS
+    g = f"(({a} * xor(({col}), ({col}) >> 15) + {b}) % {P31})"
+    return f"(({a2} * xor({g}, {g} >> 13) + {b2}) % {P31})"
+
+
 def kr31_pandas_udf():
     """Vectorized Arrow-batched twin of :func:`kr31_spark_expr` for LONG
     strings (whole documents).

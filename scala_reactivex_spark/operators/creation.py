@@ -15,6 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from scala_reactivex_spark.functions.portable_hash import (
+    kr31_duck_expr as _kr31_duck_expr,
+)
+from scala_reactivex_spark.functions.portable_hash import (
+    kr31_spark_expr,
+    mix31_duck_expr,
+    mix31_spark_expr,
+)
 from scala_reactivex_spark.plans.registry import register
 from scala_reactivex_spark.sources.catalog import table
 
@@ -324,6 +332,350 @@ def src_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.explode(F.array(*structs)).alias("s")
     ).select("s.*")
+
+
+#: HLL sketch shape for src_table_stats_approx.  256 registers (vs
+#: llm_signals' 64-register teaching sketch): a per-COLUMN NDV stat
+#: feeds join sizing, so the tighter 1.04/sqrt(256) ~ 6.5% standard
+#: error is worth 4x the (still trivially bounded) register state.
+#: alpha_256 from the Flajolet et al. 2007 closed form
+#: 0.7213 / (1 + 1.079 / m).
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+#: Rank ceiling: mixed hashes are < 2^31, so w = hv DIV 256 < 2^23 and
+#: rho = 24 - bitlength(w) (w = 0 -> 24).
+_HLL_RMAX = 24
+
+
+def _hll_est_case(raw: str, zeros: str, m: int = _HLL_M) -> str:
+    """Dialect-neutral SQL: HLL estimate with the Flajolet small-range
+    linear-counting correction — shared text for the Spark plan and the
+    DuckDB oracle so the graded value is one formula, not two."""
+    lin = f"CAST(floor({m} * ln(CAST({m} AS DOUBLE) / {zeros})) AS BIGINT)"
+    return (
+        f"CASE WHEN {raw} <= {int(2.5 * m)} AND {zeros} > 0 "
+        f"THEN {lin} ELSE {raw} END"
+    )
+
+
+@register(
+    "src_table_stats_approx",
+    tier="T3",
+    doc="ANALYZE at 100 TB (round 16 — the r15 verdict #4 graded "
+    "follow-through to src_table_stats's prose promise): the same "
+    f"per-column profile with NDV from a portable {_HLL_M}-register "
+    "HyperLogLog over each value's Karp-Rabin hash — passed through "
+    "the mix31 avalanche finalizer (portable_hash.mix31_*), because "
+    "the raw fold's leading-zero rank tracks DIGIT COUNT on short "
+    "numeric strings and an unmixed sketch under-read l_orderkey 56x "
+    "(measured, round 16) — instead of exact count(DISTINCT).  Scale "
+    "shape is the whole point: the exact key "
+    "plans an Expand x8 whose EVERY DISTINCT VALUE must survive the "
+    "shuffle (sf100: 148.8 s, 0.88x vs linear — the suite's "
+    "closest-to-linear probe), while this variant maps each row to "
+    f"{len(STATS_COLUMNS)} (column, register, rank) triples that "
+    "partial-aggregate to a bounded 64-register sketch per column "
+    "BEFORE the shuffle — map-side combine collapses the traffic to "
+    "registers x partitions regardless of NDV, and register maxima "
+    "merge associatively (the distributed-sketch property; sketches "
+    "from independent table shards union by max).  Values hash via "
+    "their canonical string form (CAST AS STRING is byte-identical "
+    "cross-engine on these columns — integers, integral doubles, "
+    "chars), so the DuckDB oracle replays every register and the "
+    "estimate itself bit-for-bit: fully hash-graded, llm_hll_portable "
+    "machinery.  The +/-25%% acceptance vs the exact key is a law "
+    "test (tests/test_sources.py), NOT an in-plan exact recompute — "
+    "embedding count(DISTINCT) would reinstate the very Expand this "
+    "key exists to avoid.",
+    oracle=f"""
+WITH v AS (
+  {' UNION ALL '.join(
+     f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS s"
+     " FROM lineitem"
+     for c in STATS_COLUMNS)}
+), h0 AS (
+  SELECT column_name, {_kr31_duck_expr('s')} AS k FROM v
+  WHERE s IS NOT NULL
+), h AS (
+  SELECT column_name, {mix31_duck_expr('k')} AS hv FROM h0
+), r AS (
+  SELECT column_name, hv % {_HLL_M} AS reg,
+         CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_RMAX}
+              ELSE {_HLL_RMAX} - length(bin(hv // {_HLL_M})) END AS rho
+  FROM h
+), spine AS (
+  SELECT c.column_name, s.reg
+  FROM (SELECT unnest({list(STATS_COLUMNS)!r}) AS column_name) c
+  CROSS JOIN (SELECT unnest(range(0, {_HLL_M})) AS reg) s
+), regs AS (
+  SELECT spine.column_name, spine.reg, coalesce(max(r.rho), 0) AS mr
+  FROM spine LEFT JOIN r ON spine.column_name = r.column_name
+                        AND spine.reg = r.reg
+  GROUP BY 1, 2
+), folded AS (
+  SELECT column_name,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list(mr ORDER BY reg), v -> pow(2.0, -v))),
+           (acc, x) -> acc + x) AS z,
+         CAST(count(*) FILTER (WHERE mr = 0) AS BIGINT) AS reg_zeros
+  FROM regs GROUP BY column_name
+), est AS (
+  SELECT column_name,
+         CAST(floor({_HLL_ALPHA} * CAST({_HLL_M} AS DOUBLE)
+                    * {_HLL_M} / z) AS BIGINT) AS raw_est,
+         reg_zeros
+  FROM folded
+), plain AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         {', '.join(
+            f'CAST(count({c}) AS BIGINT) AS nn_{i}'
+            for i, c in enumerate(STATS_COLUMNS))}
+  FROM lineitem
+), px AS (
+  {' UNION ALL '.join(
+     f"SELECT '{c}' AS column_name, n_rows, n_rows - nn_{i} AS n_null"
+     " FROM plain"
+     for i, c in enumerate(STATS_COLUMNS))}
+)
+SELECT px.column_name, px.n_rows, px.n_null,
+       {_hll_est_case('est.raw_est', 'est.reg_zeros')} AS ndv_est,
+       est.reg_zeros
+FROM px JOIN est ON px.column_name = est.column_name
+""",
+)
+def src_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    HLL_M, HLL_ALPHA = _HLL_M, _HLL_ALPHA
+    li = table(spark, sf_dir, "lineitem")
+    plain = li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            F.count(c).cast("bigint").alias(f"nn_{i}")
+            for i, c in enumerate(STATS_COLUMNS)
+        ],
+    )
+    # Canonical string per column as its OWN projection, then the raw
+    # fold as ANOTHER projection: the Karp-Rabin fold probes the column
+    # once per character, an inline CAST inside the fold lambda would
+    # re-evaluate per probe, and the mix finalizer references its
+    # argument four times (the twin_dedup hoist lesson, round 16).
+    strs = li.select(
+        *[
+            F.col(c).cast("string").alias(f"s_{i}")
+            for i, c in enumerate(STATS_COLUMNS)
+        ]
+    )
+    krs = strs.select(
+        *[
+            F.expr(kr31_spark_expr(f"s_{i}")).alias(f"k_{i}")
+            for i in range(len(STATS_COLUMNS))
+        ]
+    )
+    structs = ", ".join(
+        f"struct('{c}' AS column_name, {mix31_spark_expr(f'k_{i}')} AS hv)"
+        for i, c in enumerate(STATS_COLUMNS)
+    )
+    ex = (
+        krs.select(F.explode(F.expr(f"array({structs})")).alias("x"))
+        .select("x.column_name", "x.hv")
+        .where(F.col("hv").isNotNull())
+    )
+    r = ex.select(
+        "column_name",
+        (F.col("hv") % HLL_M).alias("reg"),
+        F.expr(
+            f"CASE WHEN hv DIV {HLL_M} = 0 THEN {_HLL_RMAX}"
+            f" ELSE {_HLL_RMAX} - length(bin(hv DIV {HLL_M})) END"
+        ).alias("rho"),
+    )
+    names = spark.createDataFrame(
+        [(c,) for c in STATS_COLUMNS], "column_name string"
+    )
+    spine = names.crossJoin(
+        spark.range(0, HLL_M).select(F.col("id").alias("reg"))
+    )
+    regs = (
+        spine.join(r, ["column_name", "reg"], "left")
+        .groupBy("column_name", "reg")
+        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("mr"))
+    )
+    folded = regs.groupBy("column_name").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list("
+            "struct(reg, mr))), s -> pow(2.0D, -s.mr)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("z"),
+        F.count(F.when(F.col("mr") == 0, 1))
+        .cast("bigint")
+        .alias("reg_zeros"),
+    )
+    est = folded.select(
+        "column_name",
+        F.expr(
+            f"CAST(floor({HLL_ALPHA} * CAST({HLL_M} AS DOUBLE)"
+            f" * {HLL_M} / z) AS BIGINT)"
+        ).alias("raw_est"),
+        "reg_zeros",
+    )
+    px_structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{i}")).alias("n_null"),
+        )
+        for i, c in enumerate(STATS_COLUMNS)
+    ]
+    px = plain.select(F.explode(F.array(*px_structs)).alias("p")).select(
+        "p.*"
+    )
+    return px.join(F.broadcast(est), "column_name").select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.expr(_hll_est_case("raw_est", "reg_zeros")).alias("ndv_est"),
+        "reg_zeros",
+    )
+
+
+#: Columns profiled by src_table_histogram (the numeric measures a CBO
+#: estimates range-predicate selectivity over) and the bucket count.
+HIST_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+HIST_BUCKETS = 16
+
+
+def _hist_bucket(v: str, mn: str, mx: str) -> str:
+    """Dialect-neutral SQL: equi-width bucket of ``v`` over [mn, mx] —
+    single multiply-then-divide so both engines run the identical IEEE
+    double sequence; a degenerate domain (mx = mn) collapses to bucket
+    0; v = mx lands in the top bucket via least()."""
+    return (
+        f"CAST(least(CASE WHEN {mx} = {mn} THEN 0 "
+        f"ELSE floor(({v} - {mn}) * {HIST_BUCKETS} / ({mx} - {mn})) END, "
+        f"{HIST_BUCKETS - 1}) AS BIGINT)"
+    )
+
+
+@register(
+    "src_table_histogram",
+    tier="T2",
+    doc="ANALYZE histograms (round 16) — the selectivity half of the "
+    "optimizer-stats pass (src_table_stats* cover NDV; range "
+    f"predicates need distributions): {HIST_BUCKETS}-bucket equi-width "
+    f"histograms over lineitem's {len(HIST_COLUMNS)} numeric measures, "
+    "dense (every bucket emitted, zero-filled off a spine — a CBO "
+    "reads histograms positionally) with integer-pinned bounds "
+    "(bucket edges at 1e6, the psi_1e6 convention — no raw doubles in "
+    "the graded surface).  Two passes by construction: bounds, then a "
+    "single exploded scan whose (column, bucket) counts "
+    "partial-aggregate map-side to a bounded "
+    f"{len(HIST_COLUMNS)}x{HIST_BUCKETS} group set — at 100 TB the "
+    "production variant reuses the PREVIOUS stats epoch's bounds and "
+    "drops to one pass (stated; the two-pass form is the bootstrap).",
+    oracle=f"""
+WITH bounds AS (
+  SELECT {', '.join(
+     f'min({c}) AS mn_{i}, max({c}) AS mx_{i}'
+     for i, c in enumerate(HIST_COLUMNS))}
+  FROM lineitem
+), bx AS (
+  {' UNION ALL '.join(
+     f"SELECT '{c}' AS column_name, mn_{i} AS mn, mx_{i} AS mx"
+     " FROM bounds"
+     for i, c in enumerate(HIST_COLUMNS))}
+), v AS (
+  {' UNION ALL '.join(
+     f"SELECT '{c}' AS column_name, CAST({c} AS DOUBLE) AS v"
+     f" FROM lineitem WHERE {c} IS NOT NULL"
+     for c in HIST_COLUMNS)}
+), b AS (
+  SELECT v.column_name,
+         {_hist_bucket('v.v', 'bx.mn', 'bx.mx')} AS bucket
+  FROM v JOIN bx ON v.column_name = bx.column_name
+), cnts AS (
+  SELECT column_name, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2
+), spine AS (
+  SELECT c.column_name, s.bucket
+  FROM (SELECT unnest({list(HIST_COLUMNS)!r}) AS column_name) c
+  CROSS JOIN (SELECT unnest(range(0, {HIST_BUCKETS})) AS bucket) s
+)
+SELECT spine.column_name, spine.bucket,
+       CAST(floor((bx.mn + spine.bucket * (bx.mx - bx.mn)
+                   / {HIST_BUCKETS}) * 1000000 + 0.5) AS BIGINT)
+         AS lo_1e6,
+       CAST(floor((bx.mn + (spine.bucket + 1) * (bx.mx - bx.mn)
+                   / {HIST_BUCKETS}) * 1000000 + 0.5) AS BIGINT)
+         AS hi_1e6,
+       coalesce(cnts.cnt, 0) AS cnt
+FROM spine
+JOIN bx ON spine.column_name = bx.column_name
+LEFT JOIN cnts ON spine.column_name = cnts.column_name
+              AND spine.bucket = cnts.bucket
+""",
+)
+def src_table_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        *[
+            f
+            for i, c in enumerate(HIST_COLUMNS)
+            for f in (
+                F.min(c).alias(f"mn_{i}"),
+                F.max(c).alias(f"mx_{i}"),
+            )
+        ]
+    )
+    bx = bounds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"mn_{i}").cast("double").alias("mn"),
+                        F.col(f"mx_{i}").cast("double").alias("mx"),
+                    )
+                    for i, c in enumerate(HIST_COLUMNS)
+                ]
+            )
+        ).alias("b")
+    ).select("b.*")
+    structs = ", ".join(
+        f"struct('{c}' AS column_name, "
+        f"{_hist_bucket(f'CAST({c} AS DOUBLE)', f'mn_{i}', f'mx_{i}')}"
+        " AS bucket)"
+        for i, c in enumerate(HIST_COLUMNS)
+    )
+    cnts = (
+        li.crossJoin(F.broadcast(bounds))
+        .select(F.explode(F.expr(f"array({structs})")).alias("x"))
+        .select("x.column_name", "x.bucket")
+        .where(F.col("bucket").isNotNull())
+        .groupBy("column_name", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    names = spark.createDataFrame(
+        [(c,) for c in HIST_COLUMNS], "column_name string"
+    )
+    spine = names.crossJoin(
+        spark.range(0, HIST_BUCKETS).select(F.col("id").alias("bucket"))
+    )
+    edge = "(mn + {k} * (mx - mn) / " + str(HIST_BUCKETS) + ")"
+    return (
+        spine.join(F.broadcast(bx), "column_name")
+        .join(cnts, ["column_name", "bucket"], "left")
+        .select(
+            "column_name",
+            "bucket",
+            F.expr(
+                f"CAST(floor({edge.format(k='bucket')} * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("lo_1e6"),
+            F.expr(
+                f"CAST(floor({edge.format(k='(bucket + 1)')} * 1000000"
+                " + 0.5) AS BIGINT)"
+            ).alias("hi_1e6"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"),
+        )
+    )
 
 
 Z_BITS = 8  # per-dimension resolution of the z-value (16-bit curve)

@@ -267,6 +267,114 @@ def llm_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared DuckDB SQL fragment: per-doc composite quality + whitespace
+#: token count (the llm_quality_psi x-CTE recipe, plus tokens — the
+#: sweep bills RETAINED TOKENS, the unit training budgets are cut in).
+_QUALITY_TOK_CTE = """
+WITH x AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         ROUND((CASE WHEN len(string_split(text, ' ')) BETWEEN 20
+                     AND 80 THEN 1.0 ELSE 0.5 END)
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the', 'a'))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+               * (CAST(len(list_distinct(string_split(text, ' ')))
+                       AS DOUBLE) / len(string_split(text, ' '))),
+               4) AS quality
+  FROM documents
+)"""
+
+
+@register(
+    "llm_quality_sweep",
+    tier="T3",
+    doc="Quality-threshold retention curve (round 16) — the decision "
+    "table a filter's cutoff is CHOSEN from, the llm_dedup_threshold_"
+    "sweep posture applied to the quality gate: for every candidate "
+    f"threshold t = b/{PSI_BANDS} (b = 0..{PSI_BANDS - 1}), the docs "
+    "and whitespace tokens surviving quality >= t, plus 1e4-pinned "
+    "retention ratios of each.  ONE corpus scan: docs band once "
+    "(shared quality_col recipe), a 10-key rollup counts "
+    "(docs, tokens) per band, and each threshold's retention is the "
+    "suffix sum over the banded table (a 10-row ordered window — "
+    "bounded, not a per-threshold rescan; the naive form re-scans the "
+    "corpus per candidate cutoff).  Zero-filled off the PSI band "
+    "spine so every candidate threshold reports even when no doc "
+    "lands in its band.",
+    oracle=f"""{_QUALITY_TOK_CTE}, banded AS (
+  SELECT least(CAST(floor(quality * {PSI_BANDS}) AS BIGINT),
+               {PSI_BANDS - 1}) AS band,
+         n_tok
+  FROM x
+), cnts AS (
+  SELECT s.band,
+         CAST(count(banded.band) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(banded.n_tok), 0) AS BIGINT) AS n_toks
+  FROM (SELECT unnest(range(0, {PSI_BANDS})) AS band) s
+  LEFT JOIN banded ON s.band = banded.band
+  GROUP BY s.band
+), suff AS (
+  SELECT band AS thr_1e1,
+         sum(n_docs) OVER (ORDER BY band
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS n_kept,
+         sum(n_toks) OVER (ORDER BY band
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS tok_kept
+  FROM cnts
+), tot AS (
+  SELECT sum(n_docs) AS t_docs, sum(n_toks) AS t_toks FROM cnts
+)
+SELECT thr_1e1, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(tok_kept AS BIGINT) AS tok_kept,
+       CAST(n_kept * 10000 // t_docs AS BIGINT) AS doc_ratio_1e4,
+       CAST(tok_kept * 10000 // t_toks AS BIGINT) AS tok_ratio_1e4
+FROM suff CROSS JOIN tot
+""",
+)
+def llm_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, quality = quality_col()
+    banded = table(spark, sf_dir, "documents").select(
+        F.least(
+            F.floor(quality * PSI_BANDS).cast("bigint"),
+            F.lit(PSI_BANDS - 1).cast("bigint"),
+        ).alias("band"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    spine = spark.range(0, PSI_BANDS).select(F.col("id").alias("band"))
+    cnts = (
+        spine.join(banded, "band", "left")
+        .groupBy("band")
+        .agg(
+            F.count("n_tok").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0))
+            .cast("bigint")
+            .alias("n_toks"),
+        )
+    )
+    # Suffix sums over the 10-row banded table: bounded ordered window
+    # (10 rows by construction — not a corpus-scale unpartitioned sort).
+    w = Window.orderBy("band").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    suff = cnts.select(
+        F.col("band").alias("thr_1e1"),
+        F.sum("n_docs").over(w).cast("bigint").alias("n_kept"),
+        F.sum("n_toks").over(w).cast("bigint").alias("tok_kept"),
+    )
+    tot = cnts.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_toks").alias("t_toks")
+    )
+    return suff.crossJoin(F.broadcast(tot)).select(
+        "thr_1e1",
+        "n_kept",
+        "tok_kept",
+        F.expr("n_kept * 10000 DIV t_docs").alias("doc_ratio_1e4"),
+        F.expr("tok_kept * 10000 DIV t_toks").alias("tok_ratio_1e4"),
+    )
+
+
 def lang_id_model(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
