@@ -388,7 +388,18 @@ FRONTIER_BASELINE_SEC = {"fresh": 17.66, "readback": 11.00}
 # BENCH_DETAIL.json and summed as horizon_seconds; excluded from all
 # eight frozen totals, pinned once the bucket has a quiet-host cold
 # pass (the FRONTIER/GROWTH/BEYOND precedent).
-HORIZON: set[str] = set()
+HORIZON: set[str] = {
+    # round 16: ANALYZE at scale (sketch NDV + histograms), quality-
+    # threshold retention curve, embedding outlier audit, duplicate-
+    # n-gram coverage, pipeline yield funnel, Bloom FPR acceptance
+    "src_table_stats_approx",
+    "src_table_histogram",
+    "llm_quality_sweep",
+    "llm_embed_outliers",
+    "llm_dup_ngram_coverage",
+    "llm_pipeline_funnel",
+    "llm_bloom_fpr_audit",
+}
 
 
 def main() -> None:

@@ -109,17 +109,21 @@ def mix31_spark_expr(col: str) -> str:
     this finalizer; consumers that only need equality or modular
     spread (MinHash, LSH buckets, sampling) stay on the raw fold.
     Composition of two affines is one affine, so the nonlinearity
-    comes from the interleaved xor-shifts."""
+    comes from the interleaved xor-shifts.  Shifts are spelled as
+    integer division by a power of two (inputs are non-negative 31-bit
+    values) so the text needs no ``>>``, which Spark SQL cannot parse —
+    keeping the oracle form mechanically rewritable (``//`` → DIV,
+    ``xor()`` → ``^``, plans/sql_corpus.spark_dialect)."""
     (a, b), (a2, b2) = MIX31_SEEDS
-    g = f"(({a} * (({col}) ^ SHIFTRIGHT(({col}), 15)) + {b}) % {P31})"
-    return f"(({a2} * ({g} ^ SHIFTRIGHT({g}, 13)) + {b2}) % {P31})"
+    g = f"(({a} * (({col}) ^ (({col}) DIV 32768)) + {b}) % {P31})"
+    return f"(({a2} * ({g} ^ ({g} DIV 8192)) + {b2}) % {P31})"
 
 
 def mix31_duck_expr(col: str) -> str:
-    """DuckDB twin of :func:`mix31_spark_expr` (xor(a,b) spelling)."""
+    """DuckDB twin of :func:`mix31_spark_expr` (xor(a,b), // spelling)."""
     (a, b), (a2, b2) = MIX31_SEEDS
-    g = f"(({a} * xor(({col}), ({col}) >> 15) + {b}) % {P31})"
-    return f"(({a2} * xor({g}, {g} >> 13) + {b2}) % {P31})"
+    g = f"(({a} * xor(({col}), ({col}) // 32768) + {b}) % {P31})"
+    return f"(({a2} * xor({g}, {g} // 8192) + {b2}) % {P31})"
 
 
 def kr31_pandas_udf():

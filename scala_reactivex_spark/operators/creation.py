@@ -598,7 +598,7 @@ WITH bounds AS (
   FROM (SELECT unnest({list(HIST_COLUMNS)!r}) AS column_name) c
   CROSS JOIN (SELECT unnest(range(0, {HIST_BUCKETS})) AS bucket) s
 )
-SELECT spine.column_name, spine.bucket,
+SELECT spine.column_name, CAST(spine.bucket AS BIGINT) AS bucket,
        CAST(floor((bx.mn + spine.bucket * (bx.mx - bx.mn)
                    / {HIST_BUCKETS}) * 1000000 + 0.5) AS BIGINT)
          AS lo_1e6,

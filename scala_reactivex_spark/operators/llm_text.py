@@ -326,7 +326,8 @@ WITH x AS (
 ), tot AS (
   SELECT sum(n_docs) AS t_docs, sum(n_toks) AS t_toks FROM cnts
 )
-SELECT thr_1e1, CAST(n_kept AS BIGINT) AS n_kept,
+SELECT CAST(thr_1e1 AS BIGINT) AS thr_1e1,
+       CAST(n_kept AS BIGINT) AS n_kept,
        CAST(tok_kept AS BIGINT) AS tok_kept,
        CAST(n_kept * 10000 // t_docs AS BIGINT) AS doc_ratio_1e4,
        CAST(tok_kept * 10000 // t_toks AS BIGINT) AS tok_ratio_1e4

@@ -49,6 +49,9 @@ _OPERATOR_MODULES = (
     # round-11 salted escape hatches — reference base ops' oracles, so
     # must import after stateful/windows.
     "scala_reactivex_spark.operators.salted",
+    # round-16 curation audits — the funnel composes llm_text/llm_dedup
+    # helpers, so must import after both.
+    "scala_reactivex_spark.operators.llm_curation",
 )
 
 

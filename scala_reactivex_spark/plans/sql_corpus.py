@@ -707,12 +707,24 @@ def _strip_call(sql: str, fn: str) -> list[tuple[int, int, str]]:
 def _rewrite_call(sql: str, fn: str, make) -> str:
     """Replace every balanced ``fn(inner)`` with ``make(inner)``
     (right-to-left so earlier spans stay valid; ``make`` returning
-    None leaves that call untouched)."""
-    for s, e, inner in reversed(_strip_call(sql, fn)):
-        repl = make(inner)
-        if repl is not None:
-            sql = sql[:s] + repl + sql[e:]
-    return sql
+    None leaves that call untouched).  NESTED same-name calls rewrite
+    innermost-first with a rescan: replacing an inner span invalidates
+    the enclosing span's indices, so spans whose inner text still
+    contains a ``fn(`` call are skipped this pass and picked up on the
+    next (round-16 fix — nested xor() in the mix31 finalizer corrupted
+    the single-pass form)."""
+    nested = re.compile(rf"\b{re.escape(fn)}\s*\(", re.IGNORECASE)
+    while True:
+        changed = False
+        for s, e, inner in reversed(_strip_call(sql, fn)):
+            if nested.search(inner):
+                continue
+            repl = make(inner)
+            if repl is not None:
+                sql = sql[:s] + repl + sql[e:]
+                changed = True
+        if not changed:
+            return sql
 
 
 _CLAUSE_KW = re.compile(
@@ -1148,6 +1160,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_bpe_apply",
     "llm_bpe_fertility",
     "llm_bpe_merge",
+    "llm_bloom_fpr_audit",
     "llm_bpe_pairs",
     "llm_budget_select",
     "llm_cdc_chunks",
@@ -1186,8 +1199,10 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_domain_mix",
     "llm_diverse_select",
     "llm_dsir",
+    "llm_dup_ngram_coverage",
     "llm_embed_centroid",
     "llm_embed_norm_stats",
+    "llm_embed_outliers",
     "llm_embed_pca",
     "llm_embed_quantize",
     "llm_epoch_shuffle",
@@ -1223,6 +1238,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_phash_stats",
     "llm_pii_scrub",
     "llm_pipeline_e2e",
+    "llm_pipeline_funnel",
     "llm_pmi",
     "llm_ppl_filter",
     "llm_pq_recall",
@@ -1230,6 +1246,7 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "llm_quality_psi",
     "llm_quality_rules",
     "llm_quality_score",
+    "llm_quality_sweep",
     "llm_repeat_plan",
     "llm_repetition_score",
     "llm_semdedup",
@@ -1301,7 +1318,9 @@ DIALECT_REWRITE_KEYS: tuple[str, ...] = (
     "op_with_latest_from",
     "op_zip",
     "src_partition_prune",
+    "src_table_histogram",
     "src_table_stats",
+    "src_table_stats_approx",
     "src_zonemap_profile",
     "src_zorder_layout",
     "src_zorder_compare",
