@@ -80,9 +80,16 @@ FROM d CROSS JOIN m
 """,
 )
 def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
-    # Pinned components as their own projection (HOF args get no CSE).
-    pinned = e.select(
+    model = embed_outlier_model(spark, sf_dir)
+    return outlier_score(
+        _pinned_embeddings(spark, sf_dir), F.broadcast(model)
+    )
+
+
+def _pinned_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, p): components pinned to 1e6 int64 as their own
+    projection (HOF args get no CSE)."""
+    return table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.expr(
@@ -90,6 +97,15 @@ def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
         ).alias("p"),
     )
+
+
+def embed_outlier_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outlier screen's 1-row 'model': (cent array<bigint>,
+    mean_d2 bigint) — the global pinned centroid and the corpus mean
+    squared distance.  Shared by the batch query and the streaming
+    serving twin (streaming/twins.embed_outlier_pack materializes it),
+    so the two gates cannot fork."""
+    pinned = _pinned_embeddings(spark, sf_dir)
     # Global centroid by position: bounded (dim)-keyed aggregate off one
     # posexplode pass, re-assembled into a 1-row array for broadcast.
     cent = (
@@ -107,20 +123,35 @@ def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cent")
         )
     )
-    d = pinned.crossJoin(F.broadcast(cent)).select(
+    d2 = F.expr(
+        "aggregate(zip_with(p, cent, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    m = (
+        pinned.crossJoin(F.broadcast(cent))
+        .select(d2.alias("d2"))
+        .agg(
+            F.floor(F.sum("d2").cast("double") / F.count("*"))
+            .cast("bigint")
+            .alias("mean_d2")
+        )
+    )
+    return cent.crossJoin(m)
+
+
+def outlier_score(pinned: DataFrame, model: DataFrame) -> DataFrame:
+    """Score pinned vectors against the broadcast 1-row model — a pure
+    zip_with/aggregate projection (no explode, no shuffle), shared by
+    the batch op and the streaming twin."""
+    return pinned.crossJoin(model).select(
         "vec_id",
         "label",
         F.expr(
             "aggregate(zip_with(p, cent, (a, b) -> (a - b) * (a - b)),"
             " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).alias("d2"),
-    )
-    m = d.agg(
-        F.floor(F.sum("d2").cast("double") / F.count("*"))
-        .cast("bigint")
-        .alias("mean_d2")
-    )
-    return d.crossJoin(F.broadcast(m)).select(
+        F.col("mean_d2"),
+    ).select(
         "vec_id",
         "label",
         "d2",

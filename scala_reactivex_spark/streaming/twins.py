@@ -2483,6 +2483,56 @@ def nb_serving_pack(spark: SparkSession, sf_dir: str):
     )
 
 
+def embed_outlier_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized 1-row outlier model (operators.llm_curation.
+    embed_outlier_model: global pinned centroid array + corpus mean
+    d2) — the OOD screen's 'model', collected and rebuilt as a local
+    relation so the twin serves a fixed snapshot (the
+    zorder_bounds_pack posture)."""
+    from scala_reactivex_spark.operators.llm_curation import (
+        embed_outlier_model,
+    )
+    from scala_reactivex_spark.plans.memo import (
+        materialize_scalar,
+        session_memo,
+    )
+
+    return session_memo(
+        spark,
+        sf_dir,
+        "embed_outlier_pack",
+        lambda: materialize_scalar(
+            spark, embed_outlier_model(spark, sf_dir)
+        ),
+    )
+
+
+def twin_embed_outliers(sdf: DataFrame, pack: DataFrame) -> DataFrame:
+    """Streaming embedding-outlier gate [T3 — live twin of
+    llm_embed_outliers, round 16]: arriving vectors pin their
+    components and score exact integer d2 against the BATCH model's
+    broadcast (centroid, mean_d2) snapshot — the out-of-distribution
+    screen an embedding-ingest stream runs before vectors reach an
+    ANN index or a semdedup pass.  Completely STATELESS per row
+    (append mode, no watermark, no streaming shuffle: a 1-row
+    broadcast crossJoin + zip_with projection); drained decisions
+    equal the batch op's exactly because both call the SAME shared
+    scorer over the same pack (law-tested)."""
+    from scala_reactivex_spark.operators.llm_curation import (
+        outlier_score,
+    )
+
+    pinned = sdf.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("p"),
+    )
+    return outlier_score(pinned, F.broadcast(pack))
+
+
 def zorder_bounds_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized 1-row z-layout bounds (operators.creation.
     zorder_bounds) — the ingest router's 'model', collected and

@@ -122,6 +122,30 @@ def test_embed_outliers_flag_re_derives(spark, sf_dir):
     assert n_out < n_vecs // 5
 
 
+def test_twin_embed_outliers_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming OOD gate drains to exactly the batch op's rows:
+    same shared scorer, same materialized model pack."""
+    from scala_reactivex_spark.operators.llm_curation import (
+        llm_embed_outliers,
+    )
+    from scala_reactivex_spark.sources.catalog import table
+    from scala_reactivex_spark.streaming import twins
+
+    src = str(tmp_path / "emb_src")
+    table(spark, sf_dir, "embeddings").repartition(2).write.parquet(src)
+    pack = twins.embed_outlier_pack(spark, sf_dir)
+    out = twins.run_stream_to_table(
+        twins.twin_embed_outliers(
+            twins.embeddings_stream(spark, src), pack
+        ),
+        "t_embout",
+        str(tmp_path / "ckpt"),
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in llm_embed_outliers(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_dup_ngram_coverage_matches_bruteforce(spark, sf_dir):
     """Full brute-force replication in Python with the same pinned
     hash family: per source, gram-instance counts and duplicated-gram
