@@ -35,8 +35,9 @@ from pyspark.sql.streaming import StreamingQueryListener
 #: (tests/test_latency.py) all share, so a twin added here is
 #: automatically probe-able and test-covered (round-15 review finding:
 #: three hand-synced copies).  Five pinned + the round-14 stateless
-#: additions + the round-15 compaction router; additions NEVER join
-#: the frozen TWIN_BASELINE ratio (round-10 ADVICE) — they report via
+#: additions + the round-15 compaction router and drift monitor + the
+#: round-16 embedding OOD gate; additions NEVER join the frozen
+#: TWIN_BASELINE ratio (round-10 ADVICE) — they report via
 #: twin_worst_p50_ms until their own pin freezes.
 DEFAULT_TWINS: tuple[str, ...] = (
     "twin_ann_ivf",
@@ -49,6 +50,7 @@ DEFAULT_TWINS: tuple[str, ...] = (
     "twin_novelty_gate",
     "twin_compaction_route",
     "twin_quality_drift",
+    "twin_embed_outliers",
 )
 
 
@@ -194,6 +196,21 @@ def measure_serving_latency(
             .write.mode("overwrite")
             .parquet(doc_all_src)
         )
+    eo_pack = emb_all_src = None
+    if "twin_embed_outliers" in want:
+        from scala_reactivex_spark.sources.catalog import table
+
+        # Materialized 1-row model pack + full-table arrival stream
+        # (the twin_nb_filter posture: fixed broadcast model, every
+        # vector gated on arrival).
+        eo_pack = twins.embed_outlier_pack(spark, sf_dir)
+        emb_all_src = os.path.join(work, "emb_all_src")
+        (
+            table(spark, sf_dir, "embeddings")
+            .repartition(2)
+            .write.mode("overwrite")
+            .parquet(emb_all_src)
+        )
     z_bounds = ev_src = None
     if "twin_zorder_route" in want:
         from scala_reactivex_spark.sources.catalog import table
@@ -292,6 +309,15 @@ def measure_serving_latency(
             os.path.join(work, f"crt_ckpt_{rep}"),
         )
 
+    def run_embout(rep: int) -> None:
+        twins.run_stream_to_table(
+            twins.twin_embed_outliers(
+                twins.embeddings_stream(spark, emb_all_src), eo_pack
+            ),
+            f"lat_eo_{rep}",
+            os.path.join(work, f"eo_ckpt_{rep}"),
+        )
+
     def run_qdrift(rep: int) -> None:
         twins.run_stream_to_table(
             twins.twin_quality_drift(
@@ -314,6 +340,7 @@ def measure_serving_latency(
         ("twin_novelty_gate", run_novelty),
         ("twin_compaction_route", run_croute),
         ("twin_quality_drift", run_qdrift),
+        ("twin_embed_outliers", run_embout),
     ):
         if only is not None and name not in only:
             continue

@@ -123,6 +123,12 @@ ALLOWED_NESTED_LOOP = {
     "llm_nb_lang",
     "llm_nb_margin_calibration",  # same grid, same bounded fanout
     "src_zorder_layout",  # 1-row (u, day) bounds broadcast × event stream
+    # Round-16 curation audits: 1-row scalar/model broadcast attaches.
+    "llm_embed_outliers",  # 1-row (centroid array, mean_d2) model cross
+    "llm_quality_sweep",  # 1-row (t_docs, t_toks) totals broadcast × 10 rows
+    "llm_bloom_fpr_audit",  # 1×1×1-row cross of three audit counts
+    "src_table_histogram",  # 1-row min/max bounds broadcast × fact scan
+    "src_table_stats_approx",  # 7-row plain-stats × 7-row sketch attach
 }
 
 
