@@ -487,16 +487,29 @@ def src_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE {_HLL_RMAX} - length(bin(hv DIV {HLL_M})) END"
         ).alias("rho"),
     )
+    # AGGREGATE FIRST, join the spine after: the observed register
+    # maxima collapse map-side to ≤ columns × m rows per partition
+    # BEFORE any exchange — joining the spine onto the raw exploded
+    # stream instead (the llm_hll_portable teaching shape, which gets
+    # away with it on a distinct-reduced input) shuffles every
+    # exploded row into columns × m skewed partitions; at the 600M-row
+    # probe that shuffle GC-thrashed the executor and lost shuffle
+    # blocks (round-16 birth probe, first attempt).
+    regs_obs = r.groupBy("column_name", "reg").agg(
+        F.max("rho").alias("mr_obs")
+    )
     names = spark.createDataFrame(
         [(c,) for c in STATS_COLUMNS], "column_name string"
     )
     spine = names.crossJoin(
         spark.range(0, HLL_M).select(F.col("id").alias("reg"))
     )
-    regs = (
-        spine.join(r, ["column_name", "reg"], "left")
-        .groupBy("column_name", "reg")
-        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("mr"))
+    regs = spine.join(
+        F.broadcast(regs_obs), ["column_name", "reg"], "left"
+    ).select(
+        "column_name",
+        "reg",
+        F.coalesce(F.col("mr_obs"), F.lit(0)).alias("mr"),
     )
     folded = regs.groupBy("column_name").agg(
         F.expr(

@@ -1542,11 +1542,17 @@ def llm_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 26 - length(bin(hv DIV {HLL_M})) END"
         ).alias("rho"),
     )
+    # Aggregate FIRST, then left-join the m-row spine: the observed
+    # register maxima collapse map-side to ≤ m rows per partition
+    # before any exchange.  The previous shape (spine joined onto the
+    # hash stream, THEN grouped) shuffled every distinct hash into m
+    # skewed partitions — fine on the fixture, a straggler factory at
+    # production NDV (the round-16 src_table_stats_approx birth probe
+    # caught the identical shape losing shuffle blocks at 600M rows).
+    regs_obs = r.groupBy("reg").agg(F.max("rho").alias("mr_obs"))
     spine = spark.range(0, HLL_M).select(F.col("id").alias("reg"))
-    regs = (
-        spine.join(r, "reg", "left")
-        .groupBy("reg")
-        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("mr"))
+    regs = spine.join(F.broadcast(regs_obs), "reg", "left").select(
+        "reg", F.coalesce(F.col("mr_obs"), F.lit(0)).alias("mr")
     )
     folded = regs.agg(
         F.expr(

@@ -102,6 +102,36 @@ def _probe_sources(spark: SparkSession, sf_dir: str, work: str) -> dict:
     return {"emb": emb_src, "docs": doc_probe_src}
 
 
+#: Fixture documents DDL, for the bus-mode source wrapper below.
+_DOCS_DDL = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+    "n_chars BIGINT"
+)
+
+
+def _doc_source(spark: SparkSession, src_dir: str):
+    """Document arrival stream for the doc-gate twins — plain file
+    stream by default; ``SPARK_GRAFT_BUS=1`` routes it through the
+    Kafka-shaped bus adapter (to_json → binary → from_json) so the
+    measured trigger latency INCLUDES the bus parse overhead a real
+    broker deployment pays (r15 verdict #5's optional harness mode).
+    The twins themselves are untouched — the seam is the reader call,
+    exactly as advertised."""
+    from scala_reactivex_spark.streaming import twins
+
+    if os.environ.get("SPARK_GRAFT_BUS") == "1":
+        from scala_reactivex_spark.sources.bus import (
+            bus_stream,
+            parse_bus,
+        )
+
+        return parse_bus(
+            bus_stream(spark, src_dir, _DOCS_DDL, "doc_id", "docs-topic"),
+            _DOCS_DDL,
+        )
+    return twins.docs_stream(spark, src_dir)
+
+
 def _incremental_setup(spark: SparkSession, sf_dir: str, work: str):
     """The ingest-gate static side: existing-corpus hash set + capped
     LSH band index, plus the incoming-tranche stream source (the same
@@ -265,7 +295,7 @@ def measure_serving_latency(
     def run_gate(rep: int) -> None:
         twins.run_stream_to_table(
             twins.twin_dedup_incremental(
-                twins.docs_stream(spark, incoming_src),
+                _doc_source(spark, incoming_src),
                 ex_hashes,
                 ex_index,
             ),
@@ -276,7 +306,7 @@ def measure_serving_latency(
     def run_nb_filter(rep: int) -> None:
         twins.run_stream_to_table(
             twins.twin_nb_filter(
-                twins.docs_stream(spark, doc_all_src), nb_model, nb_thr
+                _doc_source(spark, doc_all_src), nb_model, nb_thr
             ),
             f"lat_nbf_{rep}",
             os.path.join(work, f"nbf_ckpt_{rep}"),
