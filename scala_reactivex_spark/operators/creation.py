@@ -346,6 +346,45 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
 #: rho = 24 - bitlength(w) (w = 0 -> 24).
 _HLL_RMAX = 24
 
+#: Canonical per-type base value feeding the mix31 finalizer.  Numeric
+#: columns hash their INTEGER value directly (pure whole-stage-codegen
+#: arithmetic) — the first cut hashed every column's string form
+#: through the per-char Karp-Rabin fold, and at the 600M-row probe
+#: those 7 interpreted per-char loops made the sketch SLOWER than the
+#: exact Expand it replaces (184.7 s vs 127.7 s); only the two 1-char
+#: flag columns keep the (trivial) string fold.  The double column
+#: floors first (both engines floor identically; its fixture values
+#: are integral).  31-bit domain note: base values reduce mod P31, so
+#: NDV beyond ~1e9 needs the 61-bit Mersenne variant
+#: (llm_doc_fingerprint's fold) — the documented production widening,
+#: inherent to every consumer of the 31-bit portable family.
+_STATS_KIND = {
+    "l_orderkey": "int",
+    "l_partkey": "int",
+    "l_suppkey": "int",
+    "l_linenumber": "int",
+    "l_quantity": "double",
+    "l_returnflag": "str",
+    "l_linestatus": "str",
+}
+
+
+def _stats_base_hash(c: str, *, duck: bool) -> str:
+    """Dialect SQL for the canonical base hash of column ``c`` (the
+    mix31 input), per _STATS_KIND."""
+    from scala_reactivex_spark.functions.portable_hash import P31
+
+    kind = _STATS_KIND[c]
+    if kind == "int":
+        return f"((CAST({c} AS BIGINT) % {P31}) + {P31}) % {P31}"
+    if kind == "double":
+        return (
+            f"((CAST(floor({c}) AS BIGINT) % {P31}) + {P31}) % {P31}"
+        )
+    return (
+        _kr31_duck_expr(c) if duck else kr31_spark_expr(c)
+    )
+
 
 def _hll_est_case(raw: str, zeros: str, m: int = _HLL_M) -> str:
     """Dialect-neutral SQL: HLL estimate with the Flajolet small-range
@@ -388,14 +427,12 @@ def _hll_est_case(raw: str, zeros: str, m: int = _HLL_M) -> str:
     "embedding count(DISTINCT) would reinstate the very Expand this "
     "key exists to avoid.",
     oracle=f"""
-WITH v AS (
+WITH h0 AS (
   {' UNION ALL '.join(
-     f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS s"
-     " FROM lineitem"
+     f"SELECT '{c}' AS column_name,"
+     f" {_stats_base_hash(c, duck=True)} AS k"
+     f" FROM lineitem WHERE {c} IS NOT NULL"
      for c in STATS_COLUMNS)}
-), h0 AS (
-  SELECT column_name, {_kr31_duck_expr('s')} AS k FROM v
-  WHERE s IS NOT NULL
 ), h AS (
   SELECT column_name, {mix31_duck_expr('k')} AS hv FROM h0
 ), r AS (
@@ -453,21 +490,14 @@ def src_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, c in enumerate(STATS_COLUMNS)
         ],
     )
-    # Canonical string per column as its OWN projection, then the raw
-    # fold as ANOTHER projection: the Karp-Rabin fold probes the column
-    # once per character, an inline CAST inside the fold lambda would
-    # re-evaluate per probe, and the mix finalizer references its
-    # argument four times (the twin_dedup hoist lesson, round 16).
-    strs = li.select(
+    # Canonical base hash per column as its OWN projection (the mix
+    # finalizer references its argument four times — the twin_dedup
+    # hoist lesson, round 16): pure codegen arithmetic for the numeric
+    # columns, the trivial 1-char fold for the flag columns.
+    krs = li.select(
         *[
-            F.col(c).cast("string").alias(f"s_{i}")
+            F.expr(_stats_base_hash(c, duck=False)).alias(f"k_{i}")
             for i, c in enumerate(STATS_COLUMNS)
-        ]
-    )
-    krs = strs.select(
-        *[
-            F.expr(kr31_spark_expr(f"s_{i}")).alias(f"k_{i}")
-            for i in range(len(STATS_COLUMNS))
         ]
     )
     structs = ", ".join(
