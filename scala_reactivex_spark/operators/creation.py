@@ -413,16 +413,18 @@ def _hll_est_case(raw: str, zeros: str, m: int = _HLL_M) -> str:
     "shuffle (sf100: 148.8 s, 0.88x vs linear — the suite's "
     "closest-to-linear probe), while this variant maps each row to "
     f"{len(STATS_COLUMNS)} (column, register, rank) triples that "
-    "partial-aggregate to a bounded 64-register sketch per column "
-    "BEFORE the shuffle — map-side combine collapses the traffic to "
-    "registers x partitions regardless of NDV, and register maxima "
-    "merge associatively (the distributed-sketch property; sketches "
-    "from independent table shards union by max).  Values hash via "
-    "their canonical string form (CAST AS STRING is byte-identical "
-    "cross-engine on these columns — integers, integral doubles, "
-    "chars), so the DuckDB oracle replays every register and the "
-    "estimate itself bit-for-bit: fully hash-graded, llm_hll_portable "
-    "machinery.  The +/-25%% acceptance vs the exact key is a law "
+    f"partial-aggregate to a bounded {_HLL_M}-register sketch per "
+    "column BEFORE the shuffle — map-side combine collapses the "
+    "traffic to registers x partitions regardless of NDV, and "
+    "register maxima merge associatively (the distributed-sketch "
+    "property; sketches from independent table shards union by max). "
+    "Base hashes are per-kind (_STATS_KIND): integer columns reduce "
+    "their value mod P31 arithmetically, the double column floors "
+    "then reduces (both engines floor identically on the integral "
+    "fixture values), and only the 1-char flag columns fold through "
+    "the Karp-Rabin string hash — all dialect-identical, so the "
+    "DuckDB oracle replays every register and the estimate itself "
+    "bit-for-bit: fully hash-graded, llm_hll_portable machinery.  The +/-25%% acceptance vs the exact key is a law "
     "test (tests/test_sources.py), NOT an in-plan exact recompute — "
     "embedding count(DISTINCT) would reinstate the very Expand this "
     "key exists to avoid.",

@@ -710,21 +710,39 @@ def _rewrite_call(sql: str, fn: str, make) -> str:
     None leaves that call untouched).  NESTED same-name calls rewrite
     innermost-first with a rescan: replacing an inner span invalidates
     the enclosing span's indices, so spans whose inner text still
-    contains a ``fn(`` call are skipped this pass and picked up on the
-    next (round-16 fix — nested xor() in the mix31 finalizer corrupted
-    the single-pass form)."""
+    contains a ``fn(`` call are skipped while inner spans are still
+    changing (round-16 fix — nested xor() in the mix31 finalizer
+    corrupted the single-pass form).  Once a pass reaches a fixed
+    point, a FINAL sweep retries the skipped outer spans (round-17
+    ADVICE: an outer call whose nested inner call ``make`` legitimately
+    declines must still rewrite, as the pre-r16 single-pass form did);
+    that sweep rewrites one overlapping span per rescan so indices stay
+    valid.  The pass counter is bounded so a non-converging rewriter
+    (a ``make`` whose replacement still matches its own rewrite
+    condition) fails loudly instead of spinning."""
     nested = re.compile(rf"\b{re.escape(fn)}\s*\(", re.IGNORECASE)
-    while True:
+    ignore_nested = False
+    for _pass in range(32):
         changed = False
         for s, e, inner in reversed(_strip_call(sql, fn)):
-            if nested.search(inner):
+            if not ignore_nested and nested.search(inner):
                 continue
             repl = make(inner)
             if repl is not None:
                 sql = sql[:s] + repl + sql[e:]
                 changed = True
+                if ignore_nested:
+                    # An outer span may overlap other spans — its
+                    # rewrite invalidates their indices; rescan.
+                    break
         if not changed:
-            return sql
+            if ignore_nested:
+                return sql
+            ignore_nested = True
+    raise AssertionError(
+        f"_rewrite_call({fn!r}) did not converge in 32 passes — "
+        "a rewriter's replacement re-matches its own condition"
+    )
 
 
 _CLAUSE_KW = re.compile(

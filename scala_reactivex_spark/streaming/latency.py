@@ -102,11 +102,11 @@ def _probe_sources(spark: SparkSession, sf_dir: str, work: str) -> dict:
     return {"emb": emb_src, "docs": doc_probe_src}
 
 
-#: Fixture documents DDL, for the bus-mode source wrapper below.
-_DOCS_DDL = (
-    "doc_id BIGINT, text STRING, lang STRING, source STRING, "
-    "n_chars BIGINT"
-)
+#: Fixture documents DDL, for the bus-mode source wrapper below —
+#: imported from twins so a fixture schema change cannot leave this
+#: mode silently parsing with a stale copy (from_json would yield
+#: nulls, not an error; round-17 ADVICE).
+from scala_reactivex_spark.streaming.twins import DOCS_DDL as _DOCS_DDL
 
 
 def _doc_source(spark: SparkSession, src_dir: str):

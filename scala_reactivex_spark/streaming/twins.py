@@ -2530,6 +2530,14 @@ def twin_embed_outliers(sdf: DataFrame, pack: DataFrame) -> DataFrame:
     [row] = pack.collect()
     cent = np.asarray(row["cent"], dtype=np.int64)
     mean_d2 = int(row["mean_d2"])
+    # Degenerate-model guard (round-17 ADVICE): with every vector AT
+    # the centroid, numpy's // 0 would emit 0s with a warning while the
+    # batch plan's DIV yields NULL and the DuckDB oracle errors — three
+    # behaviors for one input.  Fail loudly and identically instead.
+    assert mean_d2 > 0, (
+        "degenerate embed-outlier pack: mean_d2 == 0 (all vectors at "
+        "the centroid) — the r_1e2 ratio is undefined"
+    )
     thr = OUTLIER_R2 * mean_d2
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
