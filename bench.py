@@ -236,6 +236,7 @@ BEYOND_EXTRAS: set[str] = {
 
 #: NEW_BASELINE pin (BASELINE.md, round 11): the frozen 12-query
 #: post-round-6 suite summed 14.9 s in the round-10 cold pass.
+#: Round 17: reported through the consolidated ARCHIVE pin below.
 NEW_BASELINE_SEC = 14.9
 
 # Queries registered after round 10 — timed, reported per-query in
@@ -384,10 +385,24 @@ FRONTIER: set[str] = {
 #: committed read-back artifact").
 FRONTIER_BASELINE_SEC = {"fresh": 17.66, "readback": 11.00}
 
+#: ARCHIVE consolidation (round 17, r16 verdict #4): the three smallest
+#: frozen buckets — new (12 queries, r11 pin 14.9 s), newer (5, r12 pin
+#: 4.77 s) and newest (5, r13 pin 2.33 s) — are reported as ONE 22-query
+#: bucket against the SUM of their pins, so the stdout contract line
+#: stops growing a field per round.  The component sets and pins above
+#: are kept verbatim for provenance; the consolidation is pure
+#: arithmetic (sum of sums over disjoint sets), so archive_vs_baseline
+#: == the size-weighted mean of the three retired ratios.
+ARCHIVE_BASELINE_SEC = NEW_BASELINE_SEC + NEWER_BASELINE_SEC + NEWEST_BASELINE_SEC
+
 # Queries registered after round 15 — timed, reported per-query in
 # BENCH_DETAIL.json and summed as horizon_seconds; excluded from all
-# eight frozen totals, pinned once the bucket has a quiet-host cold
-# pass (the FRONTIER/GROWTH/BEYOND precedent).
+# eight frozen totals.
+#
+# FROZEN at round 17 (7 names, HORIZON_BASELINE_SEC below, from the
+# round-16 quiet-host session-end dual-regime passes recorded in
+# BASELINE.md "HORIZON pin opened").  Do NOT append here — queries
+# registered after round 16 go to SUMMIT below.
 HORIZON: set[str] = {
     # round 16: ANALYZE at scale (sketch NDV + histograms), quality-
     # threshold retention curve, embedding outlier audit, duplicate-
@@ -399,6 +414,72 @@ HORIZON: set[str] = {
     "llm_dup_ngram_coverage",
     "llm_pipeline_funnel",
     "llm_bloom_fpr_audit",
+}
+
+#: HORIZON pin (BASELINE.md, round 17): REGIME-SPECIFIC like the
+#: BEYOND/GROWTH/FRONTIER pins — the bucket's fresh cost pays the
+#: shared-shingle tier and stats-sketch builds, so build-inclusive and
+#: read-back passes compare against their own pins, selected by the
+#: run's SPARK_GRAFT_FRESH_CACHE flag.  Both numbers are the round-16
+#: session-end quiet-host passes (commit a9598f3: read-back 10.185 s,
+#: fresh 11.664 s).
+HORIZON_BASELINE_SEC = {"fresh": 11.66, "readback": 10.19}
+
+# Queries registered after round 16 — timed, reported per-query in
+# BENCH_DETAIL.json and summed as summit_seconds; excluded from all
+# nine frozen totals, pinned once the bucket has a quiet-host cold
+# pass (the HORIZON/FRONTIER/GROWTH precedent).
+SUMMIT: set[str] = set()
+
+#: Per-query quiet-host reference seconds for the 72-query frozen
+#: headline suite — the SELF-ARBITRATION anchor (r16 verdict #1: the
+#: driver's r16 cold pass read 1.61x of baseline purely on a host
+#: plateau while the same code read 0.79x hours earlier; warm20 only
+#: covered the slowest 20, so the headline number itself carried the
+#: noise).  Source: the round-16 session-end quiet-host read-back pass
+#: (commit a9598f3, headline 33.50 s), each entry min(cold,
+#: warm-median) from that artifact.  After the cold loop, any headline
+#: query whose cold time exceeds WARM_ARB_FACTOR x its reference (plus
+#: a fixed jitter slack) is re-run warm and contributes its best
+#: observed time to warm_headline_sec; on a quiet host almost nothing
+#: triggers and warm_headline_sec tracks the cold total.  The factor is
+#: deliberately tighter than the verdict's sketched "~3x": a uniform
+#: 1.7x plateau (the r16 reading) must trigger arbitration on every
+#: inflated query, not just the extreme movers, for the emitted number
+#: to stay at the warm level regardless of host window.
+WARM_ARB_FACTOR = 1.25
+WARM_ARB_SLACK_SEC = 0.1
+
+WARM_HEADLINE_REF = {
+  'llm_ann_ivf': 0.038, 'llm_dedup_embed_lsh': 1.121,
+  'llm_dedup_exact': 0.259, 'llm_dedup_simhash': 1.568,
+  'llm_doc_fingerprint': 0.286, 'llm_doc_sample': 0.126,
+  'llm_lang_id': 1.223, 'llm_multimodal_features': 0.278,
+  'llm_multimodal_join': 0.357, 'llm_quality_score': 0.215,
+  'llm_similarity_topk': 0.053, 'llm_text_clean': 0.172,
+  'llm_text_stats': 0.188, 'llm_text_tokens': 0.375, 'op_agg_basic': 0.285,
+  'op_amb': 0.431, 'op_bool': 0.255, 'op_buffer_count': 0.555,
+  'op_collect_sorted': 0.399, 'op_combine_latest': 0.513,
+  'op_concat': 0.291, 'op_debounce': 0.418, 'op_default_if_empty': 0.292,
+  'op_delay': 0.183, 'op_distinct': 0.333,
+  'op_distinct_until_changed': 0.336, 'op_error_return': 0.528,
+  'op_filter': 0.176, 'op_first_last': 0.459, 'op_flatmap': 0.158,
+  'op_group_by': 0.307, 'op_interval_join': 0.367, 'op_map': 0.162,
+  'op_materialize': 0.353, 'op_merge': 0.382, 'op_pairwise': 0.413,
+  'op_reduce': 0.253, 'op_sample': 0.438, 'op_scan_running_sum': 0.384,
+  'op_sequence_equal': 0.545, 'op_skip': 0.324, 'op_stats_battery': 0.26,
+  'op_switch': 0.459, 'op_take': 0.288, 'op_take_until': 0.385,
+  'op_take_while': 0.392, 'op_throttle_first': 0.427,
+  'op_time_interval': 0.293, 'op_timeout_flag': 0.31,
+  'op_udf_textlen': 0.294, 'op_window_session': 0.729,
+  'op_window_sliding': 0.418, 'op_window_tumbling': 0.362,
+  'op_with_latest_from': 0.523, 'op_zip': 0.464, 'rel_agg_approx': 0.519,
+  'rel_agg_distinct': 0.381, 'rel_cube': 0.651, 'rel_join_inner': 0.545,
+  'rel_join_range': 0.629, 'rel_join_semi_anti': 0.353,
+  'rel_q1_pricing': 1.059, 'rel_rollup': 0.603, 'rel_scalar_battery': 0.59,
+  'rel_setops': 0.573, 'rel_subquery_corr': 0.465, 'rel_topk': 0.148,
+  'rel_window_range': 0.608, 'rel_window_rank': 0.694,
+  'src_interval': 0.071, 'src_range': 0.122, 'src_scan_events': 0.196,
 }
 
 
@@ -491,6 +572,34 @@ def main() -> None:
                 reps.append(time.perf_counter() - t0)
             warm[name] = round(sorted(reps)[len(reps) // 2], 3)
 
+    # Self-arbitrating HEADLINE (r16 verdict #1): the authoritative
+    # driver artifact once read 1.61x purely on a host plateau while
+    # the same code read 0.79x hours earlier.  Every headline query
+    # whose cold time exceeds WARM_ARB_FACTOR x its quiet-host
+    # reference (WARM_HEADLINE_REF) is re-run warm, and
+    # warm_headline_sec sums each query's BEST observed time (cold,
+    # slowest-20 warm median, or arbitration rep) — a headline figure
+    # that stays at the warm level regardless of host window.  Only
+    # meaningful at the pin's scale (sf0.1); skipped elsewhere.
+    warm_arb: dict[str, float] = {}
+    warm_headline = None
+    arb_reps = int(os.environ.get("SPARK_GRAFT_WARM_ARB_REPS", "2"))
+    if sf_dir.rstrip("/").endswith("sf0.1") and warm_reps > 0:
+        for name in sorted(n for n in times if n in WARM_HEADLINE_REF):
+            best = times[name]
+            if name in warm:
+                best = min(best, warm[name])
+            ref = WARM_HEADLINE_REF[name]
+            if best > WARM_ARB_FACTOR * ref + WARM_ARB_SLACK_SEC:
+                for _ in range(arb_reps):
+                    t0 = time.perf_counter()
+                    specs[name].fn(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+            warm_arb[name] = round(best, 3)
+        warm_headline = round(sum(warm_arb.values()), 2)
+
     # Serving-twin latency (r8 verdict #8): the five serving twins get a
     # measured trigger→commit number per micro-batch plus drain wall
     # times (streaming/latency.py).  ~2 min at sf0.1 with 2 reps; set
@@ -513,53 +622,45 @@ def main() -> None:
     # Every extras name must still exist in the registry — a rename or
     # typo would silently fold that query into the frozen headline total
     # and break comparability with the BASELINE.md pin.
+    archive = BEYOND_EXTRAS | BEYOND_NEW | BEYOND_NEWER
     missing = (
         BEYOND_BASELINE
-        | BEYOND_EXTRAS
-        | BEYOND_NEW
-        | BEYOND_NEWER
+        | archive
         | BEYOND_NEWEST
         | GROWTH
         | FRONTIER
         | HORIZON
+        | SUMMIT
     ) - set(times)
     assert not missing, f"tiered-suite names not in registry: {missing}"
     untiered = (
         set(times)
         - BEYOND_BASELINE
-        - BEYOND_EXTRAS
-        - BEYOND_NEW
-        - BEYOND_NEWER
+        - archive
         - BEYOND_NEWEST
         - GROWTH
         - FRONTIER
         - HORIZON
+        - SUMMIT
     )
     # All frozen suites are closed sets: a new registry key missing from
-    # HORIZON would silently inflate the headline total.
+    # SUMMIT would silently inflate the headline total.
     assert len(untiered) == 72, (
         f"headline set drifted to {len(untiered)} queries — add new "
-        "registry keys to HORIZON"
+        "registry keys to SUMMIT"
     )
     assert len(BEYOND_BASELINE) == 130, "frozen extras suite drifted"
-    assert len(BEYOND_EXTRAS) == 12, "frozen new suite drifted"
-    assert len(BEYOND_NEW) == 5, "frozen newer suite drifted"
-    assert len(BEYOND_NEWER) == 5, "frozen newest suite drifted"
+    assert len(archive) == 22, "frozen archive suite drifted"
     assert len(BEYOND_NEWEST) == 10, "frozen beyond suite drifted"
     assert len(GROWTH) == 7, "frozen growth suite drifted"
     assert len(FRONTIER) == 8, "frozen frontier suite drifted"
+    assert len(HORIZON) == 7, "frozen horizon suite drifted"
     total = round(sum(times[n] for n in untiered), 3)
     extras = round(
         sum(t for n, t in times.items() if n in BEYOND_BASELINE), 3
     )
-    new_sec = round(
-        sum(t for n, t in times.items() if n in BEYOND_EXTRAS), 3
-    )
-    newer_sec = round(
-        sum(t for n, t in times.items() if n in BEYOND_NEW), 3
-    )
-    newest_sec = round(
-        sum(t for n, t in times.items() if n in BEYOND_NEWER), 3
+    archive_sec = round(
+        sum(t for n, t in times.items() if n in archive), 3
     )
     beyond_sec = round(
         sum(t for n, t in times.items() if n in BEYOND_NEWEST), 3
@@ -573,10 +674,13 @@ def main() -> None:
     horizon_sec = round(
         sum(t for n, t in times.items() if n in HORIZON), 3
     )
-    # The BEYOND/GROWTH/FRONTIER pins are regime-specific (index-build-
-    # dominated buckets): compare this run against the pin recorded
-    # under the SAME cache regime, selected by the flag that redirected
-    # the cache root above.
+    summit_sec = round(
+        sum(t for n, t in times.items() if n in SUMMIT), 3
+    )
+    # The BEYOND/GROWTH/FRONTIER/HORIZON pins are regime-specific
+    # (index-build-dominated buckets): compare this run against the pin
+    # recorded under the SAME cache regime, selected by the flag that
+    # redirected the cache root above.
     regime = (
         "fresh"
         if os.environ.get("SPARK_GRAFT_FRESH_CACHE") == "1"
@@ -585,6 +689,7 @@ def main() -> None:
     beyond_pin = BEYOND_NEWEST_BASELINE_SEC[regime]
     growth_pin = GROWTH_BASELINE_SEC[regime]
     frontier_pin = FRONTIER_BASELINE_SEC[regime]
+    horizon_pin = HORIZON_BASELINE_SEC[regime]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -608,22 +713,14 @@ def main() -> None:
             round(extras / EXTRAS_BASELINE_SEC, 3) if sf_val == 0.1 else None
         ),
         "extras": sorted(BEYOND_BASELINE),
-        "new_seconds": new_sec,
-        "new": sorted(BEYOND_EXTRAS),
-        "new_vs_baseline": (
-            round(new_sec / NEW_BASELINE_SEC, 3) if sf_val == 0.1 else None
-        ),
-        "newer_seconds": newer_sec,
-        "newer": sorted(BEYOND_NEW),
-        "newer_vs_baseline": (
-            round(newer_sec / NEWER_BASELINE_SEC, 3)
-            if sf_val == 0.1
-            else None
-        ),
-        "newest_seconds": newest_sec,
-        "newest": sorted(BEYOND_NEWER),
-        "newest_vs_baseline": (
-            round(newest_sec / NEWEST_BASELINE_SEC, 3)
+        # Consolidated new+newer+newest bucket (round 17 — r16 verdict
+        # #4): one 22-query suite against the sum of the three retired
+        # pins; component membership stays auditable via the archive
+        # list and the frozen set constants above.
+        "archive_seconds": archive_sec,
+        "archive": sorted(archive),
+        "archive_vs_baseline": (
+            round(archive_sec / ARCHIVE_BASELINE_SEC, 3)
             if sf_val == 0.1
             else None
         ),
@@ -644,12 +741,22 @@ def main() -> None:
         ),
         "horizon_seconds": horizon_sec,
         "horizon": sorted(HORIZON),
+        "horizon_vs_baseline": (
+            round(horizon_sec / horizon_pin, 3) if sf_val == 0.1 else None
+        ),
+        "summit_seconds": summit_sec,
+        "summit": sorted(SUMMIT),
         "sf": sf_val,
         # Warm medians of the slowest-N queries (median of warm_reps
         # re-runs in the same session) — the self-arbitrating companion
         # to the cold map above; see BASELINE.md "Variance protocol".
         "warm_medians": warm,
         "warm_reps": warm_reps,
+        # Warm-arbitrated headline (r16 verdict #1): per-query best
+        # observed times over the 72-query frozen suite, re-running
+        # queries whose cold reading exceeded the quiet-host reference.
+        "warm_headline_sec": warm_headline,
+        "warm_arb": warm_arb,
         # Serving-twin latency: per-micro-batch trigger→commit medians
         # and drain wall times for the five streaming serving paths.
         "twin_latency": twin_latency,
@@ -685,19 +792,18 @@ def main() -> None:
                 for k in (
                     "value",
                     "extras_seconds",
-                    "new_seconds",
-                    "newer_seconds",
-                    "newest_seconds",
+                    "archive_seconds",
                     "beyond_seconds",
                     "growth_seconds",
                     "frontier_seconds",
                     "horizon_seconds",
+                    "summit_seconds",
                     "extras_vs_baseline",
-                    "new_vs_baseline",
-                    "newer_vs_baseline",
-                    "newest_vs_baseline",
+                    "archive_vs_baseline",
                     "growth_vs_baseline",
                     "frontier_vs_baseline",
+                    "horizon_vs_baseline",
+                    "warm_headline_sec",
                     "sf",
                     "disk_cache",
                 )
@@ -712,9 +818,7 @@ def main() -> None:
         untiered=untiered,
         total=total,
         extras=extras,
-        new_sec=new_sec,
-        newer_sec=newer_sec,
-        newest_sec=newest_sec,
+        archive_sec=archive_sec,
         beyond_sec=beyond_sec,
         beyond_pin=beyond_pin,
         growth_sec=growth_sec,
@@ -722,8 +826,11 @@ def main() -> None:
         frontier_sec=frontier_sec,
         frontier_pin=frontier_pin,
         horizon_sec=horizon_sec,
+        horizon_pin=horizon_pin,
+        summit_sec=summit_sec,
         sf_val=sf_val,
         warm=warm,
+        warm_headline=warm_headline,
         twin_latency=twin_latency,
         prepopulated=prepopulated,
         cold_cache=cold_cache,
@@ -737,9 +844,7 @@ def build_contract_line(
     untiered: set[str],
     total: float,
     extras: float,
-    new_sec: float,
-    newer_sec: float,
-    newest_sec: float,
+    archive_sec: float,
     beyond_sec: float,
     beyond_pin: float,
     growth_sec: float,
@@ -747,8 +852,11 @@ def build_contract_line(
     frontier_sec: float,
     frontier_pin: float,
     horizon_sec: float,
+    horizon_pin: float,
+    summit_sec: float,
     sf_val,
     warm: dict[str, float],
+    warm_headline: float | None,
     twin_latency: dict[str, dict],
     prepopulated: int,
     cold_cache: dict[str, int],
@@ -780,27 +888,11 @@ def build_contract_line(
                 if sf_val == 0.1
                 else None
             ),
-            "new_seconds": new_sec,
-            # Post-r6 pin ratio, mirroring extras_vs_baseline (the
-            # round-11 NEW_BASELINE freeze); sf0.1 only.
-            "new_vs_baseline": (
-                round(new_sec / NEW_BASELINE_SEC, 3)
-                if sf_val == 0.1
-                else None
-            ),
-            # Post-r10 bucket, pinned at round 12 (NEWER_BASELINE);
-            # sf0.1 only, same protocol as the other three pins.
-            "newer_seconds": newer_sec,
-            "newer_vs_baseline": (
-                round(newer_sec / NEWER_BASELINE_SEC, 3)
-                if sf_val == 0.1
-                else None
-            ),
-            # Post-r11 bucket, pinned at round 13 (NEWEST_BASELINE);
-            # sf0.1 only, same protocol as the other four pins.
-            "newest_seconds": newest_sec,
-            "newest_vs_baseline": (
-                round(newest_sec / NEWEST_BASELINE_SEC, 3)
+            # Consolidated r7-r12 bucket (round 17 — r16 verdict #4):
+            # the retired new/newer/newest suites as ONE 22-query pin.
+            "archive_seconds": archive_sec,
+            "archive_vs_baseline": (
+                round(archive_sec / ARCHIVE_BASELINE_SEC, 3)
                 if sf_val == 0.1
                 else None
             ),
@@ -829,9 +921,22 @@ def build_contract_line(
                 if sf_val == 0.1
                 else None
             ),
-            # Post-r15 horizon bucket (no pin yet — pinned once it has
-            # a quiet-host cold pass to freeze).
+            # Post-r15 bucket, pinned at round 17 (HORIZON_BASELINE_SEC
+            # — regime-specific like BEYOND/GROWTH/FRONTIER); sf0.1 only.
             "horizon_seconds": horizon_sec,
+            "horizon_vs_baseline": (
+                round(horizon_sec / horizon_pin, 3)
+                if sf_val == 0.1
+                else None
+            ),
+            # Post-r16 summit bucket (no pin yet — pinned once it has
+            # a quiet-host cold pass to freeze).
+            "summit_seconds": summit_sec,
+            # Warm-arbitrated headline total (r16 verdict #1): per-query
+            # best-observed over the frozen 72, re-running any query
+            # whose cold time exceeded its quiet-host reference — the
+            # host-window-independent companion to "value" above.
+            "warm_headline_sec": warm_headline,
             # One-number warm aggregate (sum of the slowest-20 warm
             # medians); the per-query warm map is in BENCH_DETAIL.json.
             "warm20_sec": round(sum(warm.values()), 2),

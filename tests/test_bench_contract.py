@@ -30,9 +30,7 @@ def _line(sf_val=0.1, *, name_len=64, seconds=8_640_000.999):
         untiered=set(times),
         total=seconds * 72,
         extras=seconds * 130,
-        new_sec=seconds * 12,
-        newer_sec=seconds * 5,
-        newest_sec=seconds * 5,
+        archive_sec=seconds * 22,
         beyond_sec=seconds * 50,
         beyond_pin=bench.BEYOND_NEWEST_BASELINE_SEC["readback"],
         growth_sec=seconds * 50,
@@ -40,8 +38,11 @@ def _line(sf_val=0.1, *, name_len=64, seconds=8_640_000.999):
         frontier_sec=seconds * 50,
         frontier_pin=bench.FRONTIER_BASELINE_SEC["readback"],
         horizon_sec=seconds * 50,
+        horizon_pin=bench.HORIZON_BASELINE_SEC["readback"],
+        summit_sec=seconds * 50,
         sf_val=sf_val,
         warm={f"w{i:03d}".ljust(name_len, "x"): seconds for i in range(20)},
+        warm_headline=seconds * 72 if sf_val == 0.1 else None,
         twin_latency=twin_latency,
         prepopulated=99_999,
         cold_cache={"hits": 99_999, "misses": 99_999},
@@ -59,9 +60,8 @@ def test_contract_line_parses_and_carries_every_pin_ratio():
     for key in (
         "value",
         "extras_vs_baseline",
-        "new_vs_baseline",
-        "newer_vs_baseline",
-        "newest_vs_baseline",
+        "archive_seconds",
+        "archive_vs_baseline",
         "beyond_seconds",
         "beyond_vs_baseline",
         "growth_seconds",
@@ -69,6 +69,9 @@ def test_contract_line_parses_and_carries_every_pin_ratio():
         "frontier_seconds",
         "frontier_vs_baseline",
         "horizon_seconds",
+        "horizon_vs_baseline",
+        "summit_seconds",
+        "warm_headline_sec",
         "twin_vs_baseline",
         "warm20_sec",
         "dcache",
@@ -79,13 +82,26 @@ def test_contract_line_parses_and_carries_every_pin_ratio():
     assert len(parsed["queries"]) == 5
 
 
+def test_contract_line_shorter_than_r16_shape():
+    """r16 verdict #4: consolidating the three smallest buckets must
+    SHRINK the line — the r16 shape carried six per-bucket fields
+    (new/newer/newest x seconds+ratio) where the r17 shape carries two
+    (archive) plus the new horizon ratio and warm headline; net the
+    field count must not exceed the r16 line's 24."""
+    parsed = json.loads(_line())
+    assert len(parsed) <= 24, sorted(parsed)
+    for retired in ("new_vs_baseline", "newer_seconds", "newest_seconds"):
+        assert retired not in parsed
+
+
 def test_contract_line_non_sf01_omits_scale_specific_ratios():
     parsed = json.loads(_line(sf_val=0.01))
     assert parsed["extras_vs_baseline"] is None
-    assert parsed["newest_vs_baseline"] is None
+    assert parsed["archive_vs_baseline"] is None
     assert parsed["beyond_vs_baseline"] is None
     assert parsed["growth_vs_baseline"] is None
     assert parsed["frontier_vs_baseline"] is None
+    assert parsed["horizon_vs_baseline"] is None
     assert parsed["twin_vs_baseline"] is None
 
 
@@ -94,10 +110,43 @@ def test_frozen_suites_are_closed_sets():
     assert len(bench.BEYOND_EXTRAS) == 12
     assert len(bench.BEYOND_NEW) == 5
     assert len(bench.BEYOND_NEWER) == 5
+    assert (
+        len(bench.BEYOND_EXTRAS | bench.BEYOND_NEW | bench.BEYOND_NEWER)
+        == 22
+    )
     assert len(bench.BEYOND_NEWEST) == 10
     assert len(bench.GROWTH) == 7
     assert len(bench.FRONTIER) == 8
+    assert len(bench.HORIZON) == 7
     # Regime-specific pins — both regimes must be present.
     assert set(bench.BEYOND_NEWEST_BASELINE_SEC) == {"fresh", "readback"}
     assert set(bench.GROWTH_BASELINE_SEC) == {"fresh", "readback"}
     assert set(bench.FRONTIER_BASELINE_SEC) == {"fresh", "readback"}
+    assert set(bench.HORIZON_BASELINE_SEC) == {"fresh", "readback"}
+    # The archive pin is the exact sum of its three retired components.
+    assert bench.ARCHIVE_BASELINE_SEC == (
+        bench.NEW_BASELINE_SEC
+        + bench.NEWER_BASELINE_SEC
+        + bench.NEWEST_BASELINE_SEC
+    )
+
+
+def test_warm_headline_reference_covers_exactly_the_frozen_72():
+    """The arbitration anchor must cover the headline suite exactly:
+    a missing entry would silently skip arbitration for that query, an
+    extra entry would arbitrate a tiered query into the wrong total."""
+    assert len(bench.WARM_HEADLINE_REF) == 72
+    tiered = (
+        bench.BEYOND_BASELINE
+        | bench.BEYOND_EXTRAS
+        | bench.BEYOND_NEW
+        | bench.BEYOND_NEWER
+        | bench.BEYOND_NEWEST
+        | bench.GROWTH
+        | bench.FRONTIER
+        | bench.HORIZON
+        | bench.SUMMIT
+        | bench.EXCLUDE
+    )
+    assert not set(bench.WARM_HEADLINE_REF) & tiered
+    assert all(v > 0 for v in bench.WARM_HEADLINE_REF.values())
