@@ -483,15 +483,31 @@ FROM px JOIN est ON px.column_name = est.column_name
 """,
 )
 def src_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-17 optimization (guide §2.3/§2.4 — shuffle fewer bytes,
+    # remove stages outright): the r16 shape paid TWO full corpus scans
+    # (the plain count/null agg branch plus the sketch branch) and a
+    # small-data tail of ~4 extra stages (256×7 spine crossJoin,
+    # broadcast left join, an interpreted collect_list/array_sort/
+    # aggregate HOF fold, and the px explode joint) that measured ~2.0 s
+    # of the key's 3.7 s warm time at sf0.1 — pure stage latency on
+    # 1,792 rows.  Now ONE corpus scan feeds everything: null cells keep
+    # their (column, NULL-reg) group through the first aggregate, so
+    # n_rows / n_null fall out of the same register rollup and the
+    # separate plain branch is gone; the spine + ordered fold collapse
+    # to plain hash aggregates because the register sum is EXACT in any
+    # order — every term pow(2,-mr) with mr ∈ [0,24] is a dyadic
+    # rational ≥ 2⁻²⁴ and the total stays < 2⁹, so each partial sum
+    # needs ≤ 33 mantissa bits and every double addition is exact;
+    # missing registers contribute 2⁰ = 1.0 each, added as a single
+    # (m − observed) term.  Observed rho is ≥ 1 by construction
+    # (w = hv DIV m < 2^23 ⇒ bitlength ≤ 23 ⇒ rho ≥ 1; w = 0 ⇒ 24), so
+    # reg_zeros = m − observed registers.  Values are bit-identical to
+    # the r16 plan (oracle unchanged, re-verified at sf0.01/sf0.001).
+    # The map-side-collapse property that fixed the 600M-row probe is
+    # preserved: the first aggregate still reduces each partition to
+    # ≤ columns × (m + 1) rows before the only corpus-scale exchange.
     HLL_M, HLL_ALPHA = _HLL_M, _HLL_ALPHA
     li = table(spark, sf_dir, "lineitem")
-    plain = li.agg(
-        F.count("*").cast("bigint").alias("n_rows"),
-        *[
-            F.count(c).cast("bigint").alias(f"nn_{i}")
-            for i, c in enumerate(STATS_COLUMNS)
-        ],
-    )
     # Canonical base hash per column as its OWN projection (the mix
     # finalizer references its argument four times — the twin_dedup
     # hoist lesson, round 16): pure codegen arithmetic for the numeric
@@ -506,10 +522,13 @@ def src_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"struct('{c}' AS column_name, {mix31_spark_expr(f'k_{i}')} AS hv)"
         for i, c in enumerate(STATS_COLUMNS)
     )
+    # Null hv rows are KEPT (null column cell ⇒ null base hash ⇒ null
+    # mix): they aggregate into a per-column (column_name, NULL) group
+    # whose count is that column's null count, so the one scan carries
+    # the row/null stats the old plain branch re-scanned the table for.
     ex = (
         krs.select(F.explode(F.expr(f"array({structs})")).alias("x"))
         .select("x.column_name", "x.hv")
-        .where(F.col("hv").isNotNull())
     )
     r = ex.select(
         "column_name",
@@ -519,60 +538,73 @@ def src_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE {_HLL_RMAX} - length(bin(hv DIV {HLL_M})) END"
         ).alias("rho"),
     )
-    # AGGREGATE FIRST, join the spine after: the observed register
-    # maxima collapse map-side to ≤ columns × m rows per partition
-    # BEFORE any exchange — joining the spine onto the raw exploded
-    # stream instead (the llm_hll_portable teaching shape, which gets
-    # away with it on a distinct-reduced input) shuffles every
-    # exploded row into columns × m skewed partitions; at the 600M-row
-    # probe that shuffle GC-thrashed the executor and lost shuffle
-    # blocks (round-16 birth probe, first attempt).
+    # AGGREGATE FIRST (round-16 birth-probe fix, unchanged): observed
+    # register maxima + group counts collapse map-side to
+    # ≤ columns × (m + 1) rows per partition BEFORE any exchange.
     regs_obs = r.groupBy("column_name", "reg").agg(
-        F.max("rho").alias("mr_obs")
+        F.max("rho").alias("mr_obs"),
+        F.count("*").cast("bigint").alias("cnt"),
     )
+    nonnull = F.col("reg").isNotNull()
+    folded = regs_obs.groupBy("column_name").agg(
+        # Exact in any order (see header note): unseen registers are
+        # (m − observed) ones; observed registers add pow(2, -mr).
+        (
+            (F.lit(HLL_M) - F.count(F.when(nonnull, 1))).cast("double")
+            + F.coalesce(
+                F.sum(F.when(nonnull, F.expr("pow(2.0D, -mr_obs)"))),
+                F.lit(0.0),
+            )
+        ).alias("z"),
+        (F.lit(HLL_M) - F.count(F.when(nonnull, 1)))
+        .cast("bigint")
+        .alias("reg_zeros"),
+        F.sum(F.when(nonnull, F.col("cnt")))
+        .cast("bigint")
+        .alias("nn"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    # Reinstate any all-null column the scan produced no groups for
+    # (cannot happen on this fixture, but the spine version emitted the
+    # row and the oracle still does): a 7-row static left join.
     names = spark.createDataFrame(
         [(c,) for c in STATS_COLUMNS], "column_name string"
     )
-    spine = names.crossJoin(
-        spark.range(0, HLL_M).select(F.col("id").alias("reg"))
+    from pyspark.sql import Window
+
+    # all_rows via a window over the 7-row joined frame — NOT a second
+    # aggregate branch off `folded`, which would re-execute the whole
+    # corpus lineage for one number (measured: a full extra pass).
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    regs = spine.join(
-        F.broadcast(regs_obs), ["column_name", "reg"], "left"
-    ).select(
-        "column_name",
-        "reg",
-        F.coalesce(F.col("mr_obs"), F.lit(0)).alias("mr"),
+    full = (
+        names.join(F.broadcast(folded), "column_name", "left")
+        .withColumn(
+            "all_rows",
+            F.coalesce(F.max("n_rows").over(wall), F.lit(0)).cast("bigint"),
+        )
+        .select(
+            "column_name",
+            F.coalesce("n_rows", "all_rows").alias("n_rows"),
+            (
+                F.coalesce("n_rows", "all_rows")
+                - F.coalesce(F.col("nn"), F.lit(0))
+            ).alias("n_null"),
+            F.coalesce("z", F.lit(float(HLL_M))).alias("z"),
+            F.coalesce("reg_zeros", F.lit(HLL_M))
+            .cast("bigint")
+            .alias("reg_zeros"),
+        )
     )
-    folded = regs.groupBy("column_name").agg(
-        F.expr(
-            "aggregate(transform(array_sort(collect_list("
-            "struct(reg, mr))), s -> pow(2.0D, -s.mr)), "
-            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-        ).alias("z"),
-        F.count(F.when(F.col("mr") == 0, 1))
-        .cast("bigint")
-        .alias("reg_zeros"),
-    )
-    est = folded.select(
-        "column_name",
+    est = full.withColumn(
+        "raw_est",
         F.expr(
             f"CAST(floor({HLL_ALPHA} * CAST({HLL_M} AS DOUBLE)"
             f" * {HLL_M} / z) AS BIGINT)"
-        ).alias("raw_est"),
-        "reg_zeros",
+        ),
     )
-    px_structs = [
-        F.struct(
-            F.lit(c).alias("column_name"),
-            F.col("n_rows"),
-            (F.col("n_rows") - F.col(f"nn_{i}")).alias("n_null"),
-        )
-        for i, c in enumerate(STATS_COLUMNS)
-    ]
-    px = plain.select(F.explode(F.array(*px_structs)).alias("p")).select(
-        "p.*"
-    )
-    return px.join(F.broadcast(est), "column_name").select(
+    return est.select(
         "column_name",
         "n_rows",
         "n_null",

@@ -403,19 +403,24 @@ FROM lineitem GROUP BY l_returnflag
 """,
 )
 def rel_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-17 optimization (guide §2.4 — remove shuffles outright): the
+    # exact and approx branches each scanned lineitem, aggregated by
+    # l_returnflag and re-joined — two corpus passes plus a join for
+    # aggregates that share one grouping key.  One groupBy computes all
+    # four aggregates in a single pass (ObjectHashAggregate carries the
+    # percentile_disc and approx_percentile buffers side by side); the
+    # values and the grading contract are unchanged.
     li = table(spark, sf_dir, "lineitem")
     pd_ = lambda q: F.expr(  # noqa: E731
         f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
     )
-    exact = li.groupBy("l_returnflag").agg(
+    both = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n_lines"),
         pd_(0.50).alias("exact_p50"),
         pd_(0.95).alias("exact_p95"),
-    )
-    approx = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
-        ).alias("ap")
+        ).alias("ap"),
     )
     within = (
         F.abs(F.col("ap")[0] - F.col("exact_p50")) / F.col("exact_p50")
@@ -424,7 +429,7 @@ def rel_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("ap")[1] - F.col("exact_p95")) / F.col("exact_p95")
         <= 0.03
     )
-    return exact.join(approx, "l_returnflag").select(
+    return both.select(
         "l_returnflag",
         "n_lines",
         "exact_p50",
