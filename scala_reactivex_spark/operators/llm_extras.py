@@ -64,7 +64,7 @@ from scala_reactivex_spark.functions.determinism import dsum
 from scala_reactivex_spark.operators import llm_cluster  # noqa: F401
 from scala_reactivex_spark.operators import llm_subdoc  # noqa: F401
 from scala_reactivex_spark.plans.registry import peek, register
-from scala_reactivex_spark.sources.catalog import table
+from scala_reactivex_spark.sources.catalog import table, widen_scan
 
 
 def _fixture_tag(sf_dir: str, tbl: str) -> str:
@@ -178,11 +178,22 @@ def _chunk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     per session (plans/memo.py)."""
     from scala_reactivex_spark.plans.memo import session_memo
 
+    # Round-17: widen the documents scan BEFORE chunking (guide §2 —
+    # scale-adaptive partitioning).  The fixture's documents table is a
+    # single-row-group parquet file, so the scan — and therefore the
+    # persisted chunk table and EVERY downstream join/aggregate over it
+    # (overlap, dedup, retrieval recall) — ran on one core; the
+    # round-robin of the ~10k raw docs costs milliseconds and lets the
+    # chunk explode and the 25M-row candidate joins use the whole box.
+    # No-op at scale: widen_scan only fires when the scan has fewer
+    # partitions than defaultParallelism.
     return session_memo(
         spark,
         sf_dir,
         "chunk_table",
-        lambda: chunk_frame(table(spark, sf_dir, "documents")).persist(),
+        lambda: chunk_frame(
+            widen_scan(table(spark, sf_dir, "documents"), spark)
+        ).persist(),
     )
 
 

@@ -403,24 +403,37 @@ FROM lineitem GROUP BY l_returnflag
 """,
 )
 def rel_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Round-17 optimization (guide §2.4 — remove shuffles outright): the
-    # exact and approx branches each scanned lineitem, aggregated by
-    # l_returnflag and re-joined — two corpus passes plus a join for
-    # aggregates that share one grouping key.  One groupBy computes all
-    # four aggregates in a single pass (ObjectHashAggregate carries the
-    # percentile_disc and approx_percentile buffers side by side); the
-    # values and the grading contract are unchanged.
+    # Round-17 optimization, two steps (guide §2.4, §1.2-order-1).  First
+    # the exact and approx branches were collapsed from two corpus scans
+    # re-joined on l_returnflag into one groupBy.  Then the remaining
+    # cost — two percentile_disc TypedImperativeAggregate buffers whose
+    # per-row OpenHashMap update dominated the pass (isolated: the two
+    # buffers alone 2.0 s of the 2.4 s warm time; approx sketch 0.5 s) —
+    # was replaced by ONE collect_list buffer (per-row append, the cheap
+    # update) sorted once per group, with both discrete percentiles read
+    # off by index: percentile_disc(q) over n rows IS the ceil(q*n)-th
+    # element (1-based) of the sorted multiset — #\{x ≤ s[k]\} ≥ k ≥ q·n
+    # and any v < s[k] has #\{x ≤ v\} ≤ k−1 < q·n.  Fuzz-proven
+    # bit-identical to percentile_disc on 60 grouped cases × 7 quantiles
+    # (sizes 1..1001, heavy duplicates) and on the fixture at all three
+    # SFs.  Memory shape is unchanged — the old percentile map held every
+    # distinct value (583k of 600k at sf0.1), the list holds every value;
+    # both are the declared exact-baseline O(group) state the doc scopes
+    # to grading the sketch (at 100 TB only the sketch branch runs).
+    # Isolated warm 2.4-3.4 s → 0.8-1.3 s.
     li = table(spark, sf_dir, "lineitem")
-    pd_ = lambda q: F.expr(  # noqa: E731
-        f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
-    )
     both = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n_lines"),
-        pd_(0.50).alias("exact_p50"),
-        pd_(0.95).alias("exact_p95"),
+        F.array_sort(F.collect_list("l_extendedprice")).alias("arr"),
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
         ).alias("ap"),
+    )
+    disc = lambda q: F.element_at(  # noqa: E731
+        "arr", F.ceil(F.lit(q) * F.col("n_lines")).cast("int")
+    )
+    both = both.withColumn("exact_p50", disc(0.50)).withColumn(
+        "exact_p95", disc(0.95)
     )
     within = (
         F.abs(F.col("ap")[0] - F.col("exact_p50")) / F.col("exact_p50")

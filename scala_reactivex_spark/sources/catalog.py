@@ -102,6 +102,31 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     ).withColumn("ms", F.expr("ts div 1000000"))
 
 
+def widen_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Scale-ADAPTIVE scan widening for per-row-expensive pipelines
+    (optimization guide §2: derive partitioning from the input, never a
+    constant).
+
+    The fixture tables are single parquet files with one row group, so a
+    scan yields 1-3 partitions and every downstream per-row stage (hash
+    folds, Expand, explode, aggregate buffers) runs on ONE core of the
+    local[N] box regardless of N.  At 100 TB the same scan has thousands
+    of row groups and needs no help — so this helper round-robins the
+    rows across ``defaultParallelism`` partitions ONLY when the scan
+    itself produced fewer, and is a no-op otherwise.  The repartition is
+    an explicit-N shuffle (AQE never coalesces REPARTITION_BY_NUM), and
+    the caller is expected to ``select()`` down to the needed columns
+    FIRST so the widening exchange moves the minimum bytes (guide §2.3).
+    Because the trigger is the measured scan partition count, the
+    driver's lower-core bench run widens to ITS parallelism, keeping the
+    core-scaling measurement honest.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (canonical derived
     columns included), so users can drive the engine with raw
