@@ -381,8 +381,16 @@ def _stats_base_hash(c: str, *, duck: bool) -> str:
         return (
             f"((CAST(floor({c}) AS BIGINT) % {P31}) + {P31}) % {P31}"
         )
+    if duck:
+        return _kr31_duck_expr(c)
+    # Round-17: 1-char fast path for the flag columns — the length-1
+    # Karp-Rabin fold is exactly (0*257 + codepoint) % P31 = the
+    # codepoint, so the common case skips the interpreted per-char
+    # `aggregate` HOF (~1.2M evals per scan at sf0.1); longer strings
+    # fall through to the generic fold, value-identical either way.
     return (
-        _kr31_duck_expr(c) if duck else kr31_spark_expr(c)
+        f"CASE WHEN length({c}) = 1 THEN CAST(ascii({c}) AS BIGINT) "
+        f"ELSE {kr31_spark_expr(c)} END"
     )
 
 
@@ -518,35 +526,72 @@ def src_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, c in enumerate(STATS_COLUMNS)
         ]
     )
+    # Round-17 per-row-work pass (guide §1.2 order-2; ~4.2M exploded
+    # rows flow through here at sf0.1, 7x the corpus at any scale):
+    # (a) the mix31 finalizer's inner affine-xorshift stage is hoisted
+    #     to its own projection (g_i), so the outer stage references a
+    #     COLUMN instead of inlining the inner stage's text four times;
+    from scala_reactivex_spark.functions.portable_hash import (
+        MIX31_SEEDS,
+        P31,
+    )
+
+    (_ma, _mb), (_ma2, _mb2) = MIX31_SEEDS
+    gs = krs.select(
+        *[
+            F.expr(
+                f"(({_ma} * ((k_{i}) ^ ((k_{i}) DIV 32768)) + {_mb})"
+                f" % {P31})"
+            ).alias(f"g_{i}")
+            for i in range(len(STATS_COLUMNS))
+        ]
+    )
+    # (b) the per-row group key is a 1-byte column ID, not the column-
+    #     NAME string — 4.2M string hashes/copies in the explode and
+    #     the first aggregate become int compares (guide §2.3 narrower
+    #     types); names rejoin on the 7-row frame after the rollup.
     structs = ", ".join(
-        f"struct('{c}' AS column_name, {mix31_spark_expr(f'k_{i}')} AS hv)"
-        for i, c in enumerate(STATS_COLUMNS)
+        f"struct({i} AS cid,"
+        f" (({_ma2} * ((g_{i}) ^ ((g_{i}) DIV 8192)) + {_mb2})"
+        f" % {P31}) AS hv)"
+        for i in range(len(STATS_COLUMNS))
     )
     # Null hv rows are KEPT (null column cell ⇒ null base hash ⇒ null
-    # mix): they aggregate into a per-column (column_name, NULL) group
-    # whose count is that column's null count, so the one scan carries
-    # the row/null stats the old plain branch re-scanned the table for.
+    # mix): they aggregate into a per-column (cid, NULL) group whose
+    # count is that column's null count, so the one scan carries the
+    # row/null stats the old plain branch re-scanned the table for.
     ex = (
-        krs.select(F.explode(F.expr(f"array({structs})")).alias("x"))
-        .select("x.column_name", "x.hv")
+        gs.select(F.explode(F.expr(f"array({structs})")).alias("x"))
+        .select("x.cid", "x.hv")
+    )
+    # (c) rho via an integer-compare ladder instead of
+    #     length(bin(w)) — the old form allocated a binary STRING per
+    #     exploded row just to read its length; uniform hv means most
+    #     rows satisfy the first one or two compares.  Value-identical:
+    #     arm (w >= 2^(bl-1)) fires iff bitlength(w) = bl, walking
+    #     bl = 23..1, else w = 0 ⇒ rho = 24.
+    _ladder = " ".join(
+        f"WHEN w >= {1 << (bl - 1)} THEN {_HLL_RMAX - bl}"
+        for bl in range(23, 0, -1)
     )
     r = ex.select(
-        "column_name",
+        "cid",
         (F.col("hv") % HLL_M).alias("reg"),
-        F.expr(
-            f"CASE WHEN hv DIV {HLL_M} = 0 THEN {_HLL_RMAX}"
-            f" ELSE {_HLL_RMAX} - length(bin(hv DIV {HLL_M})) END"
-        ).alias("rho"),
+        F.expr(f"hv DIV {HLL_M}").alias("w"),
+    ).select(
+        "cid",
+        "reg",
+        F.expr(f"CASE {_ladder} ELSE {_HLL_RMAX} END").alias("rho"),
     )
     # AGGREGATE FIRST (round-16 birth-probe fix, unchanged): observed
     # register maxima + group counts collapse map-side to
     # ≤ columns × (m + 1) rows per partition BEFORE any exchange.
-    regs_obs = r.groupBy("column_name", "reg").agg(
+    regs_obs = r.groupBy("cid", "reg").agg(
         F.max("rho").alias("mr_obs"),
         F.count("*").cast("bigint").alias("cnt"),
     )
     nonnull = F.col("reg").isNotNull()
-    folded = regs_obs.groupBy("column_name").agg(
+    folded = regs_obs.groupBy("cid").agg(
         # Exact in any order (see header note): unseen registers are
         # (m − observed) ones; observed registers add pow(2, -mr).
         (
@@ -566,9 +611,11 @@ def src_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Reinstate any all-null column the scan produced no groups for
     # (cannot happen on this fixture, but the spine version emitted the
-    # row and the oracle still does): a 7-row static left join.
+    # row and the oracle still does), and map the 1-byte group id back
+    # to the output's column_name: a 7-row static left join.
     names = spark.createDataFrame(
-        [(c,) for c in STATS_COLUMNS], "column_name string"
+        [(i, c) for i, c in enumerate(STATS_COLUMNS)],
+        "cid int, column_name string",
     )
     from pyspark.sql import Window
 
@@ -579,7 +626,7 @@ def src_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     full = (
-        names.join(F.broadcast(folded), "column_name", "left")
+        names.join(F.broadcast(folded), "cid", "left")
         .withColumn(
             "all_rows",
             F.coalesce(F.max("n_rows").over(wall), F.lit(0)).cast("bigint"),
