@@ -1478,7 +1478,9 @@ HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007 constant)
     "the estimate itself are hash-graded.  Emits m, exact count, the "
     "estimate, zero-register count and a ±25%% check.  Scale shape: "
     "one hash aggregate to m registers (mergeable by max — the "
-    "distributed-sketch property), a register-domain spine, one fold.",
+    "distributed-sketch property) carrying per-register counts whose "
+    "sum is the exact cardinality, then one bounded m-row rollup "
+    "(the register sum is order-exact — dyadic rationals).",
     oracle=f"""
 WITH h AS (
   SELECT DISTINCT {kr31_duck_expr('text')} AS hv FROM documents
@@ -1535,36 +1537,52 @@ def llm_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(kr31_pandas_udf()("text").alias("hv"))
         .distinct()
     )
+    # Round-17 (guide §4.1 / §2.4): `h` (scan → Arrow UDF → distinct)
+    # was consumed TWICE — once for the register pipeline and once for
+    # the exact count — so the whole hash pass ran two times (the plan
+    # showed the ArrowEvalPython subtree duplicated).  The register
+    # rollup now carries a per-register distinct-hash count whose sum
+    # IS n_exact, collapsing the query to ONE pass.  Also from the
+    # src_table_stats_approx round-17 lesson: rho via an integer-
+    # compare ladder (no per-row bin() string), and the ordered
+    # register fold replaced by a plain aggregate — every term
+    # pow(2,-mr) with mr ∈ [0,26] is a dyadic rational and the sum
+    # stays < 2^7, so each partial needs ≤ 33 mantissa bits and the
+    # double additions are exact in ANY order; the (m − observed)
+    # unseen registers contribute 1.0 each as a single term, which
+    # also removes the m-row spine join outright.  Values are
+    # bit-identical; oracle unchanged.
+    _ladder = " ".join(
+        f"WHEN w >= {1 << (bl - 1)} THEN {26 - bl}"
+        for bl in range(25, 0, -1)
+    )
     r = h.select(
         (F.col("hv") % HLL_M).alias("reg"),
-        F.expr(
-            f"CASE WHEN hv DIV {HLL_M} = 0 THEN 26"
-            f" ELSE 26 - length(bin(hv DIV {HLL_M})) END"
-        ).alias("rho"),
+        F.expr(f"hv DIV {HLL_M}").alias("w"),
+    ).select(
+        "reg",
+        F.expr(f"CASE {_ladder} ELSE 26 END").alias("rho"),
     )
-    # Aggregate FIRST, then left-join the m-row spine: the observed
-    # register maxima collapse map-side to ≤ m rows per partition
-    # before any exchange.  The previous shape (spine joined onto the
-    # hash stream, THEN grouped) shuffled every distinct hash into m
-    # skewed partitions — fine on the fixture, a straggler factory at
-    # production NDV (the round-16 src_table_stats_approx birth probe
-    # caught the identical shape losing shuffle blocks at 600M rows).
-    regs_obs = r.groupBy("reg").agg(F.max("rho").alias("mr_obs"))
-    spine = spark.range(0, HLL_M).select(F.col("id").alias("reg"))
-    regs = spine.join(F.broadcast(regs_obs), "reg", "left").select(
-        "reg", F.coalesce(F.col("mr_obs"), F.lit(0)).alias("mr")
+    # Aggregate FIRST (unchanged): the observed register maxima (and
+    # now counts) collapse map-side to ≤ m rows per partition before
+    # any exchange — the shape that survived the 600M-row probe.
+    regs_obs = r.groupBy("reg").agg(
+        F.max("rho").alias("mr_obs"),
+        F.count("*").cast("bigint").alias("cnt"),
     )
-    folded = regs.agg(
-        F.expr(
-            "aggregate(transform(array_sort(collect_list("
-            "struct(reg, mr))), s -> pow(2.0D, -s.mr)), "
-            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    nonnull = F.col("reg").isNotNull()
+    observed = F.count(F.when(nonnull, 1))
+    folded = regs_obs.agg(
+        (
+            (F.lit(HLL_M) - observed).cast("double")
+            + F.coalesce(
+                F.sum(F.when(nonnull, F.expr("pow(2.0D, -mr_obs)"))),
+                F.lit(0.0),
+            )
         ).alias("z"),
-        F.count(F.when(F.col("mr") == 0, 1)).cast("bigint").alias(
-            "zeros"
-        ),
+        (F.lit(HLL_M) - observed).cast("bigint").alias("zeros"),
+        F.sum("cnt").cast("bigint").alias("n_exact"),
     )
-    ex = h.agg(F.count("*").cast("bigint").alias("n_exact"))
     est_raw = F.expr(
         f"CAST(floor({HLL_ALPHA} * {HLL_M} * {HLL_M} / z) AS BIGINT)"
     )
@@ -1575,20 +1593,17 @@ def llm_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrected = F.when(
         (est_raw <= int(2.5 * HLL_M)) & (F.col("zeros") > 0), lin
     ).otherwise(est_raw)
-    return (
-        folded.crossJoin(F.broadcast(ex))
-        .select(
-            F.lit(HLL_M).cast("bigint").alias("m"),
-            "n_exact",
-            corrected.alias("est"),
-            "zeros",
-            (
-                F.abs(corrected - F.col("n_exact")) * 4
-                <= F.col("n_exact")
-            )
-            .cast("int")
-            .alias("band_ok"),
+    return folded.select(
+        F.lit(HLL_M).cast("bigint").alias("m"),
+        "n_exact",
+        corrected.alias("est"),
+        "zeros",
+        (
+            F.abs(corrected - F.col("n_exact")) * 4
+            <= F.col("n_exact")
         )
+        .cast("int")
+        .alias("band_ok"),
     )
 
 

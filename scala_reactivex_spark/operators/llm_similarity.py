@@ -882,35 +882,32 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    best = F.min(
-        F.struct(
-            (-F.col("cos_sim")).alias("nc"),
-            F.col("neighbor_id").alias("id"),
-        )
+    # Round-17 (guide §2.4 — don't compute things twice): the pos and
+    # neg branches each re-ran the broadcast probe×corpus cosine pass
+    # and re-joined on probe_id.  Both argmaxes are conditional MIN
+    # aggregates over the SAME scored stream, so one grouped pass
+    # carries both; the trailing join disappears.  The old inner join
+    # emitted a probe only when BOTH sides existed — preserved by the
+    # two isNotNull filters (min-over-subset ignores the other side's
+    # rows exactly as the where() branches did).
+    same = F.col("p_label") == F.col("n_label")
+    best_st = F.struct(
+        (-F.col("cos_sim")).alias("nc"),
+        F.col("neighbor_id").alias("id"),
     )
-    pos = (
-        scored.where(F.col("p_label") == F.col("n_label"))
-        .groupBy("probe_id", "p_label")
-        .agg(best.alias("m"))
-        .select(
-            "probe_id",
-            F.col("p_label").cast("bigint").alias("label"),
-            F.col("m.id").cast("bigint").alias("pos_id"),
-            (-F.col("m.nc")).alias("pos_cos"),
-        )
+    m = scored.groupBy("probe_id", "p_label").agg(
+        F.min(F.when(same, best_st)).alias("mp"),
+        F.min(F.when(~same, best_st)).alias("mn"),
     )
-    neg = (
-        scored.where(F.col("p_label") != F.col("n_label"))
-        .groupBy("probe_id")
-        .agg(best.alias("m"))
-        .select(
-            "probe_id",
-            F.col("m.id").cast("bigint").alias("neg_id"),
-            (-F.col("m.nc")).alias("neg_cos"),
-        )
-    )
-    return pos.join(neg, "probe_id").select(
-        "probe_id", "label", "pos_id", "pos_cos", "neg_id", "neg_cos"
+    return m.where(
+        F.col("mp").isNotNull() & F.col("mn").isNotNull()
+    ).select(
+        "probe_id",
+        F.col("p_label").cast("bigint").alias("label"),
+        F.col("mp.id").cast("bigint").alias("pos_id"),
+        (-F.col("mp.nc")).alias("pos_cos"),
+        F.col("mn.id").cast("bigint").alias("neg_id"),
+        (-F.col("mn.nc")).alias("neg_cos"),
     )
 
 

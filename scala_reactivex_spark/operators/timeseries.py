@@ -663,10 +663,35 @@ def rel_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = y.groupBy("user_id", "sid").agg(
         F.min("ms").alias("s_ms"), F.max("ms").alias("e_ms")
     )
-    edges = sess.select(
-        F.col("s_ms").alias("ms"), F.lit(1).alias("d")
-    ).unionByName(
-        sess.select(F.col("e_ms").alias("ms"), F.lit(-1).alias("d"))
+    # Round-17 (guide §2.4 — don't compute things twice): the +1/-1
+    # edge stream was a UNION of two selects over `sess`, so the
+    # sessionization window + aggregate ran once per branch — and
+    # `tagged` feeds both the carry rollup and the sweep join, doubling
+    # it again (4 corpus-window passes in one plan).  An explode emits
+    # both edges from ONE sess pass, and the tiny edge table (2 rows
+    # per session, ≪ events) is session-memoized + persisted so the
+    # carry and sweep consumers — and warm re-runs — read it instead
+    # of re-running the per-user window (the _chunk_table convention).
+    from scala_reactivex_spark.plans.memo import session_memo
+
+    edges = session_memo(
+        spark,
+        sf_dir,
+        "concurrency_edges",
+        lambda: sess.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s_ms").alias("ms"), F.lit(1).alias("d")
+                    ),
+                    F.struct(
+                        F.col("e_ms").alias("ms"), F.lit(-1).alias("d")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.ms", "e.d")
+        .persist(),
     )
     day = F.expr("ms DIV 86400000")
     tagged = edges.withColumn("day", day)

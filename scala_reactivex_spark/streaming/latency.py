@@ -204,7 +204,7 @@ def measure_serving_latency(
         incoming_src, ex_hashes, ex_index = _incremental_setup(
             spark, sf_dir, work
         )
-    nb_model = nb_thr = doc_all_src = c_assign = q_base = None
+    nb_model = nb_thr = doc_all_src = c_assign = None
     if want & {"twin_nb_filter", "twin_novelty_gate",
                "twin_compaction_route", "twin_quality_drift"}:
         from scala_reactivex_spark.sources.catalog import table
@@ -217,8 +217,6 @@ def measure_serving_latency(
             nb_model, nb_thr = twins.nb_serving_pack(spark, sf_dir)
         if "twin_compaction_route" in want:
             c_assign = twins.compaction_assign_pack(spark, sf_dir)
-        if "twin_quality_drift" in want:
-            q_base = twins.quality_baseline_pack(spark, sf_dir)
         doc_all_src = os.path.join(work, "doc_all_src")
         (
             table(spark, sf_dir, "documents")
@@ -349,9 +347,11 @@ def measure_serving_latency(
         )
 
     def run_qdrift(rep: int) -> None:
+        # q_base (the materialized baseline pack) now attaches in
+        # quality_drift_view, not per trigger — r17, r16 verdict #3.
         twins.run_stream_to_table(
             twins.twin_quality_drift(
-                twins.docs_stream(spark, doc_all_src), q_base
+                twins.docs_stream(spark, doc_all_src)
             ),
             f"lat_qdr_{rep}",
             os.path.join(work, f"qdr_ckpt_{rep}"),
