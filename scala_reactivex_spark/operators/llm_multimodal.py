@@ -336,13 +336,16 @@ def _phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_bands(h: DataFrame) -> DataFrame:
-    """(doc_id, band, bval) band projection over a signature frame —
+    """(doc_id, ph, band, bval) band projection over a signature frame —
     THE single band definition: the pair query's LSH join and the
     cap-billing stats aggregate must describe the SAME buckets, so a
     future band-width change cannot desynchronize them (round-14
-    review finding)."""
+    review finding).  The 8-byte signature rides along (round-17) so
+    the pair query's bucket self-join can emit both hashes inline;
+    the stats aggregate simply ignores it."""
     return h.select(
         "doc_id",
+        "ph",
         F.explode(
             F.array(
                 *[
@@ -356,7 +359,7 @@ def _phash_bands(h: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bval")
+    ).select("doc_id", "ph", "bb.band", "bb.bval")
 
 
 @register(
@@ -380,6 +383,15 @@ def _phash_bands(h: DataFrame) -> DataFrame:
 )
 def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _phash_signatures(spark, sf_dir)
+    # Round-17 (guide §2.4, the llm_dedup_simhash_nn rewrite): carry
+    # the 8-byte perceptual hash THROUGH the band rows so the bucket
+    # self-join emits both hashes inline — the two doc-keyed join-backs
+    # disappear, and the pair dedup (a pair CAN co-occur in several
+    # bands; the output is the pair set, so distinct stays) moves
+    # AFTER the Hamming cut, deduping only surviving pairs instead of
+    # the whole candidate set.  hamming is a function of the pair, so
+    # distinct over (doc_a, doc_b, hamming) ≡ distinct over the pair;
+    # values unchanged.
     bands = _phash_bands(h)
     from pyspark.sql import Window
 
@@ -391,7 +403,7 @@ def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = kept.alias("a")
     b = kept.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -401,17 +413,12 @@ def llm_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.ph ^ b.ph) AS INT)").alias(
+                "hamming"
+            ),
         )
-        .distinct()
-    )
-    ha = h.select(F.col("doc_id").alias("doc_a"), F.col("ph").alias("pa"))
-    hb = h.select(F.col("doc_id").alias("doc_b"), F.col("ph").alias("pb"))
-    return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .withColumn("hamming", F.expr("CAST(bit_count(pa ^ pb) AS INT)"))
         .where(F.col("hamming") <= PHASH_HAM_T)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
