@@ -633,14 +633,25 @@ def rel_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 60 DAYS"
     )
-    late_supp = F.when(late, F.col("l_suppkey"))
-    per_order = (
+    # Round-17 (guide §2.3): the two countDistinct(suppkey) buffers
+    # planned an Expand whose distinct state re-derived the same
+    # (order, supplier) grid twice.  Aggregate to that grid FIRST
+    # (map-side combinable): its rows ARE the distinct suppliers, a
+    # supplier is late iff any of its lines is, and the unique late
+    # supplier is the max over late suppliers — values identical.
+    per_supp = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("any_late"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(late_supp).alias("n_late"),
-            F.max(late_supp).alias("late_supp"),
+            F.count("*").alias("n_supp"),
+            F.sum("any_late").alias("n_late"),
+            F.max(
+                F.when(F.col("any_late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
         )
         .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
