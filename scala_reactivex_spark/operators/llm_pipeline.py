@@ -714,23 +714,23 @@ def llm_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("k_hit") == BLOOM_K)
     )
     # Cascade: exact string check ONLY for Bloom-flagged grams.
-    probes = sh.where(F.col("split") == "test").select("s").distinct()
-    exact = (
-        flagged.join(probes, "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_hits"))
-    )
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_bloom_hits")
-    )
+    # Round-17 (guide §2.4 — don't compute things twice): `flagged`
+    # fed TWO aggregations (the bloom-hit count and the exact-match
+    # count) re-joined on doc_id, so the whole probe pipeline (train
+    # explode ×K positions → bloom join → K-hit rollup) executed
+    # twice.  A LEFT join against the distinct probe set marks exact
+    # matches inline, and ONE grouped pass carries both counts
+    # (count(*) ≡ the old n_bloom_hits; count(hit) counts matches,
+    # 0 where none — exactly the old coalesce).
+    probes = (
+        sh.where(F.col("split") == "test").select("s").distinct()
+    ).withColumn("hit", F.lit(1))
     return (
-        per_doc.join(exact, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_bloom_hits",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
-                "n_hits"
-            ),
+        flagged.join(probes, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bloom_hits"),
+            F.count("hit").cast("bigint").alias("n_hits"),
         )
         .withColumn(
             "all_fp", (F.col("n_hits") == 0).cast("int")
