@@ -99,8 +99,25 @@ def bm25_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-units, so it persists as parquet — a standing retrieval
     # index that batch scoring, the serving twin and the latency bench
     # read back across sessions.
+    #
+    # Round 18: the index is HASH-PARTITIONED BY doc_id, build path and
+    # read-back alike (disk_memo load_layout).  Every (q_id, doc_id)
+    # scoring group is then partition-local — the broadcast term join
+    # preserves the streamed index partitioning, so the (q_id, doc_id)
+    # sum aggregates WITHOUT an exchange and the full candidate grid
+    # (|Q|x|D| on this wash-vocabulary fixture; query-matched postings
+    # at scale) never crosses the network.  It also restores scan
+    # parallelism on read-back, where the small finished index packs
+    # into 1-2 input splits and previously serialized the whole
+    # scoring join (the widen_scan pathology, r17).
     return disk_memo(
-        spark, sf_dir, "bm25_contrib", lambda: _bm25_contrib(spark, sf_dir)
+        spark,
+        sf_dir,
+        "bm25_contrib",
+        lambda: _bm25_contrib(spark, sf_dir),
+        load_layout=lambda _i, df: df.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        ),
     )
 
 
@@ -130,6 +147,13 @@ def _bm25_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select("tok", "doc_id", F.expr(contrib).alias("contrib"))
+        # Lay the index out hash-partitioned by doc_id (matching the
+        # read-back load_layout in bm25_contrib): scoring groups by
+        # (q_id, doc_id), and doc_id-clustered input lets that
+        # aggregate run exchange-free.  Explicit partition count so
+        # AQE cannot coalesce the small fixture index to one split
+        # and serialize every consumer.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         # PRE-PACKED index: materialize the finished contribution
         # relation once per session so every serving micro-batch (and
         # every batch consumer) joins against in-memory blocks instead

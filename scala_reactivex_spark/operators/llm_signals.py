@@ -1742,9 +1742,49 @@ GROUP BY doc_id
 """,
 )
 def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 18 (r17 verdict #6): the batch key used novelty_over(g, cnt)
+    # — a corpus-scale (doc, gram) ⋈ (gram, df) join just to mark which
+    # of a doc's grams have df=1.  But a df=1 gram has exactly ONE
+    # (doc, gram) row, so min(doc_id) inside the SAME gram aggregate
+    # that computes df IS the doc the novel gram belongs to: n_novel
+    # attributes straight from the bounded (gram, df, min_doc) rollup
+    # (only df=1 rows survive the filter) and the corpus-scale join
+    # disappears.  n_grams is a plain per-doc count of the same shared
+    # doc_grams frame, and the final attach is a doc-cardinality LEFT
+    # join (docs with no novel gram keep n_novel=0, as the old
+    # df<=1-filter count produced).  The gram DERIVATION stays the one
+    # shared doc_grams builder — the streaming ingest gate
+    # (twins.twin_novelty_gate) keeps novelty_over against the standing
+    # corpus table, where arriving docs are absent from cnt and the
+    # probe join is the only possible shape; the batch/gate law test
+    # pins the two plans to identical values.
     g = doc_grams(table(spark, sf_dir, "documents"))
-    cnt = g.groupBy("gram").agg(F.count("*").alias("df"))
-    return novelty_over(g, cnt)
+    per_gram = g.groupBy("gram").agg(
+        F.count("*").alias("df"), F.min("doc_id").alias("d0")
+    )
+    novel = (
+        per_gram.where(F.col("df") == 1)
+        .groupBy(F.col("d0").alias("doc_id"))
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    n_grams = g.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    return (
+        n_grams.join(novel, "doc_id", "left")
+        .withColumn(
+            "n_novel",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("CAST(n_novel * 10000 DIV n_grams AS BIGINT)").alias(
+                "novelty_1e4"
+            ),
+        )
+    )
 
 
 def doc_grams(df: DataFrame) -> DataFrame:

@@ -393,21 +393,38 @@ def lang_id_model(
     (An earlier attempt cached the exploded INTERMEDIATE instead —
     measured slower than recomputation and reverted; materializing the
     bounded model output is the pattern that works, exactly as the NB
-    family serves.)"""
+    family serves.)
+
+    Round 18 (r17 verdict #3 / ADVICE medium): the PROFILE is |V|×L —
+    bounded on this fixture (V=31) but corpus-vocabulary-sized in
+    general, and materialize_scalar's contract is small frames only
+    (an unbounded collect() is a driver-OOM shape at the 100 TB
+    posture).  The materialization is therefore CAP-GATED: the profile
+    is persisted and counted once (that pass is needed to train the
+    model regardless), collected into the LocalRelation pack only when
+    it fits under SPARK_GRAFT_PACK_CAP rows (default 100k ≈ a few MB),
+    and otherwise served as the persisted DISTRIBUTED frame — the
+    consumers broadcast-join it either way, so plans and values are
+    identical; only where the bytes live changes.  The floors frame is
+    |L| rows (bounded by the language count) and always packs."""
     from scala_reactivex_spark.plans.memo import (
         materialize_scalar,
         session_memo,
     )
 
-    return session_memo(
-        spark,
-        sf_dir,
-        "lang_id_model_pack",
-        lambda: tuple(
-            materialize_scalar(spark, df)
-            for df in _lang_id_model_build(spark, sf_dir)
-        ),
-    )
+    def build() -> tuple[DataFrame, DataFrame]:
+        import os
+
+        cap = int(os.environ.get("SPARK_GRAFT_PACK_CAP", "100000"))
+        profile, floors = _lang_id_model_build(spark, sf_dir)
+        profile = profile.persist()
+        if profile.count() <= cap:
+            packed = materialize_scalar(spark, profile)
+            profile.unpersist()
+            profile = packed
+        return profile, materialize_scalar(spark, floors)
+
+    return session_memo(spark, sf_dir, "lang_id_model_pack", build)
 
 
 def _lang_id_model_build(

@@ -159,7 +159,11 @@ def _builder_src_tag(builder: Callable) -> str:
 
 
 def disk_memo(
-    spark, sf_dir: str, name: str, builder: Callable[[], T]
+    spark,
+    sf_dir: str,
+    name: str,
+    builder: Callable[[], T],
+    load_layout: Callable[[int, "object"], "object"] | None = None,
 ) -> T:
     """Two-tier memo for index builds whose value is a tuple of
     DataFrames: the in-memory :func:`session_memo` backed by a
@@ -185,7 +189,20 @@ def disk_memo(
     alongside the fixture fingerprint, so editing a builder's module
     invalidates its disk tier deterministically instead of silently
     serving the stale pre-edit index across sessions (round-11
-    ADVICE)."""
+    ADVICE).
+
+    ``load_layout`` (round 18): optional ``(part_index, df) -> df``
+    applied to each frame on the READ-BACK path before it persists.  A
+    plain parquet read of a small finished index packs into 1-2 input
+    splits (32 tiny files x 4 MB open-cost fit one 128 MB split), so
+    every downstream consumer of the persisted frame — including joins
+    that fan each index row out corpus-wide — inherits near-serial
+    parallelism (the same single-split pathology widen_scan fixes for
+    fixture scans, r17).  Builders that lay their output out for a
+    reason (e.g. bm25_contrib hash-partitioned by doc_id so scoring
+    aggregates shuffle-free) pass the SAME layout here so read-back
+    sessions see the layout the building session had; value-identity is
+    untouched (repartitioning never changes rows)."""
     root = _default_cache_root()
     scoped = f"{name}@{os.path.basename(os.path.abspath(sf_dir))}"
     base = os.path.join(
@@ -205,9 +222,10 @@ def disk_memo(
             n = int(n_str)
             frames = []
             for i in range(n):
-                df = spark.read.parquet(
-                    os.path.join(base, f"part{i}")
-                ).persist()
+                df = spark.read.parquet(os.path.join(base, f"part{i}"))
+                if load_layout is not None:
+                    df = load_layout(i, df)
+                df = df.persist()
                 df.count()
                 frames.append(df)
             if shape == "tuple":

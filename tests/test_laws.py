@@ -365,6 +365,28 @@ def test_lang_id_mechanism(spark, sf_dir):
     assert out.exceptAll(again).count() == 0
 
 
+def test_lang_id_pack_cap_fallback(spark, sf_dir, monkeypatch):
+    """Round 18 (r17 verdict #3 / ADVICE medium): the lang-ID model pack
+    collects the |V|×L profile only under SPARK_GRAFT_PACK_CAP rows;
+    over the cap it serves the persisted DISTRIBUTED frame.  Both paths
+    must score identically — the cap changes where the bytes live, not
+    the values."""
+    from scala_reactivex_spark.operators.llm_text import llm_lang_id
+    from scala_reactivex_spark.plans.memo import clear_session_memo
+
+    base = sorted(map(tuple, llm_lang_id(spark, sf_dir).collect()))
+    clear_session_memo()
+    monkeypatch.setenv("SPARK_GRAFT_PACK_CAP", "0")
+    try:
+        fallback = sorted(
+            map(tuple, llm_lang_id(spark, sf_dir).collect())
+        )
+    finally:
+        # Do not leak the distributed-profile pack into other tests.
+        clear_session_memo()
+    assert base == fallback
+
+
 def test_pack_sequences_budget_law(spark, sf_dir):
     """Packing law: a pack only exceeds the token budget via its final
     straddling doc — tokens BEFORE the last doc of any pack < budget, and
