@@ -482,6 +482,112 @@ WARM_HEADLINE_REF = {
   'src_interval': 0.071, 'src_range': 0.122, 'src_scan_events': 0.196,
 }
 
+#: Per-query quiet-host reference seconds for the TIERED suites —
+#: the warm-arbitration anchor for the per-bucket ratios (r17 verdict
+#: #8: the horizon bucket read 1.115 off one plateau window; the
+#: headline got a warm companion in r17, the buckets did not, so one
+#: noisy host window could fake a bucket regression with no
+#: self-contained way to arbitrate it).  Source: the round-17
+#: session-end quiet-host read-back pass (commit f327989,
+#: BENCH_DETAIL.json — headline 41.98 s / warm_headline 35.37), each
+#: entry min(cold, slowest-20 warm median) from that artifact.  Same
+#: protocol as WARM_HEADLINE_REF: after the cold loop, any tiered query
+#: whose best observed time exceeds WARM_ARB_FACTOR x its reference
+#: (plus the jitter slack) is re-run and contributes its best observed
+#: time to the bucket's warm companion.  The companions always ratio
+#: against the READBACK pins: an arbitration re-run executes against
+#: indexes already built earlier in the same run, so its level is
+#: read-back-grade in either cache regime (a fresh-regime warm
+#: companion below the fresh pin is therefore expected, not a win).
+TIERED_WARM_REF = {
+  'llm_ann_ivf_mp': 1.463, 'llm_ann_pq': 0.048, 'llm_ann_recall': 1.69,
+  'llm_ann_spann': 0.852, 'llm_backoff_lm': 0.894, 'llm_bigram_lm': 1.187,
+  'llm_bloom_fpr_audit': 0.977, 'llm_bm25': 1.616,
+  'llm_boilerplate': 1.278, 'llm_bpb': 1.105, 'llm_bpe_apply': 0.241,
+  'llm_bpe_fertility': 0.386, 'llm_bpe_merge': 0.981,
+  'llm_bpe_pairs': 0.828, 'llm_budget_select': 1.483,
+  'llm_cdc_chunks': 1.026, 'llm_chunk_dedup': 1.348,
+  'llm_chunk_overlap': 0.197, 'llm_chunk_retrieval_recall': 1.137,
+  'llm_cluster_cc_guard': 0.016, 'llm_cluster_purity': 1.221,
+  'llm_cluster_stats': 0.233, 'llm_compaction_exec': 1.005,
+  'llm_compaction_plan': 0.542, 'llm_containment_lsh': 1.164,
+  'llm_corpus_diff': 0.76, 'llm_corpus_filter': 0.055,
+  'llm_count_min': 1.172, 'llm_crossdup_sources': 0.544,
+  'llm_curriculum': 0.755, 'llm_decontaminate': 1.271,
+  'llm_decontaminate_bloom': 1.536, 'llm_dedup_embed_lsh_adaptive': 1.165,
+  'llm_dedup_embed_lsh_stats': 0.624, 'llm_dedup_impact': 0.436,
+  'llm_dedup_incremental': 1.601, 'llm_dedup_minhash': 0.052,
+  'llm_dedup_minhash_cluster': 0.04, 'llm_dedup_minhash_stats': 1.42,
+  'llm_dedup_simhash_nn': 1.618, 'llm_dedup_substring': 1.22,
+  'llm_dedup_threshold_sweep': 1.302, 'llm_diverse_select': 0.794,
+  'llm_doc_split': 0.345, 'llm_domain_mix': 0.412, 'llm_dsir': 1.766,
+  'llm_dup_ngram_coverage': 1.786, 'llm_embed_centroid': 0.469,
+  'llm_embed_norm_stats': 0.337, 'llm_embed_outliers': 1.038,
+  'llm_embed_pca': 1.062, 'llm_embed_quantize': 0.433,
+  'llm_epoch_shuffle': 0.389, 'llm_eval_affinity': 0.561,
+  'llm_hard_negatives': 0.663, 'llm_hll_portable': 0.838,
+  'llm_hybrid_rrf': 0.939, 'llm_index_gaps': 0.899,
+  'llm_index_stats': 0.575, 'llm_ivf_stats': 0.324,
+  'llm_kanon_audit': 0.249, 'llm_kmeans': 0.031,
+  'llm_lang_confusion': 1.366, 'llm_line_dedup': 0.9,
+  'llm_line_dedup_purge': 0.834, 'llm_minhash_band_tune': 1.715,
+  'llm_minhash_est': 1.08, 'llm_mix_budget': 0.372,
+  'llm_mix_temperature': 0.47, 'llm_multimodal_dedup': 0.259,
+  'llm_multimodal_frames': 0.329, 'llm_multimodal_phash': 0.771,
+  'llm_multimodal_resize': 0.367, 'llm_nb_filter': 1.382,
+  'llm_nb_lang': 0.63, 'llm_nb_margin_calibration': 0.225,
+  'llm_neg_sampling': 0.659, 'llm_ngram_lm_prune': 0.808,
+  'llm_ngram_novelty': 1.792, 'llm_oov_rate': 1.28,
+  'llm_pack_efficiency': 0.857, 'llm_pack_sequences': 0.514,
+  'llm_phash_stats': 0.436, 'llm_pii_scrub': 0.359,
+  'llm_pipeline_e2e': 0.512, 'llm_pipeline_funnel': 1.263,
+  'llm_pmi': 0.796, 'llm_ppl_filter': 1.182, 'llm_pq_recall': 0.874,
+  'llm_quality_length_corr': 0.441, 'llm_quality_psi': 0.752,
+  'llm_quality_rules': 0.729, 'llm_quality_sweep': 0.737,
+  'llm_repeat_plan': 0.531, 'llm_repetition_score': 1.528,
+  'llm_reservoir_sample': 0.509, 'llm_rho_select': 1.218,
+  'llm_semdedup': 0.76, 'llm_seq_len_hist': 0.272,
+  'llm_shard_assign': 0.43, 'llm_soft_sample': 0.63,
+  'llm_source_lang_entropy': 0.619, 'llm_source_scorecard': 0.467,
+  'llm_span_corruption': 0.374, 'llm_spann_recall': 0.297,
+  'llm_spann_stats': 0.249, 'llm_stratified_sample': 0.468,
+  'llm_template_detect': 0.464, 'llm_textrank': 0.457, 'llm_tfidf': 1.48,
+  'llm_token_entropy': 0.816, 'llm_unigram_lm': 0.73,
+  'llm_vocab_coverage': 1.405, 'llm_watermark_detect': 0.852,
+  'llm_winnowing': 1.167, 'llm_winnowing_match': 0.693, 'llm_zipf': 1.216,
+  'op_buffer_slide': 0.727, 'op_debounce_auto': 0.733,
+  'op_debounce_salted': 1.161, 'op_distinct_until_changed_auto': 0.603,
+  'op_distinct_until_changed_salted': 1.088, 'op_group_join': 0.761,
+  'op_pairwise_auto': 0.646, 'op_pairwise_salted': 1.114,
+  'op_salt_dispatch_stats': 0.461, 'op_scan_running_sum_auto': 0.786,
+  'op_scan_running_sum_salted': 1.172, 'op_take_last': 0.632,
+  'op_window_toggle': 0.945, 'rel_agg_approx_pct': 1.205,
+  'rel_attribution': 0.632, 'rel_cdc_upsert': 0.499,
+  'rel_concurrency': 1.766, 'rel_cusum_changepoint': 0.661,
+  'rel_decay_sum': 0.518, 'rel_funnel': 0.623, 'rel_gapfill': 0.43,
+  'rel_grouping_sets': 0.62, 'rel_ivm_merge': 0.901,
+  'rel_join_asof': 0.477, 'rel_join_asof_nearest': 0.604,
+  'rel_join_skew_salted': 1.484, 'rel_lateness_profile': 0.554,
+  'rel_mad_outliers': 0.986, 'rel_percentiles': 0.851, 'rel_pivot': 0.994,
+  'rel_q10_returns': 0.758, 'rel_q11_important': 1.096,
+  'rel_q12_shipclass': 0.616, 'rel_q13_custdist': 0.578,
+  'rel_q14_promo': 0.448, 'rel_q15_top_supplier': 0.622,
+  'rel_q16_suppcnt': 0.943, 'rel_q17_smallqty': 0.959,
+  'rel_q18_large_orders': 1.072, 'rel_q19_brackets': 0.595,
+  'rel_q20_excess': 0.82, 'rel_q21_waiting': 1.376,
+  'rel_q22_inactive': 0.56, 'rel_q2_mincost': 1.556,
+  'rel_q3_shipping': 0.725, 'rel_q4_priority': 0.804,
+  'rel_q5_volume': 0.866, 'rel_q6_forecast': 0.3, 'rel_q7_trade': 0.989,
+  'rel_q8_mktshare': 1.148, 'rel_q9_profit': 1.052, 'rel_retention': 0.472,
+  'rel_scd2': 0.741, 'rel_skew_agg': 0.601, 'rel_top_movers': 0.604,
+  'rel_topk_window': 0.655, 'rel_window_funcs': 1.395,
+  'src_bucketed_join': 1.325, 'src_partition_prune': 0.284,
+  'src_schema_evolution': 0.507, 'src_table_histogram': 1.476,
+  'src_table_stats': 2.18, 'src_table_stats_approx': 1.593,
+  'src_zonemap_profile': 0.304, 'src_zorder_compare': 0.969,
+  'src_zorder_layout': 0.66, 'src_zorder_read': 0.552,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -600,6 +706,31 @@ def main() -> None:
             warm_arb[name] = round(best, 3)
         warm_headline = round(sum(warm_arb.values()), 2)
 
+    # Warm-arbitrated BUCKET companions (r17 verdict #8): the same
+    # arbitration posture, extended to the tiered suites, so a host
+    # plateau window cannot fake a per-bucket regression (the r17
+    # horizon-at-1.115 case).  Any tiered query whose best observed
+    # time exceeds the quiet-host reference by the arbitration factor
+    # is re-run; each bucket's warm companion sums best-observed times
+    # and is ratioed against the READBACK pin (see TIERED_WARM_REF
+    # note: arbitration re-runs are read-back-grade in either regime).
+    tier_arb: dict[str, float] = {}
+    tier_arb_reps = int(os.environ.get("SPARK_GRAFT_TIER_ARB_REPS", "1"))
+    if sf_dir.rstrip("/").endswith("sf0.1") and warm_reps > 0:
+        for name in sorted(n for n in times if n in TIERED_WARM_REF):
+            best = times[name]
+            if name in warm:
+                best = min(best, warm[name])
+            ref = TIERED_WARM_REF[name]
+            if best > WARM_ARB_FACTOR * ref + WARM_ARB_SLACK_SEC:
+                for _ in range(tier_arb_reps):
+                    t0 = time.perf_counter()
+                    specs[name].fn(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+            tier_arb[name] = round(best, 3)
+
     # Serving-twin latency (r8 verdict #8): the five serving twins get a
     # measured trigger→commit number per micro-batch plus drain wall
     # times (streaming/latency.py).  ~2 min at sf0.1 with 2 reps; set
@@ -693,6 +824,35 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # Per-bucket warm companions: best-observed bucket sums over the
+    # tier arbitration map (falling back to the cold time for any name
+    # without a reference, e.g. future SUMMIT keys), ratioed against
+    # the READBACK pins (TIERED_WARM_REF note).
+    def _bucket_warm_ratio(names: set, pin: float):
+        if not tier_arb or sf_val != 0.1:
+            return None
+        s = sum(tier_arb.get(n, times[n]) for n in names)
+        return round(s / pin, 3)
+
+    warm_ratios = {
+        "extras_warm": _bucket_warm_ratio(
+            BEYOND_BASELINE, EXTRAS_BASELINE_SEC
+        ),
+        "archive_warm": _bucket_warm_ratio(archive, ARCHIVE_BASELINE_SEC),
+        "beyond_warm": _bucket_warm_ratio(
+            BEYOND_NEWEST, BEYOND_NEWEST_BASELINE_SEC["readback"]
+        ),
+        "growth_warm": _bucket_warm_ratio(
+            GROWTH, GROWTH_BASELINE_SEC["readback"]
+        ),
+        "frontier_warm": _bucket_warm_ratio(
+            FRONTIER, FRONTIER_BASELINE_SEC["readback"]
+        ),
+        "horizon_warm": _bucket_warm_ratio(
+            HORIZON, HORIZON_BASELINE_SEC["readback"]
+        ),
+    }
+
     # Full per-query detail (headline + extras, 3 decimals) goes to a repo
     # file; the stdout contract line must stay SHORT.  The bench driver
     # keeps only the last ~2000 chars of stdout and parses the final line —
@@ -757,6 +917,11 @@ def main() -> None:
         # queries whose cold reading exceeded the quiet-host reference.
         "warm_headline_sec": warm_headline,
         "warm_arb": warm_arb,
+        # Tier arbitration map + per-bucket warm companions (r17
+        # verdict #8): best-observed times for every tiered query, and
+        # each bucket's warm ratio against its READBACK pin.
+        "tier_warm_arb": tier_arb,
+        "warm_bucket_ratios": warm_ratios,
         # Serving-twin latency: per-micro-batch trigger→commit medians
         # and drain wall times for the five streaming serving paths.
         "twin_latency": twin_latency,
@@ -812,6 +977,19 @@ def main() -> None:
             pass
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # Regime+cpus-suffixed companion copy (r17 verdict #4): the driver
+    # runs the bench at several core counts with the same filenames, so
+    # its 8-core pass used to destroy the 32-core detail artifact.  The
+    # suffixed copies never collide across regimes or core counts; the
+    # unsuffixed files keep their existing contract.
+    cpus_tag = os.environ.get("SPARK_GRAFT_CPUS", "all")
+    with open(
+        os.path.join(
+            repo_dir, f"BENCH_DETAIL_{regime}_c{cpus_tag}.json"
+        ),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
 
     line = build_contract_line(
         times=times,
@@ -831,6 +1009,7 @@ def main() -> None:
         sf_val=sf_val,
         warm=warm,
         warm_headline=warm_headline,
+        warm_ratios=warm_ratios,
         twin_latency=twin_latency,
         prepopulated=prepopulated,
         cold_cache=cold_cache,
@@ -860,6 +1039,7 @@ def build_contract_line(
     twin_latency: dict[str, dict],
     prepopulated: int,
     cold_cache: dict[str, int],
+    warm_ratios: dict[str, float | None] | None = None,
 ) -> str:
     """Build the ONE-line stdout contract the driver parses.
 
@@ -937,6 +1117,20 @@ def build_contract_line(
             # whose cold time exceeded its quiet-host reference — the
             # host-window-independent companion to "value" above.
             "warm_headline_sec": warm_headline,
+            # Per-bucket warm companions (r17 verdict #8): each bucket's
+            # warm-arbitrated sum over its READBACK pin, so a plateau
+            # window can't fake a bucket regression.  None off-sf0.1.
+            **{
+                k: (warm_ratios or {}).get(k)
+                for k in (
+                    "extras_warm",
+                    "archive_warm",
+                    "beyond_warm",
+                    "growth_warm",
+                    "frontier_warm",
+                    "horizon_warm",
+                )
+            },
             # One-number warm aggregate (sum of the slowest-20 warm
             # medians); the per-query warm map is in BENCH_DETAIL.json.
             "warm20_sec": round(sum(warm.values()), 2),
@@ -951,6 +1145,15 @@ def build_contract_line(
                 ),
                 default=None,
             ),
+            # Per-twin p50s on the contract line (r17 verdict #4): the
+            # driver artifact can now attribute twin inflation per twin
+            # without a builder rerun.  Keys drop the "twin_" prefix to
+            # bound line length; values are integer milliseconds.
+            "twin_p50": {
+                k.removeprefix("twin_"): int(round(v["p50_trigger_ms"]))
+                for k, v in sorted(twin_latency.items())
+                if v.get("p50_trigger_ms") is not None
+            },
             # Serving-tier pin ratio, mirroring extras_vs_baseline:
             # sum of measured p50s over the round-9 TWIN_BASELINE pin
             # (sf0.1 only — the pin is scale-specific).  The numerator
@@ -985,10 +1188,13 @@ def build_contract_line(
         },
         separators=(",", ":"),
     )
-    # Backstop: the driver's stdout tail is 2000 chars; the line is now
-    # ~750 chars with a bounded slowest-5 map, so this cannot fire on
-    # data-width drift — it guards future structural additions only.
-    assert len(line) < 1500, f"bench line too long ({len(line)} chars)"
+    # Backstop: the driver's stdout tail is 2000 chars; a real line is
+    # ~1100 chars with the bounded slowest-5 map, the 11-twin p50 map
+    # and the six warm companions (r17 verdict #4/#8 additions), and
+    # the contract test's implausible worst-case widths (100-day
+    # timings, 10-digit twin p50s) reach ~1500 — still 200 chars of
+    # margin.  This guards future structural additions only.
+    assert len(line) < 1800, f"bench line too long ({len(line)} chars)"
     return line
 
 

@@ -21,9 +21,13 @@ def _line(sf_val=0.1, *, name_len=64, seconds=8_640_000.999):
     # a 100-days-in-seconds width — far beyond anything a real pass can
     # produce (the slowest real query is ~3 s at sf0.1).
     times = {f"q{i:03d}".ljust(name_len, "x"): seconds for i in range(72)}
+    # All ELEVEN measured twins (not just the pinned five), at worst-case
+    # width, so the new per-twin p50 map is bounded under the real twin
+    # count.
+    from scala_reactivex_spark.streaming.latency import DEFAULT_TWINS
+
     twin_latency = {
-        k: {"p50_trigger_ms": 8_640_000_000.9}
-        for k in bench.TWIN_BASELINE_P50_MS
+        k: {"p50_trigger_ms": 8_640_000_000.9} for k in DEFAULT_TWINS
     }
     return bench.build_contract_line(
         times=times,
@@ -43,6 +47,17 @@ def _line(sf_val=0.1, *, name_len=64, seconds=8_640_000.999):
         sf_val=sf_val,
         warm={f"w{i:03d}".ljust(name_len, "x"): seconds for i in range(20)},
         warm_headline=seconds * 72 if sf_val == 0.1 else None,
+        warm_ratios={
+            k: (8_640_000.999 if sf_val == 0.1 else None)
+            for k in (
+                "extras_warm",
+                "archive_warm",
+                "beyond_warm",
+                "growth_warm",
+                "frontier_warm",
+                "horizon_warm",
+            )
+        },
         twin_latency=twin_latency,
         prepopulated=99_999,
         cold_cache={"hits": 99_999, "misses": 99_999},
@@ -51,7 +66,7 @@ def _line(sf_val=0.1, *, name_len=64, seconds=8_640_000.999):
 
 def test_contract_line_bounded_under_worst_case_widths():
     line = _line()
-    assert len(line) < 1500, len(line)
+    assert len(line) < 1800, len(line)
     assert "\n" not in line
 
 
@@ -75,21 +90,34 @@ def test_contract_line_parses_and_carries_every_pin_ratio():
         "twin_vs_baseline",
         "warm20_sec",
         "dcache",
+        # r18 additions (r17 verdict #4/#8)
+        "extras_warm",
+        "archive_warm",
+        "beyond_warm",
+        "growth_warm",
+        "frontier_warm",
+        "horizon_warm",
+        "twin_p50",
     ):
         assert key in parsed, key
         assert parsed[key] is not None, key
+    # The per-twin p50 map carries every measured twin, prefix-stripped.
+    from scala_reactivex_spark.streaming.latency import DEFAULT_TWINS
+
+    assert set(parsed["twin_p50"]) == {
+        t.removeprefix("twin_") for t in DEFAULT_TWINS
+    }
     # The per-query map is capped at the slowest 5 — never the full set.
     assert len(parsed["queries"]) == 5
 
 
 def test_contract_line_shorter_than_r16_shape():
-    """r16 verdict #4: consolidating the three smallest buckets must
-    SHRINK the line — the r16 shape carried six per-bucket fields
-    (new/newer/newest x seconds+ratio) where the r17 shape carries two
-    (archive) plus the new horizon ratio and warm headline; net the
-    field count must not exceed the r16 line's 24."""
+    """r16 verdict #4 retired the new/newer/newest fields for good; the
+    r17 verdict #4/#8 then ADDED seven observability fields (six
+    per-bucket warm companions + the per-twin p50 map), so the cap is
+    the r17 shape's 24 plus exactly those seven."""
     parsed = json.loads(_line())
-    assert len(parsed) <= 24, sorted(parsed)
+    assert len(parsed) <= 31, sorted(parsed)
     for retired in ("new_vs_baseline", "newer_seconds", "newest_seconds"):
         assert retired not in parsed
 
@@ -103,6 +131,15 @@ def test_contract_line_non_sf01_omits_scale_specific_ratios():
     assert parsed["frontier_vs_baseline"] is None
     assert parsed["horizon_vs_baseline"] is None
     assert parsed["twin_vs_baseline"] is None
+    for k in (
+        "extras_warm",
+        "archive_warm",
+        "beyond_warm",
+        "growth_warm",
+        "frontier_warm",
+        "horizon_warm",
+    ):
+        assert parsed[k] is None, k
 
 
 def test_frozen_suites_are_closed_sets():
@@ -150,3 +187,24 @@ def test_warm_headline_reference_covers_exactly_the_frozen_72():
     )
     assert not set(bench.WARM_HEADLINE_REF) & tiered
     assert all(v > 0 for v in bench.WARM_HEADLINE_REF.values())
+
+
+def test_tiered_warm_reference_covers_exactly_the_tiered_suites():
+    """The bucket arbitration anchor must cover the timed tiered suites
+    exactly (every bucket member, nothing from the headline 72 or the
+    untimed EXCLUDE family); future SUMMIT keys fall back to their cold
+    time until the reference is extended at pin time."""
+    tiered = (
+        bench.BEYOND_BASELINE
+        | bench.BEYOND_EXTRAS
+        | bench.BEYOND_NEW
+        | bench.BEYOND_NEWER
+        | bench.BEYOND_NEWEST
+        | bench.GROWTH
+        | bench.FRONTIER
+        | bench.HORIZON
+    )
+    assert set(bench.TIERED_WARM_REF) == tiered
+    assert not set(bench.TIERED_WARM_REF) & set(bench.WARM_HEADLINE_REF)
+    assert not set(bench.TIERED_WARM_REF) & bench.EXCLUDE
+    assert all(v > 0 for v in bench.TIERED_WARM_REF.values())
