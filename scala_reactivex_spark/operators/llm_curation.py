@@ -242,7 +242,9 @@ def llm_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the partial aggregate now collapses map-side.  The exact
     # distinct-doc COUNT was never emitted; oracle unchanged.
     gd = g.groupBy("gram").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("dup")
+        F.coalesce(
+            F.min("doc_id") != F.max("doc_id"), F.lit(False)
+        ).alias("dup")
     )
     return (
         g.join(gd, "gram")

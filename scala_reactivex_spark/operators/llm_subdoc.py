@@ -112,9 +112,16 @@ def llm_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min/max partial-aggregate map-side and stay O(1) per key at any
     # corpus size).  Same rewrite applied to the substring/purge/
     # dup-ngram siblings below; oracles unchanged (the flag is
-    # equivalent), all four re-verified hash-identical.
+    # equivalent), all four re-verified hash-identical.  Round 18 (r17
+    # ADVICE): wrapped in coalesce(.., false) so a hypothetical all-NULL
+    # doc_id group yields false, not NULL — the old count(DISTINCT)>=2
+    # was never null, and downstream consumers of a persisted dup
+    # column must keep that non-null contract.  Zero cost; values
+    # unchanged on this schema (doc_id is non-null).
     segdocs = seg.groupBy("s").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("dup")
+        F.coalesce(
+            F.min("doc_id") != F.max("doc_id"), F.lit(False)
+        ).alias("dup")
     )
     return (
         seg.join(segdocs, "s")
@@ -199,7 +206,9 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min != max ⟺ the distinct-doc count is ≥ 2 (see llm_line_dedup):
     # O(1) aggregate state per gram, full map-side combine.
     gd = g.groupBy("s").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("dup")
+        F.coalesce(
+            F.min("doc_id") != F.max("doc_id"), F.lit(False)
+        ).alias("dup")
     )
     # The dup-marked gram table (doc_id, pos, dup — the gram STRINGS are
     # dropped) feeds both the per-doc rollup and the island runs below;
@@ -624,7 +633,9 @@ def llm_line_dedup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min != max ⟺ the distinct-doc count is ≥ 2 (see llm_line_dedup):
     # O(1) aggregate state per segment, full map-side combine.
     segdocs = seg.groupBy("s").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("dup")
+        F.coalesce(
+            F.min("doc_id") != F.max("doc_id"), F.lit(False)
+        ).alias("dup")
     )
     sized = seg.join(segdocs, "s").select(
         "doc_id",

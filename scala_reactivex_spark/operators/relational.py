@@ -421,6 +421,17 @@ def rel_agg_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both are the declared exact-baseline O(group) state the doc scopes
     # to grading the sketch (at 100 TB only the sketch branch runs).
     # Isolated warm 2.4-3.4 s → 0.8-1.3 s.
+    #
+    # Bound note (r17 ADVICE): "unchanged" holds only while values are
+    # near-distinct, as on this fixture.  In general percentile_disc's
+    # buffer is O(distinct values) (bounded by the price domain) while
+    # collect_list is O(rows): around sf100 a single returnflag group
+    # (~300M rows ≈ 2.4 GB of doubles) would hit Spark's 2 GB
+    # single-array limit where the old map survived.  The exact branch
+    # is graded at fixture scales only (the sketch IS the scale path);
+    # if an exact branch ever had to survive large SFs, compute the two
+    # percentiles via two narrow sort+row_number passes (O(1) aggregate
+    # state) instead.
     li = table(spark, sf_dir, "lineitem")
     both = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n_lines"),

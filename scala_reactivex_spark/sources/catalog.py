@@ -117,14 +117,92 @@ def widen_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     an explicit-N shuffle (AQE never coalesces REPARTITION_BY_NUM), and
     the caller is expected to ``select()`` down to the needed columns
     FIRST so the widening exchange moves the minimum bytes (guide §2.3).
-    Because the trigger is the measured scan partition count, the
-    driver's lower-core bench run widens to ITS parallelism, keeping the
-    core-scaling measurement honest.
+    Because the trigger is the estimated scan partition count under the
+    calling session's parallelism, the driver's lower-core bench run
+    widens to ITS parallelism, keeping the core-scaling measurement
+    honest.
+
+    Round 18 (r17 ADVICE): the trigger used to probe
+    ``df.rdd.getNumPartitions()``, which forces a full analysis +
+    physical-planning pass plus a JVM RDD conversion boundary on EVERY
+    call just to read a partition count.  The count is now ESTIMATED
+    from file metadata alone (``df.inputFiles()`` sizes + the
+    ``spark.sql.files.*`` split-packing formula) — no planning pass, no
+    RDD conversion.  When sizes are unavailable (non-local URIs, i.e. a
+    real cluster over object storage) the helper is a NO-OP: that is
+    the 100 TB posture where scans are already wide and widening was
+    never wanted.  Note the widened layout is frozen into any
+    session-memoized / persisted consumer built through it — the first
+    caller's parallelism is baked into the cached lineage (documented
+    contract; within one session defaultParallelism is fixed, and the
+    disk-memo tier re-applies its own layout on read-back).
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _est_scan_partitions(df, spark, target)
+    if est is not None and est < target:
         return df.repartition(target)
     return df
+
+
+def _size_conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Read a Spark size conf (values like '128MB', '4194304b') as bytes."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def _est_scan_partitions(
+    df: DataFrame, spark: SparkSession, parallelism: int
+) -> int | None:
+    """Estimate how many scan partitions the file source would produce,
+    from file metadata only (Spark's split-packing formula: each file is
+    charged ``openCostInBytes`` and sliced/packed into bins of
+    ``maxSplitBytes = min(maxPartitionBytes, max(openCost,
+    total/parallelism))``).  Returns None — meaning "don't widen" —
+    when any input is not a stat-able local file."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    sizes: list[int] = []
+    for uri in files:
+        if uri.startswith("file:"):
+            path = unquote(urlparse(uri).path)
+        elif "://" not in uri:
+            path = uri
+        else:
+            return None
+        try:
+            sizes.append(os.stat(path).st_size)
+        except OSError:
+            return None
+    if not sizes:
+        # Not a file scan at all (LocalRelation, range, ...): widening
+        # was only ever meant for file scans — leave it alone.
+        return None
+    open_cost = _size_conf_bytes(
+        spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+    )
+    max_part = _size_conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_part, max(open_cost, total // max(parallelism, 1)))
+    return max(1, -(-total // max(max_split, 1)))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
