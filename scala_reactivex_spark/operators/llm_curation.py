@@ -241,21 +241,44 @@ def llm_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of a distinct-set whose state grows with docs-per-gram,
     # and the partial aggregate now collapses map-side.  The exact
     # distinct-doc COUNT was never emitted; oracle unchanged.
-    gd = g.groupBy("gram").agg(
+    #
+    # Round 18 (guide §2.3/§2.4 — the llm_ngram_novelty pattern): the
+    # occurrence stream g is aggregated ONCE to the bounded
+    # (gram, source) grid carrying occurrence count + per-slice doc
+    # min/max; the global per-gram dup flag folds from the slice
+    # min/max (min-of-mins ≡ global min), and the per-source rollup
+    # re-weights by the occurrence count.  The old shape re-joined
+    # every gram OCCURRENCE against the per-gram aggregate — a second
+    # corpus-scale pass plus a corpus-scale join; the new joins touch
+    # only gram-cardinality aggregates, and the explode subtree is
+    # derived once instead of twice (the two g consumers shared no
+    # exchange).  n_docs never needed the gram stream at all: every
+    # doc in w (size ≥ W) emits ≥ 1 gram, and doc_id is unique per
+    # row, so count(DISTINCT doc_id) over g per source ≡ count(*) over
+    # w per source.  All identities exact; oracle unchanged.
+    ga = g.groupBy("gram", "source").agg(
+        F.count("*").alias("k"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+    )
+    gd = ga.groupBy("gram").agg(
         F.coalesce(
-            F.min("doc_id") != F.max("doc_id"), F.lit(False)
+            F.min("mn") != F.max("mx"), F.lit(False)
         ).alias("dup")
     )
+    nd = w.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
     return (
-        g.join(gd, "gram")
+        ga.join(gd, "gram")
         .groupBy("source")
         .agg(
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.sum(F.col("dup").cast("bigint"))
+            F.sum("k").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("dup"), F.col("k")).otherwise(F.lit(0)))
             .cast("bigint")
             .alias("n_dup_grams"),
         )
+        .join(nd, "source")
         .select(
             "source",
             "n_docs",

@@ -642,6 +642,21 @@ GROUP BY bg.doc_id
 """,
 )
 def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 18 (guide §1.2-order-2 per-task work, after a measured
+    # false start): the occurrence stream was NEVER shuffled here (the
+    # frequency aggregates partial-combine to vocab²-bounded keys and
+    # the scoring joins broadcast), so a (doc, b1, b2) pre-aggregate —
+    # the first attempt — ADDED a corpus-scale exchange and measured
+    # SLOWER (1.01 → 1.5 s warm isolated), and deriving prefix FROM
+    # bgfreq serialized two aggregate stages that previously ran
+    # concurrently (+0.3 s — both negatives measured via interleaved
+    # same-session A/B and discarded).  What does win: lp is computed
+    # once per DISTINCT pair in the bounded pairlp dimension and the
+    # occurrence stream does ONE broadcast join (a hash lookup per
+    # row) instead of two joins plus log10/divisions per occurrence;
+    # the frequency aggregates stay independent parallel branches.
+    # Interleaved A/B: 1.178 → 1.051 s warm.  Values exactly as
+    # before; oracle unchanged.
     w = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("words"))
@@ -657,13 +672,13 @@ def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
         + F.lit(0.5)
     ).cast("bigint")
+    pairlp = bgfreq.join(prefix, ["b1"]).select("b1", "b2", lp.alias("lp"))
     return (
-        bg.join(bgfreq, ["b1", "b2"])
-        .join(prefix, ["b1"])
+        bg.join(pairlp, ["b1", "b2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigram"),
-            F.sum(lp).cast("bigint").alias("logp_sum_1e6"),
+            F.sum("lp").cast("bigint").alias("logp_sum_1e6"),
         )
     )
 
@@ -1068,6 +1083,20 @@ GROUP BY bg.doc_id
 """,
 )
 def llm_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 18 (guide §1.2-order-2 — the llm_bigram_lm rewrite, plus
+    # the unigram side; see that function for the measured false
+    # starts that ruled out both a corpus-scale pre-aggregate and
+    # serializing the frequency branches): the interpolated lp is
+    # computed once per DISTINCT pair in the bounded pairlp dimension
+    # (it depends only on (b1, b2)) and the occurrence stream does ONE
+    # broadcast join — a hash lookup per row — instead of three joins
+    # plus log10/divisions per occurrence; the corpus total tt
+    # re-derives from the unigram aggregate (Σ cu ≡ token count,
+    # exact), cutting the token explode from two derivations to one
+    # (uni is on pairlp's path anyway, so no stage is serialized that
+    # wasn't).  Interleaved A/B: old 1.24 / serialized-branch variant
+    # 1.15 / this shape 1.05 s warm.  Values exactly as before; oracle
+    # unchanged.
     docs = table(spark, sf_dir, "documents")
     w = docs.select("doc_id", F.split("text", " ").alias("words")).where(
         F.size("words") >= 2
@@ -1079,7 +1108,7 @@ def llm_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = bg.groupBy("b1").agg(F.count("*").alias("c1"))
     tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
     uni = tok.groupBy("t").agg(F.count("*").alias("cu"))
-    tot = tok.agg(F.count("*").alias("tt"))
+    tot = uni.agg(F.sum("cu").alias("tt"))
     lp = F.floor(
         F.log10(
             (
@@ -1091,15 +1120,18 @@ def llm_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000
         + F.lit(0.5)
     ).cast("bigint")
-    return (
-        bg.join(bgfreq, ["b1", "b2"])
-        .join(prefix, ["b1"])
-        .join(uni, bg.b2 == uni.t)
+    pairlp = (
+        bgfreq.join(prefix, ["b1"])
+        .join(uni, bgfreq.b2 == uni.t)
         .crossJoin(F.broadcast(tot))
+        .select("b1", "b2", lp.alias("lp"))
+    )
+    return (
+        bg.join(pairlp, ["b1", "b2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigram"),
-            F.sum(lp).cast("bigint").alias("logp_sum_1e6"),
+            F.sum("lp").cast("bigint").alias("logp_sum_1e6"),
         )
     )
 
