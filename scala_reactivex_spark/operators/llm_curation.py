@@ -386,10 +386,18 @@ def llm_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _decon_shingles_hashed(spark, sf_dir)
     bloom = decon_bloom_positions(spark, sf_dir)
     probes = sh.where(F.col("split") == "test").select("s").distinct()
+    # The negative universe is evaluated ONCE (round 18): the old shape
+    # consumed `neg` from two subtrees — a bare count(*) and the
+    # fp-probe branch — and Spark re-ran the train-gram distinct (the
+    # corpus-scale aggregate) for each.  groupBy(s) + min(h) is
+    # value-identical to distinct(s, h) (h is the deterministic KR hash
+    # OF s), and it clusters the stream by s, so the post-explode
+    # per-gram hit rollup below needs NO further exchange.
     neg = (
         sh.where(F.col("split") == "train")
         .select("s", "h")
-        .distinct()
+        .groupBy("s")
+        .agg(F.min("h").alias("h"))
         .join(probes, "s", "left_anti")
     )
     negp = neg.select("s", *_bloom_pos_cols()).select(
@@ -398,16 +406,28 @@ def llm_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])
         ).alias("pos"),
     )
-    fp = (
-        negp.join(F.broadcast(bloom), "pos")
+    # LEFT join + count(hit) ≡ the old inner-join HAVING count(*)=K,
+    # but keeps every negative gram in the stream so n_neg and n_fp
+    # fold from the SAME single pass (one row per gram; a gram is a
+    # false positive iff all K probe positions matched the Bloom set —
+    # duplicate positions double-count identically in both shapes).
+    per_s = (
+        negp.join(
+            F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left"
+        )
         .groupBy("s")
-        .agg(F.count("*").alias("k_hit"))
-        .where(F.col("k_hit") == BLOOM_K)
+        .agg(F.count("hit").alias("k_hit"))
     )
-    c = (
-        bloom.agg(F.count("*").cast("bigint").alias("n_set"))
-        .crossJoin(neg.agg(F.count("*").cast("bigint").alias("n_neg")))
-        .crossJoin(fp.agg(F.count("*").cast("bigint").alias("n_fp")))
+    c = bloom.agg(F.count("*").cast("bigint").alias("n_set")).crossJoin(
+        per_s.agg(
+            F.count("*").cast("bigint").alias("n_neg"),
+            F.coalesce(
+                F.sum((F.col("k_hit") == BLOOM_K).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_fp"),
+        )
     )
     theory = (
         f"CAST(floor(pow(CAST(n_set AS DOUBLE) / {BLOOM_M}, {BLOOM_K})"
@@ -593,28 +613,36 @@ def llm_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s3") == 1) & F.col("shadowed").isNull()
         ).cast("int"),
     )
+    # Stage rollup in ONE pass (round 18): the old shape exploded every
+    # doc ×5 (one struct per stage) through a 5-group aggregate; the
+    # same ten sums fold as plain aggregate columns over the un-exploded
+    # stream (sum(f_i) ≡ the per-stage n_docs, sum(f_i·n_tok) ≡ n_toks,
+    # count(*) ≡ sum(1)) and the 5-row stage table explodes from the
+    # single result row instead of from the corpus.
+    flags = ("1", "s1", "s2", "s3", "s4")
+    tot = f4.agg(
+        F.count("*").cast("bigint").alias("d0"),
+        F.sum("n_tok").cast("bigint").alias("t0"),
+        *[
+            a
+            for i, flag in enumerate(flags[1:], start=1)
+            for a in (
+                F.sum(flag).cast("bigint").alias(f"d{i}"),
+                F.sum(F.col(flag) * F.col("n_tok"))
+                .cast("bigint")
+                .alias(f"t{i}"),
+            )
+        ],
+    )
     stage_structs = ", ".join(
         f"struct(CAST({i} AS BIGINT) AS stage,"
         f" '{name}' AS stage_name,"
-        f" CAST({flag} AS BIGINT) AS f)"
-        for i, (name, flag) in enumerate(
-            zip(FUNNEL_STAGES, ("1", "s1", "s2", "s3", "s4"))
-        )
+        f" d{i} AS n_docs, t{i} AS n_toks)"
+        for i, name in enumerate(FUNNEL_STAGES)
     )
-    stages = (
-        f4.select(
-            F.col("n_tok"),
-            F.explode(F.expr(f"array({stage_structs})")).alias("g"),
-        )
-        .select("n_tok", "g.*")
-        .groupBy("stage", "stage_name")
-        .agg(
-            F.sum("f").cast("bigint").alias("n_docs"),
-            F.sum(F.col("f") * F.col("n_tok"))
-            .cast("bigint")
-            .alias("n_toks"),
-        )
-    )
+    stages = tot.select(
+        F.explode(F.expr(f"array({stage_structs})")).alias("g")
+    ).select("g.*")
     # Retention/step windows over the bounded 5-row stage table only.
     ws = Window.orderBy("stage")
     wall = Window.orderBy("stage").rowsBetween(

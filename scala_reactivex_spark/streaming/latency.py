@@ -76,6 +76,18 @@ class _ProgressTap(StreamingQueryListener):
         pass
 
 
+def _n_source_files(src_dir: str | None) -> int:
+    """Number of parquet part files in a probe-source directory — the
+    exact micro-batch count a maxFilesPerTrigger=1 availableNow drain
+    of that directory runs (one non-empty batch per part file)."""
+    if not src_dir or not os.path.isdir(src_dir):
+        return 1
+    return max(
+        1,
+        sum(1 for f in os.listdir(src_dir) if f.endswith(".parquet")),
+    )
+
+
 def _probe_sources(spark: SparkSession, sf_dir: str, work: str) -> dict:
     """Materialize the arrival-side parquet sources once: a small probe
     tranche per twin (multiple files → multiple micro-batches)."""
@@ -359,44 +371,49 @@ def measure_serving_latency(
         )
 
     out: dict[str, dict] = {}
-    for name, fn in (
-        ("twin_ann_ivf", run_ivf),
-        ("twin_ann_pq", run_pq),
-        ("twin_bm25", run_bm25),
-        ("twin_hybrid_rrf", run_hybrid),
-        ("twin_dedup_gate", run_gate),
-        ("twin_nb_filter", run_nb_filter),
-        ("twin_zorder_route", run_zroute),
-        ("twin_novelty_gate", run_novelty),
-        ("twin_compaction_route", run_croute),
-        ("twin_quality_drift", run_qdrift),
-        ("twin_embed_outliers", run_embout),
+    for name, fn, src_dir in (
+        ("twin_ann_ivf", run_ivf, src.get("emb")),
+        ("twin_ann_pq", run_pq, src.get("emb")),
+        ("twin_bm25", run_bm25, src.get("docs")),
+        ("twin_hybrid_rrf", run_hybrid, src.get("docs")),
+        ("twin_dedup_gate", run_gate, incoming_src),
+        ("twin_nb_filter", run_nb_filter, doc_all_src),
+        ("twin_zorder_route", run_zroute, ev_src),
+        ("twin_novelty_gate", run_novelty, doc_all_src),
+        ("twin_compaction_route", run_croute, doc_all_src),
+        ("twin_quality_drift", run_qdrift, doc_all_src),
+        ("twin_embed_outliers", run_embout, emb_all_src),
     ):
         if only is not None and name not in only:
             continue
         drains: list[float] = []
         warm_trigger: list[int] = []
         n_batches = 0
+        # The expected micro-batch count is DETERMINISTIC: the file
+        # source with maxFilesPerTrigger=1 under an availableNow
+        # trigger runs exactly one (non-empty) micro-batch per source
+        # part file.  The old settle loop instead broke on "no new
+        # listener event for 1 s", which raced the async listener bus —
+        # a second progress event delivered >1 s after the first was
+        # silently dropped from batches/p50 (flaky undercount, caught
+        # by test_latency in round 18).
+        expected = _n_source_files(src_dir)
         for rep in range(reps):
             tap = _ProgressTap()
             spark.streams.addListener(tap)
             t0 = time.perf_counter()
             fn(rep)
             drains.append(round(time.perf_counter() - t0, 3))
-            # The listener thread delivers events asynchronously — give
-            # the final progress event a moment to land before detaching.
-            # Settle on "no NEW event for 1 s", not "any event": with
-            # maxFilesPerTrigger=1 a multi-file source drains in several
-            # micro-batches, and detaching after the first progress event
-            # undercounts batches (and drops their trigger samples).
-            deadline = time.time() + 5
-            seen = -1
-            while time.time() < deadline:
-                n = len(tap.trigger_ms)
-                if n > 0 and n == seen:
-                    break
-                seen = n
-                time.sleep(1.0)
+            # The listener thread delivers events asynchronously — wait
+            # (bounded) until every expected per-file progress event has
+            # landed before detaching.  Settling is OUTSIDE the timed
+            # drain and normally instant: all events are usually
+            # delivered by the time awaitTermination returns.
+            deadline = time.time() + 15
+            while (
+                len(tap.trigger_ms) < expected and time.time() < deadline
+            ):
+                time.sleep(0.1)
             spark.streams.removeListener(tap)
             if rep > 0:
                 warm_trigger.extend(tap.trigger_ms)
